@@ -1,0 +1,29 @@
+"""Test fixtures. Forces an 8-device virtual CPU mesh so multi-device
+sharding paths are exercised without TPU hardware (better than the
+reference, which has no distributed tests at all — SURVEY.md §4)."""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = _flags + " --xla_force_host_platform_device_count=8"
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def ljspeech_fixture_path():
+    """Miniature LJSpeech fixture shipped with the reference repo (read-only)."""
+    path = "/root/reference/tests/data/ljspeech"
+    if not os.path.isdir(path):
+        pytest.skip("ljspeech fixture not available")
+    return path
+
+
+@pytest.fixture()
+def tmp_output(tmp_path):
+    return str(tmp_path)

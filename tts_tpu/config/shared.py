@@ -1,0 +1,141 @@
+"""Shared base configs mirroring the reference's ``TTS/config/shared_configs.py``.
+
+Field names and defaults match ``BaseAudioConfig`` (reference
+``shared_configs.py:9-154``), ``BaseDatasetConfig`` (``:192-234``) and
+``BaseTrainingConfig`` (``:249-268``) so that reference JSON configs load
+unchanged.  TPU-specific additions (mesh/sharding/precision) live in
+:class:`BaseTrainingConfig` under clearly-named extra fields.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+from .base import Config
+
+__all__ = ["BaseAudioConfig", "BaseDatasetConfig", "BaseTrainingConfig"]
+
+
+@dataclass
+class BaseAudioConfig(Config):
+    """Audio/DSP parameters (reference ``shared_configs.py:9-154``)."""
+
+    # STFT
+    fft_size: int = 1024
+    win_length: int = 1024
+    hop_length: int = 256
+    frame_shift_ms: Optional[int] = None
+    frame_length_ms: Optional[int] = None
+    stft_pad_mode: str = "reflect"
+    # audio
+    sample_rate: int = 22050
+    resample: bool = False
+    preemphasis: float = 0.0
+    ref_level_db: int = 20
+    do_sound_norm: bool = False
+    log_func: str = "np.log10"
+    # silence trim
+    do_trim_silence: bool = True
+    trim_db: int = 45
+    # rms volume norm
+    do_rms_norm: bool = False
+    db_level: Optional[float] = None
+    # griffin-lim
+    power: float = 1.5
+    griffin_lim_iters: int = 60
+    # mel
+    num_mels: int = 80
+    mel_fmin: float = 0.0
+    mel_fmax: Optional[float] = None
+    spec_gain: int = 20
+    do_amp_to_db_linear: bool = True
+    do_amp_to_db_mel: bool = True
+    # f0
+    pitch_fmax: float = 640.0
+    pitch_fmin: float = 1.0
+    # normalization
+    signal_norm: bool = True
+    min_level_db: int = -100
+    symmetric_norm: bool = True
+    max_norm: float = 4.0
+    clip_norm: bool = True
+    stats_path: Optional[str] = None
+
+
+@dataclass
+class BaseDatasetConfig(Config):
+    """One dataset entry (reference ``shared_configs.py:192-234``)."""
+
+    formatter: str = ""
+    dataset_name: str = ""
+    path: str = ""
+    meta_file_train: str = ""
+    ignored_speakers: Optional[List[str]] = None
+    language: str = ""
+    phonemizer: str = ""
+    meta_file_val: str = ""
+    meta_file_attn_mask: str = ""
+
+
+@dataclass
+class BaseTrainingConfig(Config):
+    """Training-run parameters (reference ``shared_configs.py:249-268`` +
+    the external coqui Trainer's ``TrainerConfig`` fields used throughout
+    the reference recipes), plus TPU-native extras."""
+
+    model: str = ""
+    # run metadata
+    run_name: str = "run"
+    run_description: str = ""
+    project_name: Optional[str] = None
+    output_path: Optional[str] = None
+    # loops
+    epochs: int = 1000
+    batch_size: int = 32
+    eval_batch_size: int = 16
+    run_eval: bool = True
+    test_delay_epochs: int = 0
+    print_step: int = 25
+    plot_step: int = 100
+    log_model_step: Optional[int] = None
+    save_step: int = 10000
+    save_n_checkpoints: int = 5
+    save_checkpoints: bool = True
+    save_best_after: int = 0
+    save_all_best: bool = False
+    print_eval: bool = False
+    # optimization
+    mixed_precision: bool = False
+    precision: str = "bf16"  # TPU-native: "fp32" | "bf16"
+    grad_clip: float = 0.0
+    grad_accum_steps: int = 1
+    lr: float = 0.001
+    optimizer: str = "adamw"
+    optimizer_params: dict = field(default_factory=dict)
+    lr_scheduler: Optional[str] = None
+    lr_scheduler_params: dict = field(default_factory=dict)
+    scheduler_after_epoch: bool = True
+    use_grad_scaler: bool = False
+    # dataloading
+    num_loader_workers: int = 0
+    num_eval_loader_workers: int = 0
+    use_noise_augment: bool = False
+    shuffle: bool = True
+    drop_last: bool = False
+    # distributed / TPU mesh (replaces the reference's DDP fields)
+    data_axis: int = -1  # -1 = all devices on the data axis
+    model_axis: int = 1
+    mesh_shape: Optional[List[int]] = None
+    # logging
+    dashboard_logger: str = "tensorboard"
+    logger_uri: Optional[str] = None
+    # data
+    datasets: List[BaseDatasetConfig] = field(default_factory=list)
+    # eval/test
+    test_sentences: List = field(default_factory=list)
+    eval_split_max_size: Optional[int] = None
+    eval_split_size: float = 0.01
+    # misc
+    seed: int = 54321
+    allow_tf32: bool = True  # unused on TPU; kept for config compat
