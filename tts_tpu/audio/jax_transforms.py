@@ -102,6 +102,7 @@ def stft_real_imag(
         padding="VALID",
         dimension_numbers=("NCH", "OIH", "NCH"),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )  # [B, 2K, n_frames]
     n_bins = fft_size // 2 + 1
     re, im = out[:, :n_bins], out[:, n_bins:]
