@@ -15,13 +15,21 @@ import re
 from typing import Any, Dict, Optional, Type
 
 from .base import Config, dataclass, field
-from .shared import BaseAudioConfig, BaseDatasetConfig, BaseTrainingConfig
+from .shared import (
+    BaseAudioConfig,
+    BaseDatasetConfig,
+    BaseTrainingConfig,
+    BaseTTSConfig,
+    CharactersConfig,
+)
 
 __all__ = [
     "Config",
     "BaseAudioConfig",
     "BaseDatasetConfig",
     "BaseTrainingConfig",
+    "BaseTTSConfig",
+    "CharactersConfig",
     "load_config",
     "register_config",
     "read_json_with_comments",

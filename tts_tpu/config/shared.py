@@ -14,7 +14,32 @@ from typing import List, Optional
 
 from .base import Config
 
-__all__ = ["BaseAudioConfig", "BaseDatasetConfig", "BaseTrainingConfig"]
+__all__ = [
+    "BaseAudioConfig",
+    "BaseDatasetConfig",
+    "BaseTrainingConfig",
+    "CharactersConfig",
+    "BaseTTSConfig",
+]
+
+
+@dataclass
+class CharactersConfig(Config):
+    """Vocabulary definition (reference ``tts/configs/shared_configs.py:96``)."""
+
+    characters_class: Optional[str] = None
+    # using BaseVocabulary
+    vocab_dict: Optional[dict] = None
+    # using BaseCharacters
+    pad: Optional[str] = None
+    eos: Optional[str] = None
+    bos: Optional[str] = None
+    blank: Optional[str] = None
+    characters: Optional[str] = None
+    punctuations: Optional[str] = None
+    phonemes: Optional[str] = None
+    is_unique: bool = True
+    is_sorted: bool = True
 
 
 @dataclass
@@ -139,3 +164,47 @@ class BaseTrainingConfig(Config):
     # misc
     seed: int = 54321
     allow_tf32: bool = True  # unused on TPU; kept for config compat
+
+
+@dataclass
+class BaseTTSConfig(BaseTrainingConfig):
+    """Shared TTS model config (reference ``tts/configs/shared_configs.py:168``):
+    audio + text-frontend + dataloading + sampler fields common to all TTS
+    models."""
+
+    audio: BaseAudioConfig = field(default_factory=BaseAudioConfig)
+    # text frontend
+    use_phonemes: bool = False
+    phonemizer: Optional[str] = None
+    phoneme_language: Optional[str] = None
+    compute_input_seq_cache: bool = False
+    text_cleaner: Optional[str] = None
+    enable_eos_bos_chars: bool = False
+    test_sentences_file: str = ""
+    phoneme_cache_path: Optional[str] = None
+    characters: Optional[CharactersConfig] = None
+    add_blank: bool = False
+    # dataloading
+    batch_group_size: int = 0
+    loss_masking: Optional[bool] = None
+    min_audio_len: int = 1
+    max_audio_len: float = float("inf")
+    min_text_len: int = 1
+    max_text_len: float = float("inf")
+    compute_f0: bool = False
+    compute_energy: bool = False
+    compute_linear_spec: bool = False
+    precompute_num_workers: int = 0
+    start_by_longest: bool = False
+    # optimizer defaults mirror the reference's BaseTTSConfig
+    optimizer: str = "radam"
+    optimizer_params: Optional[dict] = None
+    lr_scheduler: Optional[str] = None
+    lr_scheduler_params: dict = field(default_factory=dict)
+    # weighted samplers
+    use_speaker_weighted_sampler: bool = False
+    speaker_weighted_sampler_alpha: float = 1.0
+    use_language_weighted_sampler: bool = False
+    language_weighted_sampler_alpha: float = 1.0
+    use_length_weighted_sampler: bool = False
+    length_weighted_sampler_alpha: float = 1.0

@@ -1,0 +1,418 @@
+"""Phonemizer backends (G2P) — host-side, outside jit.
+
+Rebuild of reference ``TTS/tts/utils/text/phonemizers/``: an abstract
+:class:`BasePhonemizer` implementing the strip-punctuation → phonemize →
+restore-punctuation pipeline (``base.py:7``), an espeak/espeak-ng
+subprocess wrapper (``espeak_wrapper.py:83``), optional third-party
+backends (gruut, pypinyin, g2pkk, …) gated on availability, and a
+language→backend registry.
+"""
+
+from __future__ import annotations
+
+import abc
+import logging
+import re
+import shutil
+import subprocess
+from typing import Dict, List, Optional, Tuple
+
+from .punctuation import Punctuation
+
+__all__ = [
+    "BasePhonemizer",
+    "ESpeak",
+    "Gruut",
+    "ZH_CN_Phonemizer",
+    "KO_KR_Phonemizer",
+    "BN_Phonemizer",
+    "MultiPhonemizer",
+    "PHONEMIZERS",
+    "DEF_LANG_TO_PHONEMIZER",
+    "get_phonemizer_by_name",
+]
+
+
+class BasePhonemizer(abc.ABC):
+    """Punctuation-aware phonemization pipeline (reference ``base.py:7``)."""
+
+    def __init__(self, language, punctuations=Punctuation.default_puncs(), keep_puncs=False):
+        if not self.is_available():
+            raise RuntimeError(f"{self.name()} not installed on your system")
+        self._language = self._init_language(language)
+        self._keep_puncs = keep_puncs
+        self._punctuator = Punctuation(punctuations)
+
+    def _init_language(self, language):
+        if not self.is_supported_language(language):
+            raise RuntimeError(f'language "{language}" is not supported by the {self.name()} backend')
+        return language
+
+    @property
+    def language(self):
+        return self._language
+
+    @staticmethod
+    @abc.abstractmethod
+    def name() -> str: ...
+
+    @classmethod
+    @abc.abstractmethod
+    def is_available(cls) -> bool: ...
+
+    @classmethod
+    @abc.abstractmethod
+    def version(cls) -> str: ...
+
+    @staticmethod
+    @abc.abstractmethod
+    def supported_languages() -> Dict: ...
+
+    def is_supported_language(self, language: str) -> bool:
+        return language in self.supported_languages()
+
+    @abc.abstractmethod
+    def _phonemize(self, text: str, separator: str) -> str: ...
+
+    def _phonemize_preprocess(self, text: str) -> Tuple[List[str], List]:
+        text = text.strip()
+        if self._keep_puncs:
+            return self._punctuator.strip_to_restore(text)
+        return [self._punctuator.strip(text)], []
+
+    def _phonemize_postprocess(self, phonemized: List[str], punctuations: List) -> str:
+        if self._keep_puncs:
+            return self._punctuator.restore(phonemized, punctuations)[0]
+        return phonemized[0]
+
+    def phonemize(self, text: str, separator: str = "|", language: str = None) -> str:
+        chunks, punctuations = self._phonemize_preprocess(text)
+        phonemized = [self._phonemize(chunk, separator) for chunk in chunks]
+        return self._phonemize_postprocess(phonemized, punctuations)
+
+    def print_logs(self, level: int = 0):
+        indent = "\t" * level
+        print(f"{indent}| > phoneme language: {self.language}")
+        print(f"{indent}| > phoneme backend: {self.name()}")
+
+
+# ---------------------------------------------------------------------------
+# espeak / espeak-ng
+# ---------------------------------------------------------------------------
+
+
+def _which(name: str) -> Optional[str]:
+    return shutil.which(name)
+
+
+def _espeak_exe(espeak_lib: str, args: List[str]) -> List[bytes]:
+    """Run espeak synchronously and return stdout lines
+    (reference ``espeak_wrapper.py:47``)."""
+    cmd = [espeak_lib, "-q", "-b", "1"] + args
+    logging.debug("espeak: executing %r", cmd)
+    p = subprocess.run(cmd, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, check=False)
+    return p.stdout.splitlines(keepends=True)
+
+
+def _espeak_version(binary: str) -> Optional[str]:
+    try:
+        out = _espeak_exe(binary, ["--version"])
+        return out[0].decode().strip().split()[2] if out else None
+    except Exception:
+        return None
+
+
+class ESpeak(BasePhonemizer):
+    """espeak/espeak-ng subprocess G2P (reference ``espeak_wrapper.py:83``)."""
+
+    def __init__(self, language: str, backend=None, punctuations=Punctuation.default_puncs(), keep_puncs=True):
+        self._espeak_lib = backend or ("espeak-ng" if _which("espeak-ng") else "espeak")
+        if language == "en":
+            language = "en-us"
+        if language == "zh-cn":
+            language = "cmn"
+        super().__init__(language, punctuations=punctuations, keep_puncs=keep_puncs)
+
+    @property
+    def backend(self) -> str:
+        return self._espeak_lib
+
+    @staticmethod
+    def name():
+        return "espeak"
+
+    @classmethod
+    def is_available(cls) -> bool:
+        return bool(_which("espeak-ng") or _which("espeak"))
+
+    @classmethod
+    def version(cls) -> str:
+        binary = "espeak-ng" if _which("espeak-ng") else "espeak"
+        return _espeak_version(binary) or "unknown"
+
+    @staticmethod
+    def supported_languages() -> Dict:
+        binary = "espeak-ng" if _which("espeak-ng") else ("espeak" if _which("espeak") else None)
+        if binary is None:
+            return {}
+        langs = {}
+        for line in _espeak_exe(binary, ["--voices"])[1:]:
+            cols = line.decode("utf8").strip().split()
+            if len(cols) > 3:
+                langs[cols[1]] = cols[3]
+        return langs
+
+    def phonemize_espeak(self, text: str, separator: str = "|", tie: bool = False) -> str:
+        args = ["-v", f"{self._language}"]
+        if tie:
+            args.append("--ipa=3" if self.backend == "espeak-ng" else "--ipa=1")
+            args.append(f"--tie={tie}")
+        else:
+            args.append("--ipa=1")
+        args.append(text)
+        phonemes = ""
+        for line in _espeak_exe(self.backend, args):
+            ph_decoded = line.decode("utf8").strip()
+            # espeak-ng can inject language-switch flags "(en)...(fr)"
+            ph_decoded = re.sub(r"\(.+?\)", "", ph_decoded)
+            phonemes += ph_decoded.strip()
+        if not tie:
+            phonemes = phonemes.replace("_", separator)
+        return phonemes
+
+    def _phonemize(self, text: str, separator: str = "") -> str:
+        return self.phonemize_espeak(text, separator, tie=False)
+
+
+# ---------------------------------------------------------------------------
+# optional third-party backends (present only if their libs are installed)
+# ---------------------------------------------------------------------------
+
+
+class Gruut(BasePhonemizer):
+    """gruut G2P (reference ``gruut_wrapper.py:14``)."""
+
+    def __init__(self, language: str, punctuations=Punctuation.default_puncs(), keep_puncs=True, use_espeak_phonemes=False):
+        super().__init__(language, punctuations=punctuations, keep_puncs=keep_puncs)
+        self.use_espeak_phonemes = use_espeak_phonemes
+
+    @staticmethod
+    def name():
+        return "gruut"
+
+    @classmethod
+    def is_available(cls) -> bool:
+        try:
+            import gruut  # noqa: F401
+
+            return True
+        except ImportError:
+            return False
+
+    @classmethod
+    def version(cls) -> str:
+        import gruut
+
+        return gruut.__version__
+
+    @staticmethod
+    def supported_languages() -> List[str]:
+        if not Gruut.is_available():
+            return []
+        import gruut
+
+        return list(gruut.get_supported_languages())
+
+    def _phonemize(self, text: str, separator: str = "|") -> str:
+        import gruut
+
+        ph_list = []
+        for sentence in gruut.sentences(text, lang=self.language, espeak=self.use_espeak_phonemes):
+            for word in sentence:
+                if word.is_break:
+                    if ph_list:
+                        ph_list[-1].append(word.text)
+                    else:
+                        ph_list.append([word.text])
+                elif word.phonemes:
+                    ph_list.append(list(word.phonemes))
+        return " ".join(separator.join(w) for w in ph_list)
+
+
+class ZH_CN_Phonemizer(BasePhonemizer):
+    """Mandarin pinyin G2P via pypinyin (reference ``zh_cn_phonemizer.py``)."""
+
+    def __init__(self, punctuations=Punctuation.default_puncs(), keep_puncs=False, language="zh-cn", **kwargs):
+        super().__init__("zh-cn", punctuations=punctuations, keep_puncs=keep_puncs)
+
+    @staticmethod
+    def name():
+        return "zh_cn_phonemizer"
+
+    @classmethod
+    def is_available(cls) -> bool:
+        try:
+            import pypinyin  # noqa: F401
+
+            return True
+        except ImportError:
+            return False
+
+    @classmethod
+    def version(cls) -> str:
+        return "0.0.1"
+
+    @staticmethod
+    def supported_languages() -> Dict:
+        return {"zh-cn": "Chinese (China)"}
+
+    def _phonemize(self, text: str, separator: str = "|") -> str:
+        from .chinese_mandarin import chinese_text_to_phonemes
+
+        return chinese_text_to_phonemes(text, separator)
+
+
+class KO_KR_Phonemizer(BasePhonemizer):
+    """Korean G2P via g2pkk (reference ``ko_kr_phonemizer.py``)."""
+
+    def __init__(self, punctuations=Punctuation.default_puncs(), keep_puncs=True, language="ko-kr", **kwargs):
+        super().__init__("ko-kr", punctuations=punctuations, keep_puncs=keep_puncs)
+
+    @staticmethod
+    def name():
+        return "ko_kr_phonemizer"
+
+    @classmethod
+    def is_available(cls) -> bool:
+        try:
+            import g2pkk  # noqa: F401
+
+            return True
+        except ImportError:
+            return False
+
+    @classmethod
+    def version(cls) -> str:
+        return "0.0.2"
+
+    @staticmethod
+    def supported_languages() -> Dict:
+        return {"ko-kr": "hangeul(korean)"}
+
+    def _phonemize(self, text: str, separator: str = "") -> str:
+        from g2pkk import G2p
+
+        if not hasattr(self, "_g2p"):
+            self._g2p = G2p()
+        tokens = self._g2p(text)
+        return separator.join(tokens)
+
+
+class BN_Phonemizer(BasePhonemizer):
+    """Bangla G2P (reference ``bangla_phonemizer.py``)."""
+
+    def __init__(self, punctuations=Punctuation.default_puncs(), keep_puncs=False, language="bn", **kwargs):
+        super().__init__("bn", punctuations=punctuations, keep_puncs=keep_puncs)
+
+    @staticmethod
+    def name():
+        return "bn_phonemizer"
+
+    @classmethod
+    def is_available(cls) -> bool:
+        try:
+            import bangla  # noqa: F401
+
+            return True
+        except ImportError:
+            return False
+
+    @classmethod
+    def version(cls) -> str:
+        return "0.0.1"
+
+    @staticmethod
+    def supported_languages() -> Dict:
+        return {"bn": "Bangla"}
+
+    def _phonemize(self, text: str, separator: str = "") -> str:
+        import bangla
+        from bnnumerizer import numerize
+        from bnunicodenormalizer import Normalizer
+
+        bnorm = Normalizer()
+        text = numerize(text)
+        words = [bnorm(w)["normalized"] for w in text.split()]
+        return " ".join(w for w in words if w is not None)
+
+
+class MultiPhonemizer:
+    """lang → phonemizer dispatch (reference ``multi_phonemizer.py``)."""
+
+    lang_to_phonemizer: Dict[str, BasePhonemizer] = {}
+
+    def __init__(self, lang_to_phonemizer_name: Dict[str, str] = None):
+        lang_to_phonemizer_name = lang_to_phonemizer_name or {}
+        for k, v in lang_to_phonemizer_name.items():
+            if v == "":
+                lang_to_phonemizer_name[k] = DEF_LANG_TO_PHONEMIZER[k]
+        self.lang_to_phonemizer_name = lang_to_phonemizer_name
+        self.lang_to_phonemizer = {
+            k: get_phonemizer_by_name(v, language=k) for k, v in self.lang_to_phonemizer_name.items()
+        }
+
+    @staticmethod
+    def name():
+        return "multi-phonemizer"
+
+    def phonemize(self, text: str, separator: str = "|", language: str = ""):
+        if language == "":
+            raise ValueError("Language must be set for multi-phonemizer.")
+        return self.lang_to_phonemizer[language].phonemize(text, separator)
+
+    def supported_languages(self) -> List[str]:
+        return list(self.lang_to_phonemizer.keys())
+
+    def print_logs(self, level: int = 0):
+        indent = "\t" * level
+        print(f"{indent}| > phoneme language: {self.supported_languages()}")
+        print(f"{indent}| > phoneme backend: {self.name()}")
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+PHONEMIZERS = {
+    b.name(): b for b in (ESpeak, Gruut, KO_KR_Phonemizer, BN_Phonemizer) if b.is_available()
+}
+
+DEF_LANG_TO_PHONEMIZER: Dict[str, str] = {}
+if Gruut.is_available():
+    DEF_LANG_TO_PHONEMIZER.update({lang: Gruut.name() for lang in Gruut.supported_languages()})
+if ESpeak.is_available():
+    DEF_LANG_TO_PHONEMIZER.update({lang: ESpeak.name() for lang in ESpeak.supported_languages()})
+    if "en-us" in DEF_LANG_TO_PHONEMIZER:
+        DEF_LANG_TO_PHONEMIZER["en"] = DEF_LANG_TO_PHONEMIZER["en-us"]
+if ZH_CN_Phonemizer.is_available():
+    DEF_LANG_TO_PHONEMIZER["zh-cn"] = ZH_CN_Phonemizer.name()
+if KO_KR_Phonemizer.is_available():
+    DEF_LANG_TO_PHONEMIZER["ko-kr"] = KO_KR_Phonemizer.name()
+if BN_Phonemizer.is_available():
+    DEF_LANG_TO_PHONEMIZER["bn"] = BN_Phonemizer.name()
+
+
+def get_phonemizer_by_name(name: str, **kwargs) -> BasePhonemizer:
+    """Instantiate a phonemizer backend by registry name
+    (reference ``phonemizers/__init__.py:49``)."""
+    if name == "espeak":
+        return ESpeak(**kwargs)
+    if name == "gruut":
+        return Gruut(**kwargs)
+    if name == "zh_cn_phonemizer":
+        return ZH_CN_Phonemizer(**kwargs)
+    if name == "ko_kr_phonemizer":
+        return KO_KR_Phonemizer(**kwargs)
+    if name == "bn_phonemizer":
+        return BN_Phonemizer(**kwargs)
+    raise ValueError(f"Phonemizer {name} not found")
