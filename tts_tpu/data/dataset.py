@@ -1,0 +1,274 @@
+"""TTS dataset with static-shape bucketed batching.
+
+Rebuild of reference ``TTS/tts/datasets/dataset.py`` (TTSDataset) redesigned
+for XLA: instead of ragged per-batch padding (a new shape every batch → a
+new compile every batch), samples are bucketed by mel length and every
+batch is padded to its bucket's fixed ``(T_en, T_de)`` boundary, so the
+number of distinct compiled shapes is bounded by the bucket count.
+
+Feature caches (token ids, f0, energy) mirror the reference's
+``PhonemeDataset``/``F0Dataset``/``EnergyDataset`` (``dataset.py:577-973``)
+as simple on-disk ``.npy`` caches.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+
+from tts_tpu.ops.helpers import compute_attn_prior
+
+
+def _pad_to(x: np.ndarray, length: int, axis: int = 0, mode="constant") -> np.ndarray:
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (0, max(0, length - x.shape[axis]))
+    return np.pad(x, pad, mode=mode)
+
+
+def round_up(x: int, multiple: int) -> int:
+    return ((x + multiple - 1) // multiple) * multiple
+
+
+class TTSDataset:
+    """Host-side dataset: wav → features, text → token ids, bucketed batches.
+
+    Args mirror the reference's ``TTSDataset`` (``dataset.py:56``) where they
+    matter; iteration yields numpy dict batches with the reference's keys.
+    """
+
+    def __init__(
+        self,
+        samples: List[dict],
+        ap,
+        tokenizer,
+        outputs_per_step: int = 1,
+        compute_linear_spec: bool = False,
+        return_wav: bool = False,
+        compute_f0: bool = False,
+        compute_energy: bool = False,
+        use_attn_prior: bool = False,
+        min_text_len: int = 0,
+        max_text_len: float = float("inf"),
+        min_audio_len: int = 0,
+        max_audio_len: float = float("inf"),
+        phoneme_cache_path: Optional[str] = None,
+        f0_cache_path: Optional[str] = None,
+        energy_cache_path: Optional[str] = None,
+        speaker_id_mapping: Optional[Dict] = None,
+        language_id_mapping: Optional[Dict] = None,
+        d_vector_mapping: Optional[Dict] = None,
+        pad_to_multiple_text: int = 16,
+        pad_to_multiple_mel: int = 32,
+        use_noise_augment: bool = False,
+        verbose: bool = False,
+    ):
+        self.samples = samples
+        self.ap = ap
+        self.tokenizer = tokenizer
+        self.outputs_per_step = outputs_per_step
+        self.compute_linear_spec = compute_linear_spec
+        self.return_wav = return_wav
+        self.compute_f0 = compute_f0
+        self.compute_energy = compute_energy
+        self.use_attn_prior = use_attn_prior
+        self.min_text_len = min_text_len
+        self.max_text_len = max_text_len
+        self.min_audio_len = min_audio_len
+        self.max_audio_len = max_audio_len
+        self.phoneme_cache_path = phoneme_cache_path
+        self.f0_cache_path = f0_cache_path
+        self.energy_cache_path = energy_cache_path
+        self.speaker_id_mapping = speaker_id_mapping
+        self.language_id_mapping = language_id_mapping
+        self.d_vector_mapping = d_vector_mapping
+        self.pad_to_multiple_text = pad_to_multiple_text
+        self.pad_to_multiple_mel = pad_to_multiple_mel
+        self.use_noise_augment = use_noise_augment
+        self.verbose = verbose
+        self._token_cache: Dict[str, np.ndarray] = {}
+        if phoneme_cache_path:
+            os.makedirs(phoneme_cache_path, exist_ok=True)
+
+    # ------------------------------------------------------------------
+    def __len__(self) -> int:
+        return len(self.samples)
+
+    def _token_ids(self, sample: dict) -> np.ndarray:
+        key = sample["audio_unique_name"]
+        if key in self._token_cache:
+            return self._token_cache[key]
+        if self.phoneme_cache_path:
+            cache_file = os.path.join(
+                self.phoneme_cache_path, key.replace("#", "_").replace(os.sep, "_") + ".npy"
+            )
+            if os.path.exists(cache_file):
+                ids = np.load(cache_file)
+                self._token_cache[key] = ids
+                return ids
+        ids = np.asarray(
+            self.tokenizer.text_to_ids(sample["text"], language=sample.get("language") or None),
+            dtype=np.int32,
+        )
+        if self.phoneme_cache_path:
+            np.save(cache_file, ids)
+        self._token_cache[key] = ids
+        return ids
+
+    def preprocess_samples(self) -> None:
+        """Drop samples outside the length limits (reference ``dataset.py:353``)."""
+        kept = []
+        for s in self.samples:
+            audio_len = os.path.getsize(s["audio_file"]) / 2  # 16-bit ≈ samples
+            text_len = len(self._token_ids(s))
+            if (
+                self.min_text_len <= text_len <= self.max_text_len
+                and self.min_audio_len <= audio_len <= self.max_audio_len
+            ):
+                s["audio_length"] = audio_len
+                s["text_length"] = text_len
+                kept.append(s)
+        if self.verbose:
+            print(f" | > Preprocessing: kept {len(kept)}/{len(self.samples)} samples")
+        self.samples = kept
+
+    def __getitem__(self, idx: int) -> dict:
+        s = self.samples[idx]
+        wav = self.ap.load_wav(s["audio_file"])
+        if self.use_noise_augment:
+            wav = wav + (1.0 / 32768.0) * np.random.rand(*wav.shape)
+        token_ids = self._token_ids(s)
+        mel = self.ap.melspectrogram(wav).astype(np.float32)  # [M, T]
+        item = {
+            "raw_text": s["text"],
+            "token_ids": token_ids,
+            "wav": wav.astype(np.float32),
+            "mel": mel.T,  # time-major [T, M]
+            "item_idx": s["audio_file"],
+            "speaker_name": s.get("speaker_name"),
+            "language_name": s.get("language"),
+            "audio_unique_name": s["audio_unique_name"],
+        }
+        if self.compute_linear_spec:
+            item["linear"] = self.ap.spectrogram(wav).astype(np.float32).T
+        if self.compute_f0:
+            item["pitch"] = self._cached_feature("f0", s, wav)
+        if self.compute_energy:
+            item["energy"] = self._cached_feature("energy", s, wav)
+        return item
+
+    def _cached_feature(self, kind: str, sample: dict, wav: np.ndarray) -> np.ndarray:
+        cache_dir = self.f0_cache_path if kind == "f0" else self.energy_cache_path
+        key = sample["audio_unique_name"].replace("#", "_").replace(os.sep, "_")
+        if cache_dir:
+            os.makedirs(cache_dir, exist_ok=True)
+            cache_file = os.path.join(cache_dir, f"{key}_{kind}.npy")
+            if os.path.exists(cache_file):
+                return np.load(cache_file)
+        if kind == "f0":
+            feat = self.ap.compute_f0(wav).astype(np.float32)
+        else:
+            from tts_tpu.audio.numpy_transforms import compute_energy as _ce
+
+            feat = _ce(wav, **self.ap._stft_kwargs()).astype(np.float32)
+        if cache_dir:
+            np.save(cache_file, feat)
+        return feat
+
+    # ------------------------------------------------------------------
+    def lengths(self) -> List[int]:
+        return [int(s.get("audio_length", os.path.getsize(s["audio_file"]) / 2)) for s in self.samples]
+
+    def batches(
+        self,
+        batch_size: int,
+        shuffle: bool = True,
+        seed: int = 0,
+        drop_last: bool = False,
+    ) -> Iterator[dict]:
+        """Yield padded batches, bucketed by length for static shapes.
+
+        Samples are sorted by audio length, grouped into consecutive
+        batches (like the reference's length-sorted batching +
+        ``batch_group_size`` shuffle), and each batch is padded up to
+        ``pad_to_multiple_*`` boundaries.
+        """
+        order = np.argsort([s.get("audio_length", 0) for s in self.samples])
+        batches = [
+            order[i : i + batch_size] for i in range(0, len(order), batch_size)
+        ]
+        if drop_last and len(batches) and len(batches[-1]) < batch_size:
+            batches = batches[:-1]
+        if shuffle:
+            rng = np.random.RandomState(seed)
+            rng.shuffle(batches)
+        for batch_idxs in batches:
+            yield self.collate([self[int(i)] for i in batch_idxs])
+
+    def collate(self, items: List[dict]) -> dict:
+        """Pad a list of items into one static-shape numpy batch."""
+        B = len(items)
+        r = self.outputs_per_step
+        text_lens = np.asarray([len(it["token_ids"]) for it in items], np.int32)
+        mel_lens = np.asarray([it["mel"].shape[0] for it in items], np.int32)
+        T_en = round_up(int(text_lens.max()), self.pad_to_multiple_text)
+        T_de = round_up(round_up(int(mel_lens.max()), r), self.pad_to_multiple_mel)
+
+        token_ids = np.stack([_pad_to(it["token_ids"], T_en) for it in items])
+        mel = np.stack([_pad_to(it["mel"], T_de) for it in items])
+        stop_targets = np.zeros((B, T_de), np.float32)
+        for i, L in enumerate(mel_lens):
+            stop_targets[i, L - 1 :] = 1.0
+
+        batch = {
+            "text_input": token_ids.astype(np.int32),
+            "text_lengths": text_lens,
+            "mel_input": mel.astype(np.float32),
+            "mel_lengths": mel_lens,
+            "stop_targets": stop_targets,
+            "item_idxs": [it["item_idx"] for it in items],
+            "speaker_names": [it["speaker_name"] for it in items],
+            "raw_text": [it["raw_text"] for it in items],
+            "audio_unique_names": [it["audio_unique_name"] for it in items],
+        }
+        if self.compute_linear_spec:
+            batch["spec"] = np.stack([_pad_to(it["linear"], T_de) for it in items]).astype(
+                np.float32
+            )
+            batch["spec_lengths"] = mel_lens
+        if self.return_wav:
+            T_wav = T_de * self.ap.hop_length
+            wavs = []
+            for it in items:
+                w = _pad_to(it["wav"][:T_wav], T_wav)
+                wavs.append(w)
+            batch["waveform"] = np.stack(wavs)[:, :, None].astype(np.float32)
+        if self.compute_f0:
+            batch["pitch"] = np.stack(
+                [_pad_to(it["pitch"][:T_de], T_de) for it in items]
+            ).astype(np.float32)[:, :, None]
+        if self.compute_energy:
+            batch["energy"] = np.stack(
+                [_pad_to(it["energy"][:T_de], T_de) for it in items]
+            ).astype(np.float32)[:, :, None]
+        if self.use_attn_prior:
+            prior = np.zeros((B, T_de, T_en), np.float32)
+            for i, it in enumerate(items):
+                p = compute_attn_prior(int(text_lens[i]), int(mel_lens[i]))
+                prior[i, : p.shape[0], : p.shape[1]] = p
+            batch["attn_priors"] = prior
+        if self.speaker_id_mapping:
+            batch["speaker_ids"] = np.asarray(
+                [self.speaker_id_mapping[it["speaker_name"]] for it in items], np.int32
+            )
+        if self.language_id_mapping:
+            batch["language_ids"] = np.asarray(
+                [self.language_id_mapping[it["language_name"]] for it in items], np.int32
+            )
+        if self.d_vector_mapping:
+            batch["d_vectors"] = np.asarray(
+                [self.d_vector_mapping[it["audio_unique_name"]]["embedding"] for it in items],
+                np.float32,
+            )
+        return batch

@@ -1,0 +1,135 @@
+"""VITS training step — fused GAN update.
+
+The reference sequences two optimizer steps per batch through the trainer
+(D then G, caching generator outputs in module state, ``vits.py:1230-1340``).
+Here both gradients come from ONE backward pass: the discriminator loss
+stops gradients through the generator outputs, the generator's adversarial
+loss stops gradients at the discriminator *parameters* (but flows through
+its activations).  XLA CSEs the shared forwards, so one jitted step does
+the work the reference needs two for.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tts_tpu.audio import jax_transforms as jt
+from tts_tpu.ops import segment
+from tts_tpu.trainer.optim import build_lr_schedule, build_optimizer
+from tts_tpu.trainer.state import TrainState
+
+from .model import (
+    Vits,
+    discriminator_adv_loss,
+    feature_loss,
+    generator_adv_loss,
+    kl_loss,
+)
+
+
+def make_optimizers(config) -> Dict[str, Any]:
+    gen_sched = build_lr_schedule(config.lr_scheduler_gen, config.lr_gen, config.lr_scheduler_gen_params)
+    disc_sched = build_lr_schedule(
+        config.lr_scheduler_disc, config.lr_disc, config.lr_scheduler_disc_params
+    )
+    clip = config.grad_clip if isinstance(config.grad_clip, (int, float)) else config.grad_clip[0]
+    return {
+        "gen": build_optimizer(config.optimizer, gen_sched, config.optimizer_params, clip),
+        "disc": build_optimizer(config.optimizer, disc_sched, config.optimizer_params, clip),
+    }
+
+
+def make_train_step(model: Vits, config):
+    """Returns ``train_step(state, batch, rng) -> (state, metrics)``."""
+    audio = config.audio
+    hop = audio.hop_length
+    seg_frames = model.args.spec_segment_size
+    mel_kw = dict(
+        n_fft=audio.fft_size,
+        num_mels=audio.num_mels,
+        sample_rate=audio.sample_rate,
+        hop_length=audio.hop_length,
+        win_length=audio.win_length,
+        fmin=audio.mel_fmin,
+        fmax=audio.mel_fmax,
+    )
+    optimizers = make_optimizers(config)
+
+    def loss_fn(gen_params, disc_params, batch, rngs):
+        out = model.module.apply(
+            gen_params,
+            batch["text_input"],
+            batch["text_lengths"],
+            batch["spec"],
+            batch["spec_lengths"],
+            batch.get("waveform"),
+            aux_input={
+                "d_vectors": batch.get("d_vectors"),
+                "speaker_ids": batch.get("speaker_ids"),
+                "language_ids": batch.get("language_ids"),
+            },
+            train=True,
+            rngs=rngs,
+        )
+        wav_fake = out["model_outputs"]  # [B, seg*hop, 1]
+        wav_real = segment(
+            batch["waveform"], out["slice_ids"] * hop, seg_frames * hop, pad_short=True
+        )
+
+        # ---- discriminator branch (grads only into disc_params) ----------
+        scores_d_fake, _, scores_d_real, _ = model.discriminator.apply(
+            disc_params, jax.lax.stop_gradient(wav_fake), wav_real
+        )
+        loss_disc, _, _ = discriminator_adv_loss(scores_d_real, scores_d_fake)
+
+        # ---- generator branch (grads only into gen_params) ---------------
+        frozen_disc = jax.lax.stop_gradient(disc_params)
+        scores_g_fake, feats_g_fake, _, feats_g_real = model.discriminator.apply(
+            frozen_disc, wav_fake, wav_real
+        )
+        mel_fake = jt.wav_to_mel(wav_fake[..., 0], **mel_kw)
+        mel_real = jt.wav_to_mel(wav_real[..., 0], **mel_kw)
+        loss_mel = jnp.mean(jnp.abs(mel_fake - mel_real)) * config.mel_loss_alpha
+        loss_kl = (
+            kl_loss(out["z_p"], out["logs_q"], out["m_p"], out["logs_p"], z_mask=out["y_mask"])
+            * config.kl_loss_alpha
+        )
+        loss_feat = feature_loss(feats_g_real, feats_g_fake) * config.feat_loss_alpha
+        loss_gen = generator_adv_loss(scores_g_fake) * config.gen_loss_alpha
+        loss_dur = out["loss_duration"] * config.dur_loss_alpha
+        loss_gen_total = loss_mel + loss_kl + loss_feat + loss_gen + loss_dur
+
+        total = loss_gen_total + loss_disc * config.disc_loss_alpha
+        metrics = {
+            "loss": total,
+            "loss_gen_total": loss_gen_total,
+            "loss_disc": loss_disc,
+            "loss_mel": loss_mel,
+            "loss_kl": loss_kl,
+            "loss_feat": loss_feat,
+            "loss_gen": loss_gen,
+            "loss_duration": loss_dur,
+        }
+        return total, metrics
+
+    def train_step(state: TrainState, batch, rng) -> Tuple[TrainState, Dict]:
+        r_noise, r_seg, r_drop = jax.random.split(jax.random.fold_in(rng, state.step), 3)
+        rngs = {"noise": r_noise, "segments": r_seg, "dropout": r_drop}
+        grad_fn = jax.grad(loss_fn, argnums=(0, 1), has_aux=True)
+        (gen_grads, disc_grads), metrics = grad_fn(
+            state.params["gen"], state.params["disc"], batch, rngs
+        )
+        state = state.apply_updates(optimizers, {"gen": gen_grads, "disc": disc_grads})
+        return state, metrics
+
+    return train_step, optimizers
+
+
+def create_train_state(model: Vits, config, rng) -> TrainState:
+    gen_params, disc_params = model.init_params(rng)
+    _, optimizers = make_train_step(model, config)
+    return TrainState.create({"gen": gen_params, "disc": disc_params}, optimizers)

@@ -1,0 +1,60 @@
+"""Device mesh + sharding utilities.
+
+Replaces the reference's DDP/NCCL launcher (``python -m trainer.distribute``,
+``TTS/utils/distribute.py``) with the JAX single-controller model: build a
+``Mesh`` over ICI, annotate shardings, and let XLA insert the collectives.
+Gradient all-reduce emerges from jit on replicated params + data-sharded
+batch — no explicit ``reduce_tensor`` (reference ``distribute.py:6``) is
+needed.
+
+Axes convention:
+  * ``data``  — batch sharding (DP); default all devices.
+  * ``model`` — tensor-parallel axis, reserved for the XTTS GPT decoder.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def get_mesh(
+    data: int = -1,
+    model: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Build a ``(data, model)`` mesh.  ``data=-1`` → all remaining devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if data == -1:
+        assert n % model == 0, f"{n} devices not divisible by model={model}"
+        data = n // model
+    assert data * model == n, f"mesh {data}x{model} != {n} devices"
+    dev_array = np.asarray(devices).reshape(data, model)
+    return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
+
+
+def replicate(mesh: Mesh) -> NamedSharding:
+    """Fully-replicated sharding (params)."""
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) dim over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def with_data_parallel(mesh: Mesh, batch: Any) -> Any:
+    """Device-put a host batch with its leading dim sharded over ``data``."""
+    sharding = shard_batch(mesh)
+
+    def _put(x):
+        return jax.device_put(x, sharding)
+
+    return jax.tree.map(_put, batch)
