@@ -1,0 +1,74 @@
+"""Benchmark: VITS LJSpeech-architecture inference RTF on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline target (BASELINE.md): > 200x realtime per chip.
+
+Uses a persistent XLA compilation cache so repeated driver runs skip the
+(tunnel-remote, slow) compile.
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+
+import numpy as np  # noqa: E402
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from tts_tpu.models.vits import Vits, VitsConfig
+
+    B = int(os.environ.get("BENCH_BATCH", "1"))
+    MAXF = int(os.environ.get("BENCH_FRAMES", "512"))
+    DTYPE = os.environ.get("BENCH_DTYPE", "float32")
+
+    cfg = VitsConfig()
+    cfg.model_args.num_chars = 100
+    model = Vits(cfg)
+    gen_params, _ = model.init_params(jax.random.PRNGKey(0))
+    if DTYPE == "bfloat16":
+        gen_params = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, gen_params
+        )
+
+    x = jnp.asarray(np.random.RandomState(0).randint(0, 100, (B, 128)))
+    xl = jnp.full((B,), 128, jnp.int32)
+    rng = jax.random.PRNGKey(1)
+
+    infer = jax.jit(lambda p, x, xl, r: model.inference(p, x, xl, max_frames=MAXF, rng=r))
+    out = jax.block_until_ready(infer(gen_params, x, xl, rng))  # compile
+    # timed steady-state
+    n_iter = 10
+    t0 = time.time()
+    for _ in range(n_iter):
+        out = jax.block_until_ready(infer(gen_params, x, xl, rng))
+    dt = (time.time() - t0) / n_iter
+
+    hop, sr = cfg.audio.hop_length, cfg.audio.sample_rate
+    audio_seconds = B * MAXF * hop / sr
+    rtf = audio_seconds / dt
+    wav = np.asarray(out["model_outputs"], np.float32)
+    assert np.isfinite(wav).all(), "non-finite audio"
+
+    print(
+        json.dumps(
+            {
+                "metric": "vits_ljspeech_inference_rtf",
+                "value": round(rtf, 1),
+                "unit": "x_realtime_per_chip",
+                "vs_baseline": round(rtf / 200.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
