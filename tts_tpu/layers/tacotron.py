@@ -1,0 +1,201 @@
+"""Tacotron/Tacotron2 building blocks (reference
+``TTS/tts/layers/tacotron/{tacotron2,attentions,common_layers}.py``).
+
+The autoregressive decoder is a single ``nn.scan`` over decoder steps —
+the per-step cell (prenet → attention LSTM → location-sensitive attention →
+decoder LSTM → projection + stopnet) is traced once and unrolled by XLA,
+instead of the reference's Python step loop.
+
+Norm note: ConvBN blocks support ``norm_type='layer'`` (training, shard-
+friendly) or ``'folded'`` (per-channel scale/shift for converted torch
+BatchNorm running stats at inference).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .common import Conv1d
+
+
+class Prenet(nn.Module):
+    """Bottleneck MLP with always-on dropout (reference
+    ``common_layers.py`` Prenet; dropout stays active at inference — it is
+    load-bearing for Tacotron output variation)."""
+
+    out_features: Tuple[int, ...] = (256, 256)
+    prenet_type: str = "original"
+    prenet_dropout: bool = True
+    dropout_at_inference: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        for i, size in enumerate(self.out_features):
+            x = nn.Dense(size, use_bias=False, name=f"linear_{i}")(x)
+            if self.prenet_type == "bn":
+                x = nn.LayerNorm(name=f"norm_{i}")(x)
+            x = nn.relu(x)
+            if self.prenet_dropout:
+                x = nn.Dropout(
+                    0.5, deterministic=not (train or self.dropout_at_inference)
+                )(x)
+        return x
+
+
+class ConvBNBlock(nn.Module):
+    """conv → norm → activation → dropout (reference ``tacotron2.py:11``)."""
+
+    out_channels: int
+    kernel_size: int
+    activation: Optional[str] = None
+    norm_type: str = "layer"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = Conv1d(self.out_channels, self.kernel_size, name="conv")(x)
+        if self.norm_type == "layer":
+            x = nn.LayerNorm(name="norm")(x)
+        elif self.norm_type == "folded":
+            scale = self.param("scale", nn.initializers.ones, (self.out_channels,))
+            shift = self.param("shift", nn.initializers.zeros, (self.out_channels,))
+            x = x * scale + shift
+        if self.activation == "relu":
+            x = nn.relu(x)
+        elif self.activation == "tanh":
+            x = jnp.tanh(x)
+        return nn.Dropout(0.5, deterministic=not train)(x)
+
+
+class Tacotron2Encoder(nn.Module):
+    """3×ConvBN + biLSTM (reference ``tacotron2.py:73``)."""
+
+    in_out_channels: int = 512
+    norm_type: str = "layer"
+
+    @nn.compact
+    def __call__(self, x, x_mask, train: bool = False):
+        for i in range(3):
+            x = ConvBNBlock(
+                self.in_out_channels, 5, "relu", self.norm_type, name=f"conv_{i}"
+            )(x * x_mask, train=train)
+        half = self.in_out_channels // 2
+        fwd = nn.RNN(nn.OptimizedLSTMCell(half), name="lstm_fwd")(x * x_mask)
+        bwd = nn.RNN(nn.OptimizedLSTMCell(half), reverse=True, keep_order=True, name="lstm_bwd")(
+            x * x_mask
+        )
+        return jnp.concatenate([fwd, bwd], axis=-1) * x_mask
+
+
+class Postnet(nn.Module):
+    """5×ConvBN refiner (reference ``tacotron2.py:47``)."""
+
+    in_out_channels: int
+    num_convs: int = 5
+    norm_type: str = "layer"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        for i in range(self.num_convs):
+            last = i == self.num_convs - 1
+            x = ConvBNBlock(
+                self.in_out_channels if last else 512,
+                5,
+                None if last else "tanh",
+                self.norm_type,
+                name=f"conv_{i}",
+            )(x, train=train)
+        return x
+
+
+class Tacotron2DecoderCell(nn.Module):
+    """One AR decoder step (reference ``Decoder.decode``, ``tacotron2.py:238``).
+
+    Carry: (attn_h, attn_c, dec_h, dec_c, context, attn_w, attn_w_cum).
+    Input per step: previous frame(s) ``[B, r*C_mel]``.
+    """
+
+    in_channels: int = 512  # encoder output dim
+    frame_channels: int = 80
+    r: int = 1
+    query_dim: int = 1024
+    decoder_rnn_dim: int = 1024
+    prenet_dim: int = 256
+    attn_dim: int = 128
+    prenet_type: str = "original"
+    prenet_dropout: bool = True
+    location_attn: bool = True
+    attn_norm: str = "softmax"
+    separate_stopnet: bool = True
+
+    @nn.compact
+    def __call__(self, carry, memory_t, inputs, processed_inputs, input_mask, train: bool = False):
+        (attn_h, attn_c, dec_h, dec_c, context, attn_w, attn_w_cum) = carry
+
+        processed = Prenet(
+            (self.prenet_dim, self.prenet_dim),
+            self.prenet_type,
+            self.prenet_dropout,
+            name="prenet",
+        )(memory_t, train=train)
+
+        attn_cell = nn.OptimizedLSTMCell(self.query_dim, name="attention_rnn")
+        (attn_c, attn_h), _ = attn_cell(
+            (attn_c, attn_h), jnp.concatenate([processed, context], -1)
+        )
+        query = nn.Dropout(0.1, deterministic=not train)(attn_h)
+
+        # location-sensitive additive attention (reference attentions.py:127)
+        processed_query = nn.Dense(self.attn_dim, use_bias=False, name="query_layer")(query)
+        energies = processed_inputs + processed_query[:, None, :]
+        if self.location_attn:
+            attn_cat = jnp.stack([attn_w, attn_w_cum], axis=-1)  # [B, T, 2]
+            loc = nn.Conv(32, (31,), padding=[(15, 15)], use_bias=False, name="location_conv")(
+                attn_cat
+            )
+            loc = nn.Dense(self.attn_dim, use_bias=False, name="location_dense")(loc)
+            energies = energies + loc
+        scores = nn.Dense(1, name="v")(jnp.tanh(energies))[..., 0]  # [B, T]
+        scores = jnp.where(input_mask, scores, -jnp.inf)
+        if self.attn_norm == "sigmoid":
+            alignment = nn.sigmoid(scores) / jnp.sum(
+                nn.sigmoid(scores), axis=-1, keepdims=True
+            )
+        else:
+            alignment = nn.softmax(scores, axis=-1)
+        context = jnp.einsum("bt,btc->bc", alignment, inputs)
+        attn_w = alignment
+        attn_w_cum = attn_w_cum + alignment
+
+        dec_cell = nn.OptimizedLSTMCell(self.decoder_rnn_dim, name="decoder_rnn")
+        (dec_c, dec_h), _ = dec_cell((dec_c, dec_h), jnp.concatenate([query, context], -1))
+        dec_h_d = nn.Dropout(0.1, deterministic=not train)(dec_h)
+
+        dec_hc = jnp.concatenate([dec_h_d, context], -1)
+        decoder_output = nn.Dense(
+            self.frame_channels * self.r, name="linear_projection"
+        )(dec_hc)
+        stop_in = jnp.concatenate([dec_h_d, decoder_output], -1)
+        if self.separate_stopnet:
+            stop_in = jax.lax.stop_gradient(stop_in)
+        stop_token = nn.Dense(1, name="stopnet")(
+            nn.Dropout(0.1, deterministic=not train)(stop_in)
+        )
+
+        new_carry = (attn_h, attn_c, dec_h, dec_c, context, attn_w, attn_w_cum)
+        return new_carry, (decoder_output, stop_token[..., 0], alignment)
+
+    def init_carry(self, B: int, T_in: int, in_channels: int):
+        z = jnp.zeros
+        return (
+            z((B, self.query_dim)),
+            z((B, self.query_dim)),
+            z((B, self.decoder_rnn_dim)),
+            z((B, self.decoder_rnn_dim)),
+            z((B, in_channels)),
+            z((B, T_in)),
+            z((B, T_in)),
+        )
