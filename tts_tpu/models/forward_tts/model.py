@@ -304,15 +304,12 @@ class ForwardTTS:
 
     @classmethod
     def init_from_config(cls, config: ForwardTTSConfig, samples=None):
-        from tts_tpu.text import TTSTokenizer
+        from tts_tpu.models.base import init_tokenizer
 
-        if config.model_args.num_chars is None:
-            tokenizer, config = TTSTokenizer.init_from_config(config)
-            config.model_args.num_chars = tokenizer.characters.num_chars
-            model = cls(config)
-            model.tokenizer = tokenizer
-            return model
-        return cls(config)
+        tokenizer, config = init_tokenizer(config)
+        model = cls(config)
+        model.tokenizer = tokenizer
+        return model
 
     def init_params(self, rng, t_en: int = 17, t_de: int = 48):
         a = self.args

@@ -318,15 +318,12 @@ class GlowTTS:
 
     @classmethod
     def init_from_config(cls, config: GlowTTSConfig, samples=None) -> "GlowTTS":
-        from tts_tpu.text import TTSTokenizer
+        from tts_tpu.models.base import init_tokenizer
 
-        if config.num_chars is None:
-            tokenizer, config = TTSTokenizer.init_from_config(config)
-            config.num_chars = tokenizer.characters.num_chars
-            model = cls(config)
-            model.tokenizer = tokenizer
-            return model
-        return cls(config)
+        tokenizer, config = init_tokenizer(config)
+        model = cls(config)
+        model.tokenizer = tokenizer
+        return model
 
     def init_params(self, rng: jax.Array, t_en: int = 33, t_de: int = 64):
         x = jnp.zeros((1, t_en), jnp.int32)

@@ -240,15 +240,12 @@ class Tacotron2:
 
     @classmethod
     def init_from_config(cls, config: Tacotron2Config, samples=None):
-        from tts_tpu.text import TTSTokenizer
+        from tts_tpu.models.base import init_tokenizer
 
-        if config.num_chars is None:
-            tokenizer, config = TTSTokenizer.init_from_config(config)
-            config.num_chars = tokenizer.characters.num_chars
-            model = cls(config)
-            model.tokenizer = tokenizer
-            return model
-        return cls(config)
+        tokenizer, config = init_tokenizer(config)
+        model = cls(config)
+        model.tokenizer = tokenizer
+        return model
 
     def init_params(self, rng, t_en: int = 11, t_de: int = 16):
         x = jnp.zeros((1, t_en), jnp.int32)

@@ -323,15 +323,12 @@ class Vits:
 
     @classmethod
     def init_from_config(cls, config: VitsConfig, samples=None) -> "Vits":
-        from tts_tpu.text import TTSTokenizer
+        from tts_tpu.models.base import init_tokenizer
 
-        if config.model_args.num_chars is None or config.characters is not None:
-            tokenizer, config = TTSTokenizer.init_from_config(config)
-            config.model_args.num_chars = tokenizer.characters.num_chars
-            model = cls(config)
-            model.tokenizer = tokenizer
-            return model
-        return cls(config)
+        tokenizer, config = init_tokenizer(config)
+        model = cls(config)
+        model.tokenizer = tokenizer
+        return model
 
     def init_params(self, rng: jax.Array, t_en: int = 17, t_de: int = 64):
         a = self.args

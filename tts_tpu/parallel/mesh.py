@@ -51,10 +51,22 @@ def shard_batch(mesh: Mesh) -> NamedSharding:
 
 
 def with_data_parallel(mesh: Mesh, batch: Any) -> Any:
-    """Device-put a host batch with its leading dim sharded over ``data``."""
+    """Device-put a host batch with its leading dim sharded over ``data``.
+
+    Short batches are padded (repeating the last sample) up to a multiple of
+    the data-axis size so every device gets a shard; padded rows slightly
+    re-weight batch statistics, like torch DistributedSampler's sample
+    duplication.
+    """
     sharding = shard_batch(mesh)
+    n = mesh.shape[DATA_AXIS]
 
     def _put(x):
+        x = np.asarray(x)
+        b = x.shape[0]
+        if b % n != 0:
+            reps = ((0, (n - b % n) % n),) + ((0, 0),) * (x.ndim - 1)
+            x = np.pad(x, reps, mode="edge")
         return jax.device_put(x, sharding)
 
     return jax.tree.map(_put, batch)

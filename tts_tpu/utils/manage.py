@@ -1,0 +1,145 @@
+"""Model zoo manager (reference ``TTS/utils/manage.py:46``).
+
+Parses the bundled ``tts_tpu/zoo/models.json`` (88 entries: 70 tts, 17
+vocoder, 1 vc), downloads checkpoints to ``~/.local/share/tts_tpu`` and
+resolves model names → local paths.  Downloaded torch checkpoints are
+converted to flax msgpack by the per-architecture converters in
+``tts_tpu.utils.convert`` (on first use).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tarfile
+import zipfile
+from pathlib import Path
+from typing import Dict, List, Optional, Tuple
+
+__all__ = ["ModelManager"]
+
+_DEFAULT_MODELS_FILE = os.path.join(os.path.dirname(os.path.dirname(__file__)), "zoo", "models.json")
+
+
+def get_user_data_dir(appname: str = "tts_tpu") -> str:
+    base = os.environ.get("XDG_DATA_HOME", os.path.join(os.path.expanduser("~"), ".local", "share"))
+    return os.path.join(base, appname)
+
+
+class ModelManager:
+    """Name → files resolution for the model zoo (reference ``manage.py``)."""
+
+    def __init__(self, models_file: Optional[str] = None, output_prefix: Optional[str] = None, progress_bar: bool = False):
+        self.progress_bar = progress_bar
+        self.output_prefix = output_prefix or get_user_data_dir()
+        self.models_file = models_file or _DEFAULT_MODELS_FILE
+        with open(self.models_file, "r", encoding="utf-8") as f:
+            self.models_dict = json.load(f)
+
+    # ------------------------------------------------------------------
+    def _list(self) -> List[str]:
+        names = []
+        for model_type, langs in self.models_dict.items():
+            for lang, datasets in langs.items():
+                for dataset, models in datasets.items():
+                    for model in models:
+                        names.append(f"{model_type}/{lang}/{dataset}/{model}")
+        return names
+
+    def list_models(self) -> List[str]:
+        return self._list()
+
+    def list_tts_models(self) -> List[str]:
+        return [n for n in self._list() if n.startswith("tts_models")]
+
+    def list_vocoder_models(self) -> List[str]:
+        return [n for n in self._list() if n.startswith("vocoder_models")]
+
+    def list_vc_models(self) -> List[str]:
+        return [n for n in self._list() if n.startswith("voice_conversion_models")]
+
+    def list_langs(self) -> List[str]:
+        return sorted({n.split("/")[1] for n in self._list()})
+
+    def model_info_by_full_name(self, name: str) -> Dict:
+        model_type, lang, dataset, model = name.split("/")
+        return self.models_dict[model_type][lang][dataset][model]
+
+    # ------------------------------------------------------------------
+    def _set_model_item(self, model_name: str) -> Tuple[Dict, str, str]:
+        model_type, lang, dataset, model = model_name.split("/")
+        model_item = dict(self.models_dict[model_type][lang][dataset][model])
+        model_item["model_type"] = model_type
+        model_full_name = f"{model_type}--{lang}--{dataset}--{model}"
+        output_path = os.path.join(self.output_prefix, model_full_name)
+        return model_item, model_full_name, output_path
+
+    def download_model(self, model_name: str) -> Tuple[str, Optional[str], Dict]:
+        """Resolve (and download if missing) a zoo model
+        (reference ``manage.py:371``).
+
+        Returns (model_path, config_path, model_item).
+        """
+        model_item, _, output_path = self._set_model_item(model_name)
+        if not os.path.exists(output_path):
+            os.makedirs(output_path, exist_ok=True)
+            urls = model_item.get("github_rls_url") or model_item.get("hf_url") or model_item.get("model_url")
+            if urls is None:
+                raise ValueError(f" [!] No download URL for {model_name}")
+            if isinstance(urls, str):
+                urls = [urls]
+            for url in urls:
+                self._download_file(url, output_path)
+        model_path, config_path = self._find_files(output_path)
+        return model_path, config_path, model_item
+
+    @staticmethod
+    def _find_files(output_path: str) -> Tuple[str, Optional[str]]:
+        model_file = None
+        config_file = None
+        for f in sorted(os.listdir(output_path)):
+            full = os.path.join(output_path, f)
+            if f in ("model_file.pth", "model_file.pth.tar", "model.pth", "checkpoint.pth") or f.endswith(
+                (".msgpack", ".flax")
+            ):
+                model_file = full
+            elif f == "config.json":
+                config_file = full
+        if model_file is None:
+            # fall back to the largest file
+            files = [os.path.join(output_path, f) for f in os.listdir(output_path)]
+            files = [f for f in files if os.path.isfile(f)]
+            if files:
+                model_file = max(files, key=os.path.getsize)
+        if model_file is None:
+            raise ValueError(f" [!] Model file not found in {output_path}")
+        return model_file, config_file
+
+    def _download_file(self, url: str, output_path: str) -> None:
+        """HTTP fetch + archive extraction (reference ``manage.py:528``)."""
+        import urllib.request
+
+        filename = url.split("/")[-1].split("?")[0]
+        target = os.path.join(output_path, filename)
+        print(f" > Downloading {url}")
+        urllib.request.urlretrieve(url, target)
+        if filename.endswith(".zip"):
+            with zipfile.ZipFile(target) as z:
+                z.extractall(output_path)
+            os.remove(target)
+            self._flatten(output_path)
+        elif filename.endswith((".tar.gz", ".tgz", ".tar")):
+            with tarfile.open(target) as t:
+                t.extractall(output_path)
+            os.remove(target)
+            self._flatten(output_path)
+
+    @staticmethod
+    def _flatten(output_path: str) -> None:
+        """Move files out of a single extracted subdirectory."""
+        entries = [os.path.join(output_path, e) for e in os.listdir(output_path)]
+        dirs = [e for e in entries if os.path.isdir(e)]
+        if len(dirs) == 1 and len(entries) == 1:
+            for f in os.listdir(dirs[0]):
+                os.replace(os.path.join(dirs[0], f), os.path.join(output_path, f))
+            os.rmdir(dirs[0])

@@ -1,0 +1,78 @@
+"""Generic synthesis path: text → token ids → model.inference → wav/mel
+(reference ``TTS/tts/utils/synthesis.py``)."""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def _frame_budget(n_tokens: int, frames_per_token: int = 12, multiple: int = 128, cap: int = 4096) -> int:
+    """Static frame budget for jit: generous per-token expansion rounded to a
+    bucket boundary so repeated calls reuse compiled graphs."""
+    est = max(int(n_tokens * frames_per_token), multiple)
+    est = ((est + multiple - 1) // multiple) * multiple
+    return min(est, cap)
+
+
+def synthesis(
+    model,
+    text: str,
+    params,
+    use_griffin_lim: bool = False,
+    ap=None,
+    speaker_id: Optional[int] = None,
+    d_vector: Optional[np.ndarray] = None,
+    language_id: Optional[int] = None,
+    max_frames: Optional[int] = None,
+) -> Dict[str, Any]:
+    """Tokenize → run model → collect outputs (reference ``synthesis.py:116``).
+
+    ``model`` is a host wrapper exposing ``tokenizer`` and ``inference``.
+    """
+    token_ids = model.tokenizer.text_to_ids(text)
+    x = jnp.asarray(np.asarray(token_ids, np.int32)[None])
+    x_lengths = jnp.asarray([len(token_ids)], jnp.int32)
+
+    aux_input = {}
+    if speaker_id is not None:
+        aux_input["speaker_ids"] = jnp.asarray([speaker_id], jnp.int32)
+    if d_vector is not None:
+        aux_input["d_vectors"] = jnp.asarray(np.asarray(d_vector, np.float32)[None])
+    if language_id is not None:
+        aux_input["language_ids"] = jnp.asarray([language_id], jnp.int32)
+
+    budget = max_frames or _frame_budget(len(token_ids))
+    outputs = model.inference(params, x, x_lengths, aux_input=aux_input or None, max_frames=budget)
+
+    model_outputs = np.asarray(outputs["model_outputs"][0], np.float32)
+    valid_frames = (
+        int(np.asarray(outputs["y_lengths"])[0]) if "y_lengths" in outputs else None
+    )
+
+    wav = None
+    if model_outputs.ndim == 2 and model_outputs.shape[-1] == 1:
+        # end-to-end model emitted a waveform [T_wav, 1]
+        wav = model_outputs[:, 0]
+        if valid_frames is not None:
+            upsample = wav.shape[0] // budget
+            wav = wav[: valid_frames * upsample]
+    else:
+        if valid_frames is not None:
+            model_outputs = model_outputs[:valid_frames]
+        if use_griffin_lim and ap is not None:
+            wav = ap.inv_melspectrogram(model_outputs.T)
+
+    return {
+        "wav": wav,
+        "model_outputs": model_outputs,
+        "outputs": outputs,
+        "text_inputs": x,
+    }
+
+
+def trim_silence(wav: np.ndarray, ap) -> np.ndarray:
+    """Trim trailing silence (reference ``synthesis.py:210``)."""
+    return wav[: ap.find_endpoint(wav)]
