@@ -22,6 +22,7 @@ class TorchConvTranspose1d(nn.Module):
     kernel_size: int
     stride: int
     padding: int = 0
+    output_padding: int = 0
     use_bias: bool = True
 
     @nn.compact
@@ -37,7 +38,7 @@ class TorchConvTranspose1d(nn.Module):
             x,
             kernel,
             window_strides=(1,),
-            padding=[(p, p)],
+            padding=[(p, p + self.output_padding)],
             lhs_dilation=(self.stride,),
             dimension_numbers=("NHC", "HIO", "NHC"),
         )
