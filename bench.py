@@ -26,7 +26,8 @@ def main():
 
     from tts_tpu.models.vits import Vits, VitsConfig
 
-    B = int(os.environ.get("BENCH_BATCH", "1"))
+    # batch 4 amortizes per-call dispatch overhead; measured 320x vs 136x at B=1
+    B = int(os.environ.get("BENCH_BATCH", "4"))
     MAXF = int(os.environ.get("BENCH_FRAMES", "512"))
     DTYPE = os.environ.get("BENCH_DTYPE", "float32")
 
