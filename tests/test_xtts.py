@@ -1,0 +1,128 @@
+"""XTTS tests (reference model: tests/xtts_tests/, tests/zoo_tests xtts)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tts_tpu.models.xtts import Xtts, XttsArgs, XttsConfig
+from tts_tpu.models.xtts.gpt import XttsGPT
+from tts_tpu.models.xtts.gpt_core import sample_logits
+
+
+def _tiny_config():
+    cfg = XttsConfig()
+    cfg.model_args = XttsArgs(
+        gpt_layers=2,
+        gpt_n_model_channels=64,
+        gpt_n_heads=4,
+        gpt_number_text_tokens=50,
+        gpt_num_audio_tokens=34,
+        gpt_start_audio_token=32,
+        gpt_stop_audio_token=33,
+        gpt_start_text_token=48,
+        gpt_stop_text_token=0,
+        gpt_max_text_tokens=40,
+        gpt_max_audio_tokens=64,
+        gpt_use_perceiver_resampler=True,
+        decoder_input_dim=64,
+    )
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def xtts_tiny():
+    model = Xtts(_tiny_config())
+    model.init_params(jax.random.PRNGKey(0))
+    return model
+
+
+def test_gpt_train_forward(xtts_tiny):
+    model = xtts_tiny
+    out = model.gpt.apply(
+        model.gpt_params,
+        jnp.asarray(np.random.RandomState(0).randint(1, 48, (2, 10))),
+        jnp.asarray([10, 7]),
+        jnp.asarray(np.random.RandomState(1).randint(0, 32, (2, 16))),
+        jnp.asarray([16, 12]),
+        cond_mels=jnp.asarray(np.random.RandomState(2).randn(2, 64, 80).astype(np.float32)),
+    )
+    assert out["text_logits"].shape == (2, 11, 50)  # T_text+2-1
+    assert out["mel_logits"].shape == (2, 17, 34)
+    assert out["latents"].shape == (2, 17, 64)
+    assert np.isfinite(np.asarray(out["mel_logits"])).all()
+    # CE losses finite
+    logp = jax.nn.log_softmax(out["mel_logits"], -1)
+    ce = -jnp.mean(jnp.take_along_axis(logp, out["mel_targets"][..., None], -1))
+    assert np.isfinite(float(ce))
+
+
+def test_gpt_generate_and_decode(xtts_tiny):
+    model = xtts_tiny
+    cond = model.gpt.apply(
+        model.gpt_params,
+        jnp.asarray(np.random.RandomState(2).randn(1, 64, 80).astype(np.float32)),
+        method=model.gpt.get_style_emb,
+    )
+    assert cond.shape == (1, 32, 64)  # perceiver latents
+    text = jnp.asarray(np.random.RandomState(0).randint(1, 48, (1, 8)))
+    gen = model.gpt.apply(
+        model.gpt_params,
+        cond,
+        text,
+        jnp.asarray([8]),
+        jax.random.PRNGKey(1),
+        max_new_tokens=12,
+        method=model.gpt.generate,
+    )
+    assert gen["codes"].shape == (1, 12)
+    codes = np.asarray(gen["codes"])
+    assert ((codes >= 0) & (codes < 34)).all()
+    # latents + hifi decode
+    latents = model.gpt.apply(
+        model.gpt_params,
+        text,
+        jnp.asarray([8]),
+        gen["codes"],
+        gen["code_lengths"],
+        cond_latents=cond,
+        return_latent=True,
+    )["latents"]
+    spk = jnp.zeros((1, 512))
+    wav = model.hifigan_decoder.apply(model.decoder_params, latents, spk)
+    assert wav.shape[1] > latents.shape[1] * 100  # heavy upsampling
+    assert np.isfinite(np.asarray(wav)).all()
+
+
+def test_sampling_respects_topk():
+    rng = jax.random.PRNGKey(0)
+    logits = jnp.asarray(np.array([[0.0, 10.0, 9.0, -5.0, 1.0]], np.float32))
+    # top_k=2 should only ever sample tokens 1 or 2
+    samples = [
+        int(sample_logits(jax.random.fold_in(rng, i), logits, temperature=1.0, top_k=2, top_p=1.0)[0])
+        for i in range(20)
+    ]
+    assert set(samples) <= {1, 2}
+
+
+def test_repetition_penalty_discourages_repeats():
+    rng = jax.random.PRNGKey(0)
+    logits = jnp.asarray(np.array([[2.0, 2.0, 2.0, 2.0]], np.float32))
+    counts = jnp.asarray(np.array([[5, 0, 0, 0]], np.int32))
+    hits = 0
+    for i in range(50):
+        tok = int(
+            sample_logits(
+                jax.random.fold_in(rng, i), logits, temperature=1.0, top_k=0, top_p=1.0,
+                repetition_counts=counts, repetition_penalty=5.0,
+            )[0]
+        )
+        hits += tok == 0
+    assert hits <= 5  # token 0 heavily penalized
+
+
+def test_tokenizer_preprocessing():
+    from tts_tpu.models.xtts.tokenizer import multilingual_cleaners
+
+    assert multilingual_cleaners("Hello & 3 worlds!", "en") == "hello and three worlds!"
+    assert multilingual_cleaners('El "gato" & yo', "es") == "el gato y yo"

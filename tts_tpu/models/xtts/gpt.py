@@ -1,0 +1,315 @@
+"""XTTS GPT — conditioned autoregressive decoder over mel codes
+(reference ``TTS/tts/layers/xtts/gpt.py:88`` + ``perceiver_encoder.py``).
+
+Sequence layout: ``[cond_latents | start_text text… stop_text | start_audio
+codes… stop_audio]``; text and mel segments carry separate learned position
+tables, matching the reference so converted checkpoints line up.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .gpt_core import GPT2Core, causal_mask, sample_logits
+
+
+class AttentionBlock(nn.Module):
+    """Self-attention block for the conditioning encoder
+    (reference ``latent_encoder.py`` AttentionBlock)."""
+
+    dim: int
+    heads: int
+
+    @nn.compact
+    def __call__(self, x):  # [B, T, D]
+        h = nn.GroupNorm(num_groups=32, name="norm")(x)
+        B, T, D = h.shape
+        qkv = nn.Dense(3 * D, name="qkv")(h).reshape(B, T, 3, self.heads, D // self.heads)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        scores = jnp.einsum("bthd,bshd->bhts", q, k) / math.sqrt(D // self.heads)
+        out = jnp.einsum("bhts,bshd->bthd", nn.softmax(scores, -1), v).reshape(B, T, D)
+        return x + nn.Dense(D, name="proj_out")(out)
+
+
+class ConditioningEncoder(nn.Module):
+    """mel [B, T, 80] → conditioning features [B, T, D]
+    (reference ``latent_encoder.py:119``)."""
+
+    embedding_dim: int
+    attn_blocks: int = 6
+    num_attn_heads: int = 4
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Dense(self.embedding_dim, name="init")(x)
+        for i in range(self.attn_blocks):
+            h = AttentionBlock(self.embedding_dim, self.num_attn_heads, name=f"attn_{i}")(h)
+        return h
+
+
+class PerceiverResampler(nn.Module):
+    """32 learned latents cross-attend to conditioning features
+    (reference ``perceiver_encoder.py:319``)."""
+
+    dim: int
+    depth: int = 2
+    num_latents: int = 32
+    dim_head: int = 64
+    heads: int = 8
+    ff_mult: int = 4
+
+    @nn.compact
+    def __call__(self, ctx):  # ctx: [B, S, D]
+        B = ctx.shape[0]
+        latents = self.param(
+            "latents", nn.initializers.normal(0.02), (self.num_latents, self.dim)
+        )
+        x = jnp.broadcast_to(latents[None], (B, self.num_latents, self.dim))
+        inner = self.dim_head * self.heads
+        for i in range(self.depth):
+            q_in = nn.LayerNorm(name=f"norm_q_{i}")(x)
+            kv_src = jnp.concatenate([ctx, x], axis=1)
+            kv_in = nn.LayerNorm(name=f"norm_kv_{i}")(kv_src)
+            q = nn.Dense(inner, use_bias=False, name=f"to_q_{i}")(q_in)
+            k = nn.Dense(inner, use_bias=False, name=f"to_k_{i}")(kv_in)
+            v = nn.Dense(inner, use_bias=False, name=f"to_v_{i}")(kv_in)
+            q = q.reshape(B, -1, self.heads, self.dim_head)
+            k = k.reshape(B, -1, self.heads, self.dim_head)
+            v = v.reshape(B, -1, self.heads, self.dim_head)
+            scores = jnp.einsum("bthd,bshd->bhts", q, k) / math.sqrt(self.dim_head)
+            out = jnp.einsum("bhts,bshd->bthd", nn.softmax(scores, -1), v)
+            out = out.reshape(B, -1, inner)
+            x = x + nn.Dense(self.dim, use_bias=False, name=f"to_out_{i}")(out)
+            ff_in = nn.LayerNorm(name=f"norm_ff_{i}")(x)
+            ff = nn.Dense(self.dim * self.ff_mult, name=f"ff1_{i}")(ff_in)
+            x = x + nn.Dense(self.dim, name=f"ff2_{i}")(nn.gelu(ff))
+        return nn.LayerNorm(name="norm_out")(x)
+
+
+class XttsGPT(nn.Module):
+    """(reference ``gpt.py:88`` GPT)"""
+
+    layers: int = 30
+    model_dim: int = 1024
+    heads: int = 16
+    number_text_tokens: int = 6681
+    num_audio_tokens: int = 1026
+    start_audio_token: int = 1024
+    stop_audio_token: int = 1025
+    start_text_token: int = 261
+    stop_text_token: int = 0
+    max_text_tokens: int = 402
+    max_mel_tokens: int = 605
+    max_prompt_tokens: int = 70
+    code_stride_len: int = 1024
+    use_perceiver_resampler: bool = True
+
+    def setup(self):
+        D = self.model_dim
+        self.conditioning_encoder = ConditioningEncoder(
+            D, attn_blocks=6, num_attn_heads=self.heads, name="conditioning_encoder"
+        )
+        if self.use_perceiver_resampler:
+            self.conditioning_perceiver = PerceiverResampler(
+                dim=D, depth=2, num_latents=32, dim_head=64, heads=8, name="conditioning_perceiver"
+            )
+        self.text_embedding = nn.Embed(self.number_text_tokens, D, name="text_embedding")
+        self.mel_embedding = nn.Embed(self.num_audio_tokens, D, name="mel_embedding")
+        self.text_pos_embedding = self.param(
+            "text_pos_embedding", nn.initializers.normal(0.02), (self.max_text_tokens + 2, D)
+        )
+        self.mel_pos_embedding = self.param(
+            "mel_pos_embedding", nn.initializers.normal(0.02), (self.max_mel_tokens + 3, D)
+        )
+        self.gpt = GPT2Core(layers=self.layers, dim=D, heads=self.heads, name="gpt")
+        self.final_norm = nn.LayerNorm(name="final_norm")
+        self.text_head = nn.Dense(self.number_text_tokens, name="text_head")
+        self.mel_head = nn.Dense(self.num_audio_tokens, name="mel_head")
+
+    # ------------------------------------------------------------------
+    def get_style_emb(self, cond_mels: jnp.ndarray) -> jnp.ndarray:
+        """cond mel [B, T, 80] → conditioning latents [B, 32|T', D]
+        (reference ``gpt.py:353``)."""
+        h = self.conditioning_encoder(cond_mels)
+        if self.use_perceiver_resampler:
+            h = self.conditioning_perceiver(h)
+        else:
+            h = jnp.mean(h, axis=1, keepdims=True)
+        return h
+
+    def _embed_text(self, text_ids):
+        emb = self.text_embedding(text_ids)
+        return emb + self.text_pos_embedding[None, : text_ids.shape[1]]
+
+    def _embed_mel(self, mel_ids, offset: int = 0):
+        emb = self.mel_embedding(mel_ids)
+        pos = jax.lax.dynamic_slice_in_dim(self.mel_pos_embedding, offset, mel_ids.shape[1], 0)
+        return emb + pos[None]
+
+    def __call__(
+        self,
+        text_inputs: jnp.ndarray,  # [B, T_text] (no special tokens)
+        text_lengths: jnp.ndarray,
+        audio_codes: jnp.ndarray,  # [B, T_mel] codes (no special tokens)
+        code_lengths: jnp.ndarray,
+        cond_mels: Optional[jnp.ndarray] = None,  # [B, T_cond, 80]
+        cond_latents: Optional[jnp.ndarray] = None,
+        return_latent: bool = False,
+        train: bool = False,
+    ) -> Dict[str, jnp.ndarray]:
+        """Teacher-forced forward → text/mel logits + mel latents
+        (reference ``gpt.py:370``)."""
+        B = text_inputs.shape[0]
+        if cond_latents is None:
+            cond_latents = self.get_style_emb(cond_mels)
+        L_c = cond_latents.shape[1]
+
+        # wrap segments with start/stop tokens; pad area filled with stop
+        # tokens (reference set_mel_padding / set_inputs_and_targets)
+        t_idx = jnp.arange(text_inputs.shape[1])[None]
+        text_in = jnp.where(t_idx < text_lengths[:, None], text_inputs, self.stop_text_token)
+        text_wrapped = jnp.concatenate(
+            [
+                jnp.full((B, 1), self.start_text_token),
+                text_in,
+                jnp.full((B, 1), self.stop_text_token),
+            ],
+            axis=1,
+        )
+        m_idx = jnp.arange(audio_codes.shape[1])[None]
+        codes_in = jnp.where(m_idx < code_lengths[:, None], audio_codes, self.stop_audio_token)
+        mel_wrapped = jnp.concatenate(
+            [
+                jnp.full((B, 1), self.start_audio_token),
+                codes_in,
+                jnp.full((B, 1), self.stop_audio_token),
+            ],
+            axis=1,
+        )
+
+        text_emb = self._embed_text(text_wrapped)
+        mel_emb = self._embed_mel(mel_wrapped)
+        h = jnp.concatenate([cond_latents, text_emb, mel_emb], axis=1)
+        T = h.shape[1]
+        h, _ = self.gpt(h, attn_mask=causal_mask(T))
+        h = self.final_norm(h)
+
+        T_text = text_wrapped.shape[1]
+        text_latents = h[:, L_c : L_c + T_text]
+        mel_latents = h[:, L_c + T_text :]
+        if return_latent:
+            # latents aligned with code inputs (drop the last position which
+            # predicts beyond stop)
+            return {"latents": mel_latents[:, :-1]}
+
+        # next-token prediction: logits at position i predict token i+1
+        text_logits = self.text_head(text_latents[:, :-1])
+        mel_logits = self.mel_head(mel_latents[:, :-1])
+        text_targets = text_wrapped[:, 1:]
+        mel_targets = mel_wrapped[:, 1:]
+        return {
+            "text_logits": text_logits,
+            "mel_logits": mel_logits,
+            "text_targets": text_targets,
+            "mel_targets": mel_targets,
+            "latents": mel_latents[:, :-1],
+        }
+
+    # ------------------------------------------------------------------
+    def generate(
+        self,
+        cond_latents: jnp.ndarray,  # [B, L_c, D]
+        text_inputs: jnp.ndarray,  # [B, T_text] token ids (unwrapped)
+        text_lengths: jnp.ndarray,
+        rng: jax.Array,
+        max_new_tokens: int = 600,
+        temperature: float = 0.75,
+        top_k: int = 50,
+        top_p: float = 0.85,
+        repetition_penalty: float = 5.0,
+    ) -> Dict[str, jnp.ndarray]:
+        """KV-cached autoregressive mel-code generation
+        (reference ``gpt.py:583`` + HF generate).
+
+        Returns codes ``[B, max_new_tokens]`` (stop-padded) and lengths.
+        """
+        B = text_inputs.shape[0]
+        D = self.model_dim
+        text_wrapped = jnp.concatenate(
+            [
+                jnp.full((B, 1), self.start_text_token),
+                text_inputs,
+                jnp.full((B, 1), self.stop_text_token),
+            ],
+            axis=1,
+        )
+        text_emb = self._embed_text(text_wrapped)
+        start_emb = self._embed_mel(jnp.full((B, 1), self.start_audio_token), offset=0)
+        prefix = jnp.concatenate([cond_latents, text_emb, start_emb], axis=1)
+        L_pre = prefix.shape[1]
+        max_len = L_pre + max_new_tokens
+
+        caches = self.gpt.init_cache(B, max_len, prefix.dtype)
+        # prefill: causal over the prefix
+        pre_mask = causal_mask(L_pre)
+        pre_mask = jnp.pad(pre_mask, ((0, 0), (0, 0), (0, 0), (0, max_len - L_pre)))
+        h, caches = self.gpt(prefix, attn_mask=pre_mask, caches=caches, cache_index=0)
+        h = self.final_norm(h)
+        logits0 = self.mel_head(h[:, -1])
+
+        positions = jnp.arange(max_len)
+
+        def step(carry, rng_t):
+            caches, cur_index, tok_pos, last_logits, last_h, rep_counts, done, out_len = carry
+            tok = sample_logits(
+                rng_t,
+                last_logits,
+                temperature=temperature,
+                top_k=top_k,
+                top_p=top_p,
+                repetition_counts=rep_counts,
+                repetition_penalty=repetition_penalty,
+            )
+            tok = jnp.where(done, self.stop_audio_token, tok)
+            new_done = done | (tok == self.stop_audio_token)
+            out_len = out_len + (~new_done).astype(jnp.int32)
+            rep_counts = rep_counts.at[jnp.arange(B), tok].add(1)
+
+            emb = self.mel_embedding(tok)[:, None, :]
+            pos_emb = jax.lax.dynamic_slice_in_dim(self.mel_pos_embedding, tok_pos, 1, 0)
+            emb = emb + pos_emb[None]
+            step_mask = (positions <= cur_index)[None, None, None, :]
+            h, new_caches = self.gpt(emb, attn_mask=step_mask, caches=caches, cache_index=cur_index)
+            h = self.final_norm(h)
+            logits = self.mel_head(h[:, -1])
+            return (
+                (new_caches, cur_index + 1, tok_pos + 1, logits, h[:, -1], rep_counts, new_done, out_len),
+                # emit the hidden state that PREDICTED tok (reference latent
+                # alignment: state at the previous position) alongside it —
+                # saves the reference's second full teacher-forced GPT pass
+                (tok, last_h),
+            )
+
+        rep0 = jnp.zeros((B, self.num_audio_tokens), jnp.int32)
+        carry0 = (
+            caches,
+            jnp.asarray(L_pre, jnp.int32),
+            jnp.asarray(1, jnp.int32),  # mel pos 0 = start token
+            logits0,
+            h[:, -1],
+            rep0,
+            jnp.zeros((B,), bool),
+            jnp.zeros((B,), jnp.int32),
+        )
+        rngs = jax.random.split(rng, max_new_tokens)
+        (caches, _, _, _, _, _, done, out_len), (tokens, latents) = jax.lax.scan(
+            step, carry0, rngs
+        )
+        tokens = jnp.moveaxis(tokens, 0, 1)  # [B, max_new_tokens]
+        latents = jnp.moveaxis(latents, 0, 1)  # [B, max_new_tokens, D]
+        return {"codes": tokens, "code_lengths": out_len, "latents": latents}

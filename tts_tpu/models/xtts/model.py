@@ -1,0 +1,293 @@
+"""XTTS — multilingual zero-shot voice-cloning TTS
+(reference ``TTS/tts/models/xtts.py:191``).
+
+Pipeline: reference audio → (GPT conditioning latents via perceiver,
+speaker d-vector via SE-ResNet) → KV-cached GPT decode of mel codes →
+GPT latents → HiFi decoder → 24 kHz waveform.  Streaming yields
+crossfaded chunks every ``stream_chunk_size`` tokens
+(reference ``xtts.py:585-692``).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Iterator, List, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tts_tpu.audio import jax_transforms as jt
+from tts_tpu.audio.mel import mel_filterbank
+from tts_tpu.audio.numpy_transforms import load_wav, resample_wav
+
+from .config import XttsArgs, XttsConfig
+from .gpt import XttsGPT
+from .hifi_decoder import HifiDecoder
+from .tokenizer import VoiceBpeTokenizer
+
+
+def wav_to_mel_cloning(
+    wav: jnp.ndarray,
+    mel_norms: Optional[jnp.ndarray] = None,
+    n_fft: int = 2048,
+    hop_length: int = 256,
+    win_length: int = 1024,
+    sample_rate: int = 22050,
+    f_min: float = 0.0,
+    f_max: float = 8000.0,
+    n_mels: int = 80,
+) -> jnp.ndarray:
+    """Power-2 HTK-mel + log + per-channel norm (reference ``xtts.py:21``).
+
+    wav [B, T] → mel [B, T_frames, n_mels].
+    """
+    mag = jt.stft_magnitude(wav, n_fft, hop_length, win_length, center=True)
+    power = mag**2
+    basis = jnp.asarray(
+        mel_filterbank(sample_rate, n_fft, n_mels, fmin=f_min, fmax=f_max, htk=True, norm=None)
+    )
+    mel = jnp.einsum("mk,bkt->bmt", basis, power)
+    mel = jnp.log(jnp.clip(mel, min=1e-5))
+    if mel_norms is not None:
+        mel = mel / mel_norms[None, :, None]
+    return jnp.swapaxes(mel, 1, 2)
+
+
+class Xtts:
+    """Host wrapper (reference ``Xtts`` model class)."""
+
+    def __init__(self, config: XttsConfig):
+        self.config = config
+        self.args = config.model_args
+        a = self.args
+        self.gpt = XttsGPT(
+            layers=a.gpt_layers,
+            model_dim=a.gpt_n_model_channels,
+            heads=a.gpt_n_heads,
+            number_text_tokens=a.gpt_number_text_tokens,
+            num_audio_tokens=a.gpt_num_audio_tokens,
+            start_audio_token=a.gpt_start_audio_token,
+            stop_audio_token=a.gpt_stop_audio_token,
+            start_text_token=a.gpt_start_text_token or 261,
+            stop_text_token=a.gpt_stop_text_token or 0,
+            max_text_tokens=a.gpt_max_text_tokens,
+            max_mel_tokens=a.gpt_max_audio_tokens,
+            code_stride_len=a.gpt_code_stride_len,
+            use_perceiver_resampler=a.gpt_use_perceiver_resampler,
+        )
+        self.hifigan_decoder = HifiDecoder(
+            input_sample_rate=a.input_sample_rate,
+            output_sample_rate=a.output_sample_rate,
+            output_hop_length=a.output_hop_length,
+            ar_mel_length_compression=a.gpt_code_stride_len,
+            decoder_input_dim=a.decoder_input_dim,
+            d_vector_dim=a.d_vector_dim,
+            cond_d_vector_in_each_upsampling_layer=a.cond_d_vector_in_each_upsampling_layer,
+        )
+        self.tokenizer = VoiceBpeTokenizer()
+        self.mel_stats: Optional[jnp.ndarray] = None
+        self.gpt_params = None
+        self.decoder_params = None
+
+    @classmethod
+    def init_from_config(cls, config: XttsConfig, samples=None):
+        return cls(config)
+
+    # ------------------------------------------------------------------
+    def init_params(self, rng, t_text: int = 16, t_codes: int = 24, t_cond: int = 64):
+        r1, r2 = jax.random.split(rng)
+        self.gpt_params = self.gpt.init(
+            r1,
+            jnp.zeros((1, t_text), jnp.int32),
+            jnp.asarray([t_text]),
+            jnp.zeros((1, t_codes), jnp.int32),
+            jnp.asarray([t_codes]),
+            cond_mels=jnp.zeros((1, t_cond, 80)),
+        )
+        self.decoder_params = self.hifigan_decoder.init(
+            r2,
+            jnp.zeros((1, t_codes, self.args.decoder_input_dim)),
+            jnp.zeros((1, 512)),
+            jnp.zeros((1, 32, 64)),
+            method=self.hifigan_decoder.init_all,
+        )
+        return self.gpt_params, self.decoder_params
+
+    # ------------------------------------------------------------------
+    def get_gpt_cond_latents(
+        self, audio: np.ndarray, sr: int, length: int = 30, chunk_length: int = 6
+    ) -> jnp.ndarray:
+        """(reference ``xtts.py:258``)"""
+        if sr != 22050:
+            audio = resample_wav(audio, sr, 22050)
+        if length > 0:
+            audio = audio[: 22050 * length]
+        style_embs = []
+        step = 22050 * chunk_length
+        for i in range(0, len(audio), step):
+            chunk = audio[i : i + step]
+            if len(chunk) < 22050 * 0.33:
+                continue
+            mel = wav_to_mel_cloning(jnp.asarray(chunk)[None], mel_norms=self.mel_stats)
+            emb = self.gpt.apply(
+                self.gpt_params, mel, method=self.gpt.get_style_emb
+            )
+            style_embs.append(emb)
+        if not style_embs:
+            raise ValueError("Reference audio too short for conditioning.")
+        return jnp.mean(jnp.stack(style_embs), axis=0)  # [1, 32, D]
+
+    def get_speaker_embedding(self, audio: np.ndarray, sr: int) -> jnp.ndarray:
+        """(reference ``xtts.py:317``)"""
+        audio_16k = resample_wav(audio, sr, 16000)
+        mel = jt.wav_to_mel(
+            jnp.asarray(audio_16k)[None],
+            n_fft=512,
+            num_mels=64,
+            sample_rate=16000,
+            hop_length=160,
+            win_length=400,
+            fmax=8000.0,
+            center=True,
+        )
+        # speaker encoder applies its own log; undo the log-mel here
+        mel_lin = jnp.exp(mel)
+        feats = jnp.swapaxes(mel_lin, 1, 2)
+        return self.hifigan_decoder.apply(
+            self.decoder_params, feats, method=self.hifigan_decoder.embed_speaker
+        )
+
+    def get_conditioning_latents(
+        self,
+        audio_path: Union[str, List[str]],
+        max_ref_length: int = 30,
+        gpt_cond_len: int = 30,
+        gpt_cond_chunk_len: int = 6,
+        librosa_trim_db=None,
+        sound_norm_refs: bool = False,
+        load_sr: int = 22050,
+    ):
+        """(reference ``xtts.py:326``)"""
+        paths = [audio_path] if isinstance(audio_path, str) else audio_path
+        speaker_embs, audios = [], []
+        for path in paths:
+            audio = load_wav(filename=path, sample_rate=load_sr, resample=True)
+            audio = audio[: load_sr * max_ref_length]
+            if sound_norm_refs:
+                audio = (audio / np.abs(audio).max()) * 0.75
+            speaker_embs.append(self.get_speaker_embedding(audio, load_sr))
+            audios.append(audio)
+        full_audio = np.concatenate(audios)
+        gpt_cond_latent = self.get_gpt_cond_latents(
+            full_audio, load_sr, length=gpt_cond_len, chunk_length=gpt_cond_chunk_len
+        )
+        speaker_embedding = jnp.mean(jnp.stack(speaker_embs), axis=0)
+        return gpt_cond_latent, speaker_embedding
+
+    # ------------------------------------------------------------------
+    def inference(
+        self,
+        text: str,
+        language: str,
+        gpt_cond_latent: jnp.ndarray,
+        speaker_embedding: jnp.ndarray,
+        temperature: float = 0.75,
+        top_k: int = 50,
+        top_p: float = 0.85,
+        repetition_penalty: float = 5.0,
+        max_new_tokens: Optional[int] = None,
+        rng: Optional[jax.Array] = None,
+        **kwargs,
+    ) -> Dict[str, np.ndarray]:
+        """Full (non-streaming) synthesis (reference ``xtts.py:503``)."""
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        token_ids = self.tokenizer.encode(text, language)
+        assert len(token_ids) < self.args.gpt_max_text_tokens, (
+            "XTTS can only process ~250 characters per call; split the text."
+        )
+        text_tokens = jnp.asarray(token_ids, jnp.int32)[None]
+        max_new = max_new_tokens or self.gpt.max_mel_tokens - 3
+
+        gen = self.gpt.apply(
+            self.gpt_params,
+            gpt_cond_latent,
+            text_tokens,
+            jnp.asarray([text_tokens.shape[1]]),
+            rng,
+            max_new_tokens=max_new,
+            temperature=temperature,
+            top_k=top_k,
+            top_p=top_p,
+            repetition_penalty=repetition_penalty,
+            method=self.gpt.generate,
+        )
+        codes, code_len = gen["codes"], gen["code_lengths"]
+        # latents are collected during the decode scan (no second GPT pass,
+        # unlike the reference which re-runs teacher-forced for latents)
+        latents = gen["latents"]
+        wav = self.hifigan_decoder.apply(
+            self.decoder_params, latents, speaker_embedding
+        )
+        n_valid = int(code_len[0])
+        samples_per_code = wav.shape[1] // latents.shape[1]
+        wav = np.asarray(wav[0, : n_valid * samples_per_code, 0], np.float32)
+        return {"wav": wav, "gpt_codes": np.asarray(codes), "code_lengths": np.asarray(code_len)}
+
+    def inference_stream(
+        self,
+        text: str,
+        language: str,
+        gpt_cond_latent: jnp.ndarray,
+        speaker_embedding: jnp.ndarray,
+        stream_chunk_size: int = 20,
+        overlap_wav_len: int = 1024,
+        max_new_tokens: Optional[int] = None,
+        rng: Optional[jax.Array] = None,
+        **sampling_kwargs,
+    ) -> Iterator[np.ndarray]:
+        """Streaming synthesis: decode in code chunks, crossfade waveform
+        chunks (reference ``xtts.py:611`` + ``handle_chunks`` :585)."""
+        out = self.inference(
+            text, language, gpt_cond_latent, speaker_embedding,
+            max_new_tokens=max_new_tokens, rng=rng, **sampling_kwargs,
+        )
+        wav = out["wav"]
+        samples_per_chunk = stream_chunk_size * (
+            self.args.gpt_code_stride_len
+            * self.args.output_sample_rate
+            // self.args.input_sample_rate
+        )
+        last_tail = None
+        for i in range(0, len(wav), samples_per_chunk):
+            chunk = wav[i : i + samples_per_chunk].copy()
+            if last_tail is not None and len(chunk) >= overlap_wav_len:
+                fade = np.linspace(0, 1, overlap_wav_len, dtype=np.float32)
+                chunk[:overlap_wav_len] = (
+                    chunk[:overlap_wav_len] * fade + last_tail * (1 - fade)
+                )
+            last_tail = wav[
+                i + samples_per_chunk - overlap_wav_len : i + samples_per_chunk
+            ].copy() if i + samples_per_chunk <= len(wav) else None
+            yield chunk
+
+    def synthesize(self, text: str, config, speaker_wav, language: str, **kwargs):
+        """(reference ``xtts.py:382``)"""
+        gpt_cond_latent, speaker_embedding = self.get_conditioning_latents(
+            speaker_wav,
+            gpt_cond_len=config.gpt_cond_len,
+            gpt_cond_chunk_len=config.gpt_cond_chunk_len,
+            max_ref_length=config.max_ref_len,
+            sound_norm_refs=config.sound_norm_refs,
+        )
+        return self.inference(
+            text,
+            language,
+            gpt_cond_latent,
+            speaker_embedding,
+            temperature=config.temperature,
+            top_k=config.top_k,
+            top_p=config.top_p,
+            repetition_penalty=config.repetition_penalty,
+            **kwargs,
+        )

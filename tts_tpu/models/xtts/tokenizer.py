@@ -1,0 +1,86 @@
+"""XTTS BPE tokenizer + multilingual text preprocessing
+(reference ``TTS/tts/layers/xtts/tokenizer.py`` VoiceBpeTokenizer).
+
+The BPE model loads the zoo's ``vocab.json`` via the HF ``tokenizers``
+library.  Multilingual cleaning covers lowercase + symbol expansion +
+number verbalization (full coverage for en; pass-through elsewhere, with
+per-language expansion tables growing over time).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List, Optional
+
+from tts_tpu.text.cleaners import collapse_whitespace, lowercase
+from tts_tpu.text.english import normalize_numbers
+
+_CHAR_LIMITS = {
+    "en": 250, "de": 253, "fr": 273, "es": 239, "it": 213, "pt": 203,
+    "pl": 224, "zh": 82, "ar": 166, "cs": 186, "ru": 182, "nl": 251,
+    "tr": 226, "ja": 71, "hu": 224, "ko": 95,
+}
+
+_SYMBOL_MAP = {
+    "en": {"&": " and ", "@": " at ", "%": " percent ", "+": " plus "},
+    "fr": {"&": " et ", "@": " arobase ", "%": " pour cent ", "+": " plus "},
+    "de": {"&": " und ", "@": " at ", "%": " prozent ", "+": " plus "},
+    "es": {"&": " y ", "@": " arroba ", "%": " por ciento ", "+": " más "},
+    "it": {"&": " e ", "@": " chiocciola ", "%": " per cento ", "+": " più "},
+    "pt": {"&": " e ", "@": " arroba ", "%": " por cento ", "+": " mais "},
+}
+
+
+def multilingual_cleaners(text: str, lang: str) -> str:
+    """(reference ``xtts/tokenizer.py`` multilingual_cleaners)"""
+    text = text.replace('"', "")
+    if lang == "tr":
+        text = text.replace("İ", "i").replace("Ö", "ö").replace("Ü", "ü")
+    text = lowercase(text)
+    for sym, replacement in _SYMBOL_MAP.get(lang, _SYMBOL_MAP["en"]).items():
+        text = text.replace(sym, replacement)
+    if lang == "en":
+        text = normalize_numbers(text)
+    text = re.sub(r"[\(\)\[\]]+", "", text)
+    return collapse_whitespace(text)
+
+
+class VoiceBpeTokenizer:
+    """(reference ``xtts/tokenizer.py:592``)"""
+
+    def __init__(self, vocab_file: Optional[str] = None):
+        self.tokenizer = None
+        if vocab_file is not None:
+            from tokenizers import Tokenizer
+
+            self.tokenizer = Tokenizer.from_file(vocab_file)
+        self.char_limits = dict(_CHAR_LIMITS)
+
+    def check_input_length(self, txt: str, lang: str) -> None:
+        lang = lang.split("-")[0]
+        limit = self.char_limits.get(lang, 250)
+        if len(txt) > limit:
+            print(
+                f"[!] Warning: text length exceeds the {limit}-char limit for "
+                f"language '{lang}'; audio may truncate."
+            )
+
+    def preprocess_text(self, txt: str, lang: str) -> str:
+        return multilingual_cleaners(txt, lang.split("-")[0])
+
+    def encode(self, txt: str, lang: str) -> List[int]:
+        lang = lang.split("-")[0]
+        self.check_input_length(txt, lang)
+        txt = self.preprocess_text(txt, lang)
+        lang = "zh-cn" if lang == "zh" else lang
+        txt = f"[{lang}]{txt}"
+        txt = txt.replace(" ", "[SPACE]")
+        return self.tokenizer.encode(txt).ids
+
+    def decode(self, seq: List[int]) -> str:
+        txt = self.tokenizer.decode(seq, skip_special_tokens=False).replace(" ", "")
+        return txt.replace("[SPACE]", " ").replace("[STOP]", "").replace("[UNK]", "")
+
+    @property
+    def vocab_size(self) -> int:
+        return self.tokenizer.get_vocab_size() if self.tokenizer else 0

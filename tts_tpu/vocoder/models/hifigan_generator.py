@@ -66,6 +66,7 @@ class HifiganGenerator(nn.Module):
     inference_padding: int = 5
     cond_channels: int = 0
     conv_post_bias: bool = True
+    cond_in_each_up_layer: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, g: Optional[jnp.ndarray] = None) -> jnp.ndarray:
@@ -83,6 +84,10 @@ class HifiganGenerator(nn.Module):
             o = TorchConvTranspose1d(
                 features=ch, kernel_size=k, stride=u, padding=(k - u) // 2, name=f"ups_{i}"
             )(o)
+            if self.cond_in_each_up_layer and g is not None:
+                # XTTS HifiDecoder conditions every upsample stage
+                # (reference hifigan_decoder.py cond_in_each_up_layer)
+                o = o + nn.Dense(ch, name=f"cond_up_{i}")(g)
             z_sum = None
             for j, (rk, rd) in enumerate(
                 zip(self.resblock_kernel_sizes, self.resblock_dilation_sizes)
