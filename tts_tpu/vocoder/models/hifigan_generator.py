@@ -95,7 +95,9 @@ class HifiganGenerator(nn.Module):
                 z = resblock_cls(ch, rk, tuple(rd), name=f"resblocks_{i * num_kernels + j}")(o)
                 z_sum = z if z_sum is None else z_sum + z
             o = z_sum / num_kernels
-        o = leaky_relu(o)
+        # the reference's final activation is F.leaky_relu's default 0.01
+        # slope, unlike the 0.1 used elsewhere (hifigan_generator.py:228)
+        o = leaky_relu(o, 0.01)
         o = Conv1d(self.out_channels, 7, use_bias=self.conv_post_bias, name="conv_post")(o)
         return jnp.tanh(o)
 
