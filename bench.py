@@ -45,12 +45,16 @@ def main():
     rng = jax.random.PRNGKey(1)
 
     infer = jax.jit(lambda p, x, xl, r: model.inference(p, x, xl, max_frames=MAXF, rng=r))
-    out = jax.block_until_ready(infer(gen_params, x, xl, rng))  # compile
-    # timed steady-state
-    n_iter = 10
+    out = infer(gen_params, x, xl, rng)  # compile
+    # IMPORTANT: on the tunneled axon backend block_until_ready does NOT
+    # synchronize; only a host transfer does. Force one sync to drain the
+    # queue, then time N pipelined dispatches ended by one forced sync.
+    _ = np.asarray(out["model_outputs"][0, 0])
+    n_iter = 20
     t0 = time.time()
-    for _ in range(n_iter):
-        out = jax.block_until_ready(infer(gen_params, x, xl, rng))
+    for i in range(n_iter):
+        out = infer(gen_params, x, xl, rng)
+    _ = np.asarray(out["model_outputs"][0, 0])  # flush + sync
     dt = (time.time() - t0) / n_iter
 
     hop, sr = cfg.audio.hop_length, cfg.audio.sample_rate

@@ -1,0 +1,99 @@
+"""Extended vocoder model tests: PWGAN, WaveGrad, WaveRNN, UnivNet
+(reference model: tests/vocoder_tests/)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tts_tpu.vocoder.models.parallel_wavegan_generator import (
+    ParallelWaveganDiscriminator,
+    ParallelWaveganGenerator,
+)
+from tts_tpu.vocoder.models.univnet_generator import UnivnetGenerator, location_variable_convolution
+from tts_tpu.vocoder.models.wavegrad import (
+    Wavegrad,
+    compute_noise_schedule,
+    wavegrad_inference,
+    wavegrad_train_loss,
+)
+from tts_tpu.vocoder.models.wavernn import Wavernn, mixture_of_logistics_loss
+
+
+def test_parallel_wavegan():
+    gen = ParallelWaveganGenerator(num_res_blocks=6, stacks=2, res_channels=16,
+                                   gate_channels=32, skip_channels=16, aux_channels=20,
+                                   upsample_factors=(4, 4))
+    c = jnp.asarray(np.random.RandomState(0).randn(2, 10, 20).astype(np.float32))
+    params = gen.init({"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)}, c)
+    y = gen.apply(params, c, rngs={"noise": jax.random.PRNGKey(2)})
+    assert y.shape == (2, 160, 1)
+    disc = ParallelWaveganDiscriminator(num_layers=4, conv_channels=8)
+    dp = disc.init(jax.random.PRNGKey(0), y)
+    score, feats = disc.apply(dp, y)
+    assert score.shape == (2, 160, 1)
+    assert len(feats) == 4
+
+
+def test_wavegrad_train_and_infer():
+    model = Wavegrad(
+        in_channels=20, y_conv_channels=8, x_conv_channels=16,
+        dblock_out_channels=(8, 8, 16, 16), ublock_out_channels=(16, 16, 8, 8, 8),
+        upsample_factors=(2, 2, 2, 2, 2),
+        upsample_dilations=((1, 2, 1, 2),) * 5,
+    )
+    T_mel, up = 8, 32
+    mel = jnp.asarray(np.random.RandomState(0).randn(1, T_mel, 20).astype(np.float32))
+    wav = jnp.asarray(np.random.RandomState(1).randn(1, T_mel * up, 1).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), wav, mel, jnp.ones((1,)))
+    sched = compute_noise_schedule(10)
+    loss = wavegrad_train_loss(model, params, {"waveform": wav, "mel": mel}, jax.random.PRNGKey(2), sched)
+    assert np.isfinite(float(loss))
+    y = wavegrad_inference(model, params, mel, jax.random.PRNGKey(3), sched)
+    assert y.shape == (1, T_mel * up, 1)
+    assert np.isfinite(np.asarray(y)).all()
+
+
+def test_wavernn_forward_and_generate():
+    model = Wavernn(rnn_dims=32, fc_dims=32, compute_dims=16, res_out_dims=16,
+                    num_res_blocks=2, feat_dims=20, pad=2, mode="mold",
+                    upsample_factors=(2, 2, 2))
+    T_mel = 10
+    mels = jnp.asarray(np.random.RandomState(0).randn(2, T_mel, 20).astype(np.float32))
+    T_wav = (T_mel - 2 * 2) * 8  # pad trimmed
+    x = jnp.asarray(np.random.RandomState(1).randn(2, T_wav).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), x, mels)
+    logits = model.apply(params, x, mels)
+    assert logits.shape == (2, T_wav, 30)
+    loss = mixture_of_logistics_loss(logits, x)
+    assert np.isfinite(float(loss))
+    wav = model.apply(params, mels, jax.random.PRNGKey(2), method=model.generate)
+    assert wav.shape == (2, T_wav)
+    assert np.abs(np.asarray(wav)).max() <= 1.0
+
+
+def test_lvc_matches_direct_conv():
+    """With identical kernels per frame, LVC equals a plain conv."""
+    rng = np.random.RandomState(0)
+    B, L, hop, C_in, C_out, K = 1, 4, 8, 3, 5, 3
+    x = jnp.asarray(rng.randn(B, L * hop, C_in).astype(np.float32))
+    k_single = rng.randn(C_in, C_out, K).astype(np.float32)
+    kernel = jnp.asarray(np.tile(k_single[None, None], (B, L, 1, 1, 1)))
+    bias = jnp.zeros((B, L, C_out))
+    y = location_variable_convolution(x, kernel, bias, hop)
+    # direct conv: cross-correlation with kernel [K, C_in, C_out]
+    y_ref = jax.lax.conv_general_dilated(
+        x, jnp.asarray(k_single.transpose(2, 0, 1)), (1,), [(1, 1)],
+        dimension_numbers=("NHC", "HIO", "NHC"),
+    )
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=1e-5)
+
+
+def test_univnet_generator():
+    gen = UnivnetGenerator(in_channels=8, hidden_channels=8, cond_channels=20,
+                           upsample_factors=(2, 2), lvc_layers_each_block=2,
+                           kpnet_hidden_channels=16)
+    c = jnp.asarray(np.random.RandomState(0).randn(1, 12, 20).astype(np.float32))
+    params = gen.init({"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)}, c)
+    y = gen.apply(params, c, rngs={"noise": jax.random.PRNGKey(2)})
+    assert y.shape == (1, 48, 1)
+    assert np.isfinite(np.asarray(y)).all()
