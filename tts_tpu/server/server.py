@@ -1,0 +1,137 @@
+"""TTS HTTP server (reference ``TTS/server/server.py`` Flask app), built on
+stdlib ``http.server`` (no Flask dependency).
+
+Routes (parity with the reference):
+  GET  /            — minimal HTML UI
+  GET  /api/tts     — ?text=...&speaker_id=...&language_id=... → wav
+  GET  /details     — model/config info
+  MaryTTS compat: GET /locales, GET /voices, GET|POST /process
+A global lock serializes synthesis like the reference (``server.py:187``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import threading
+import urllib.parse
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+_INDEX_HTML = """<!DOCTYPE html>
+<html><head><title>tts_tpu server</title></head>
+<body style="font-family: sans-serif; max-width: 48em; margin: 2em auto;">
+<h1>tts_tpu</h1>
+<form action="/api/tts" method="get">
+  <input name="text" size="60" placeholder="Type a sentence..."/>
+  <button type="submit">Speak</button>
+</form>
+</body></html>"""
+
+
+def create_handler(synthesizer, lock: threading.Lock):
+    class TTSHandler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):
+            print(" > %s" % (fmt % args))
+
+        def _send(self, code: int, content: bytes, ctype: str = "text/html"):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(content)))
+            self.end_headers()
+            self.wfile.write(content)
+
+        def _synthesize(self, text: str, speaker: str = None, language: str = None) -> bytes:
+            with lock:
+                wav = synthesizer.tts(text, speaker_name=speaker or None, language_name=language or None)
+            buf = io.BytesIO()
+            import scipy.io.wavfile
+
+            arr = np.asarray(wav)
+            arr = (arr * (32767 / max(0.01, float(np.abs(arr).max())))).astype(np.int16)
+            scipy.io.wavfile.write(buf, synthesizer.output_sample_rate, arr)
+            return buf.getvalue()
+
+        def do_GET(self):
+            parsed = urllib.parse.urlparse(self.path)
+            qs = urllib.parse.parse_qs(parsed.query)
+            route = parsed.path
+            if route == "/":
+                self._send(200, _INDEX_HTML.encode())
+            elif route == "/api/tts":
+                text = (qs.get("text") or [""])[0]
+                if not text:
+                    self._send(400, b"missing text")
+                    return
+                wav = self._synthesize(
+                    text,
+                    (qs.get("speaker_id") or [None])[0],
+                    (qs.get("language_id") or [None])[0],
+                )
+                self._send(200, wav, "audio/wav")
+            elif route == "/details":
+                details = {
+                    "tts_config": synthesizer.tts_config.to_dict()
+                    if synthesizer.tts_config
+                    else None,
+                }
+                self._send(200, json.dumps(details, default=str).encode(), "application/json")
+            elif route == "/locales":  # MaryTTS compat
+                self._send(200, b"en_US\n", "text/plain")
+            elif route == "/voices":  # MaryTTS compat
+                self._send(200, b"default en_US u\n", "text/plain")
+            elif route == "/process":  # MaryTTS compat
+                text = (qs.get("INPUT_TEXT") or [""])[0]
+                wav = self._synthesize(text)
+                self._send(200, wav, "audio/wav")
+            else:
+                self._send(404, b"not found")
+
+        def do_POST(self):
+            parsed = urllib.parse.urlparse(self.path)
+            if parsed.path == "/process":  # MaryTTS compat
+                length = int(self.headers.get("Content-Length", "0"))
+                body = self.rfile.read(length).decode()
+                qs = urllib.parse.parse_qs(body)
+                text = (qs.get("INPUT_TEXT") or [""])[0]
+                wav = self._synthesize(text)
+                self._send(200, wav, "audio/wav")
+            else:
+                self._send(404, b"not found")
+
+    return TTSHandler
+
+
+def create_server(synthesizer, port: int = 5002) -> ThreadingHTTPServer:
+    lock = threading.Lock()
+    return ThreadingHTTPServer(("0.0.0.0", port), create_handler(synthesizer, lock))
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--model_name", default=None)
+    parser.add_argument("--model_path", default=None)
+    parser.add_argument("--config_path", default=None)
+    parser.add_argument("--vocoder_path", default=None)
+    parser.add_argument("--vocoder_config_path", default=None)
+    parser.add_argument("--port", type=int, default=5002)
+    args = parser.parse_args()
+
+    from tts_tpu.api import TTS
+
+    tts = TTS(
+        model_name=args.model_name or "",
+        model_path=args.model_path,
+        config_path=args.config_path,
+        vocoder_path=args.vocoder_path,
+        vocoder_config_path=args.vocoder_config_path,
+    )
+    server = create_server(tts.synthesizer, args.port)
+    print(f" > Serving on http://0.0.0.0:{args.port}")
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()
