@@ -1,0 +1,54 @@
+"""Bark tests (reference model: tests/zoo_tests bark)."""
+
+import jax
+import numpy as np
+import pytest
+
+from tts_tpu.models.bark import Bark, BarkConfig
+from tts_tpu.models.bark.config import BarkGPTArgs
+
+
+@pytest.fixture(scope="module")
+def bark_tiny():
+    cfg = BarkConfig()
+    cfg.SEMANTIC_VOCAB_SIZE = 100
+    cfg.CODEBOOK_SIZE = 16
+    cfg.TEXT_ENCODING_OFFSET = 104
+    cfg.TEXT_PAD_TOKEN = 250
+    cfg.SEMANTIC_PAD_TOKEN = 100
+    cfg.SEMANTIC_INFER_TOKEN = 255
+    cfg.COARSE_INFER_TOKEN = 140
+    cfg.semantic_config = BarkGPTArgs(
+        block_size=640, input_vocab_size=256, output_vocab_size=256,
+        n_layer=1, n_head=2, n_embd=32,
+    )
+    cfg.coarse_config = BarkGPTArgs(
+        block_size=640, input_vocab_size=256, output_vocab_size=256,
+        n_layer=1, n_head=2, n_embd=32,
+    )
+    cfg.fine_config = BarkGPTArgs(
+        block_size=640, input_vocab_size=32, output_vocab_size=32,
+        n_layer=1, n_head=2, n_embd=32, n_codes_total=4, n_codes_given=2,
+    )
+    cfg.N_FINE_CODEBOOKS = 4
+    model = Bark(cfg)
+    model.init_params(jax.random.PRNGKey(0))
+    return model
+
+
+def test_semantic_generation(bark_tiny):
+    text_tokens = np.arange(10)
+    sem = bark_tiny.generate_text_semantic(text_tokens, jax.random.PRNGKey(1), max_gen_duration_s=0.5)
+    assert sem.ndim == 1
+    assert (sem <= bark_tiny.config.SEMANTIC_VOCAB_SIZE).all()
+
+
+def test_full_pipeline_codes(bark_tiny):
+    out = bark_tiny.synthesize("hi", bark_tiny.config, rng=jax.random.PRNGKey(2),
+                               max_gen_duration_s=0.3)
+    assert out["semantic"].ndim == 1
+    assert out["coarse"].shape[0] == bark_tiny.config.N_COARSE_CODEBOOKS
+    assert out["fine"].shape[0] == bark_tiny.config.N_FINE_CODEBOOKS
+    assert (out["fine"] < 32).all()
+    # encodec absent in this env: wav is gated with a clear message
+    assert out["wav"] is None and "encodec" in out["decode_error"]

@@ -1,0 +1,269 @@
+"""Bark — three-stage autoregressive audio generation
+(reference ``TTS/tts/models/bark.py`` + ``layers/bark/{model,model_fine,
+inference_funcs}.py``).
+
+text → semantic tokens (AR GPT) → coarse EnCodec codes (AR GPT) → fine
+codes (non-causal per-codebook GPT) → waveform via EnCodec (gated on the
+``encodec`` package being installed).  All generation loops are KV-cached
+``lax.scan``s reusing :class:`tts_tpu.models.xtts.gpt_core.GPT2Core`.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tts_tpu.models.xtts.gpt_core import GPT2Core, causal_mask, sample_logits
+
+from .config import BarkConfig, BarkGPTArgs
+
+
+class BarkGPT(nn.Module):
+    """Causal GPT with learned positions and separate in/out vocabularies
+    (reference ``bark/model.py:233``)."""
+
+    args: BarkGPTArgs
+
+    def setup(self):
+        a = self.args
+        self.wte = nn.Embed(a.input_vocab_size, a.n_embd, name="wte")
+        self.wpe = self.param("wpe", nn.initializers.normal(0.02), (a.block_size, a.n_embd))
+        self.core = GPT2Core(layers=a.n_layer, dim=a.n_embd, heads=a.n_head, name="core")
+        self.lm_head = nn.Dense(a.output_vocab_size, use_bias=False, name="lm_head")
+
+    def __call__(self, idx, caches=None, cache_index=None, position_offset=0, attn_mask=None):
+        T = idx.shape[1]
+        h = self.wte(idx)
+        pos = jax.lax.dynamic_slice_in_dim(self.wpe, position_offset, T, 0)
+        h = h + pos[None]
+        if attn_mask is None:
+            attn_mask = causal_mask(T)
+        h, caches = self.core(h, attn_mask=attn_mask, caches=caches, cache_index=cache_index)
+        return self.lm_head(h), caches
+
+    def generate(
+        self,
+        prompt: jnp.ndarray,  # [B, T_prompt]
+        rng: jax.Array,
+        max_new_tokens: int,
+        eos_token: int,
+        temperature: float = 0.7,
+        top_k: int = 50,
+        top_p: float = 0.95,
+        logit_slice: Optional[int] = None,
+    ) -> Dict[str, jnp.ndarray]:
+        """KV-cached AR sampling; ``logit_slice`` restricts sampling to the
+        first N classes (semantic/coarse vocab subsets)."""
+        a = self.args
+        B, L_pre = prompt.shape
+        max_len = L_pre + max_new_tokens
+        caches = self.core.init_cache(B, max_len)
+
+        pre_mask = jnp.pad(causal_mask(L_pre), ((0, 0), (0, 0), (0, 0), (0, max_len - L_pre)))
+        logits, caches = self(prompt, caches=caches, cache_index=0, attn_mask=pre_mask)
+        last_logits = logits[:, -1]
+        positions = jnp.arange(max_len)
+
+        def step(carry, rng_t):
+            caches, cur, last_logits, done, out_len = carry
+            lg = last_logits
+            if logit_slice is not None:
+                lg = lg[:, :logit_slice]
+            tok = sample_logits(rng_t, lg, temperature=temperature, top_k=top_k, top_p=top_p)
+            tok = jnp.where(done, eos_token, tok)
+            new_done = done | (tok == eos_token)
+            out_len = out_len + (~new_done).astype(jnp.int32)
+            mask = (positions <= cur)[None, None, None, :]
+            logits, new_caches = self(
+                tok[:, None], caches=caches, cache_index=cur, position_offset=0, attn_mask=mask
+            )
+            return (new_caches, cur + 1, logits[:, -1], new_done, out_len), tok
+
+        carry0 = (caches, jnp.asarray(L_pre, jnp.int32), last_logits,
+                  jnp.zeros((B,), bool), jnp.zeros((B,), jnp.int32))
+        rngs = jax.random.split(rng, max_new_tokens)
+        (caches, _, _, done, out_len), toks = jax.lax.scan(step, carry0, rngs)
+        return {"tokens": jnp.moveaxis(toks, 0, 1), "lengths": out_len}
+
+
+class BarkFineGPT(nn.Module):
+    """Non-causal GPT predicting codebook ``k`` from codebooks ``<k``
+    (reference ``bark/model_fine.py:142``)."""
+
+    args: BarkGPTArgs
+
+    def setup(self):
+        a = self.args
+        self.wtes = [
+            nn.Embed(a.input_vocab_size, a.n_embd, name=f"wte_{i}")
+            for i in range(a.n_codes_total)
+        ]
+        self.wpe = self.param("wpe", nn.initializers.normal(0.02), (a.block_size, a.n_embd))
+        self.core = GPT2Core(layers=a.n_layer, dim=a.n_embd, heads=a.n_head, name="core")
+        self.lm_heads = [
+            nn.Dense(a.output_vocab_size, use_bias=False, name=f"lm_head_{i}")
+            for i in range(a.n_codes_given, a.n_codes_total)
+        ]
+
+    def init_all(self, idx: jnp.ndarray):
+        """Trace every head so ``init`` creates all parameters."""
+        outs = [
+            self(k, idx) for k in range(self.args.n_codes_given, self.args.n_codes_total)
+        ]
+        return outs[0]
+
+    def __call__(self, pred_idx: int, idx: jnp.ndarray):
+        """idx: [B, T, n_codes_total]; predict codebook ``pred_idx``
+        attending over the whole sequence (non-causal)."""
+        B, T, _ = idx.shape
+        h = 0.0
+        # sum embeddings of codebooks < pred_idx + 1 (reference model_fine)
+        for i in range(self.args.n_codes_total):
+            contrib = self.wtes[i](idx[:, :, i])
+            h = h + jnp.where(i <= pred_idx, 1.0, 0.0) * contrib
+        h = h + self.wpe[None, :T]
+        full_mask = jnp.ones((1, 1, T, T), bool)
+        h, _ = self.core(h, attn_mask=full_mask)
+        return self.lm_heads[pred_idx - self.args.n_codes_given](h)
+
+
+class Bark:
+    """Host pipeline wrapper (reference ``models/bark.py:30``)."""
+
+    def __init__(self, config: BarkConfig):
+        self.config = config
+        self.semantic_model = BarkGPT(args=config.semantic_config)
+        self.coarse_model = BarkGPT(args=config.coarse_config)
+        self.fine_model = BarkFineGPT(args=config.fine_config)
+        self.semantic_params = None
+        self.coarse_params = None
+        self.fine_params = None
+        self.encodec = None
+
+    @classmethod
+    def init_from_config(cls, config: BarkConfig, samples=None):
+        return cls(config)
+
+    def init_params(self, rng, t: int = 16):
+        r1, r2, r3 = jax.random.split(rng, 3)
+        tok = jnp.zeros((1, t), jnp.int32)
+        self.semantic_params = self.semantic_model.init(r1, tok)
+        self.coarse_params = self.coarse_model.init(r2, tok)
+        self.fine_params = self.fine_model.init(
+            r3,
+            jnp.zeros((1, t, self.config.fine_config.n_codes_total), jnp.int32),
+            method=self.fine_model.init_all,
+        )
+        return self.semantic_params, self.coarse_params, self.fine_params
+
+    # -- stage 1: text → semantic (reference inference_funcs.py:178) -------
+    def generate_text_semantic(self, text_tokens: np.ndarray, rng, max_gen_duration_s: float = 8.0,
+                               temperature: float = 0.7, top_k: int = 50, top_p: float = 0.95):
+        c = self.config
+        text = np.asarray(text_tokens) + c.TEXT_ENCODING_OFFSET
+        text = text[:256]
+        text = np.pad(text, (0, 256 - len(text)), constant_values=c.TEXT_PAD_TOKEN)
+        history = np.full(256, c.SEMANTIC_PAD_TOKEN)
+        prompt = jnp.asarray(
+            np.concatenate([text, history, [c.SEMANTIC_INFER_TOKEN]])[None], jnp.int32
+        )
+        n = int(max_gen_duration_s * c.SEMANTIC_RATE_HZ)
+        out = self.semantic_model.apply(
+            self.semantic_params, prompt, rng, max_new_tokens=n,
+            eos_token=c.SEMANTIC_VOCAB_SIZE, temperature=temperature, top_k=top_k,
+            top_p=top_p, logit_slice=c.SEMANTIC_VOCAB_SIZE + 1,
+            method=self.semantic_model.generate,
+        )
+        toks = np.asarray(out["tokens"][0])
+        return toks[: int(out["lengths"][0])]
+
+    # -- stage 2: semantic → coarse (reference inference_funcs.py:330) -----
+    def generate_coarse(self, semantic_tokens: np.ndarray, rng, temperature: float = 0.7,
+                        top_k: int = 50, top_p: float = 0.95):
+        c = self.config
+        ratio = c.COARSE_RATE_HZ / c.SEMANTIC_RATE_HZ * c.N_COARSE_CODEBOOKS
+        n_steps = int(round(len(semantic_tokens) * ratio / c.N_COARSE_CODEBOOKS)) * c.N_COARSE_CODEBOOKS
+        n_steps = max(n_steps, c.N_COARSE_CODEBOOKS)
+        sem = np.asarray(semantic_tokens, np.int32)
+        prompt = jnp.asarray(
+            np.concatenate([sem, [c.COARSE_INFER_TOKEN]])[None], jnp.int32
+        )
+        out = self.coarse_model.apply(
+            self.coarse_params, prompt, rng, max_new_tokens=n_steps,
+            eos_token=c.coarse_config.output_vocab_size - 1, temperature=temperature,
+            top_k=top_k, top_p=top_p,
+            logit_slice=c.SEMANTIC_VOCAB_SIZE + 2 * c.CODEBOOK_SIZE,
+            method=self.coarse_model.generate,
+        )
+        toks = np.array(out["tokens"][0])[:n_steps]
+        # de-interleave into [N_COARSE, T] and remove vocab offsets
+        toks = np.ascontiguousarray(toks.reshape(-1, c.N_COARSE_CODEBOOKS).T)
+        for i in range(c.N_COARSE_CODEBOOKS):
+            toks[i] = np.clip(toks[i] - c.SEMANTIC_VOCAB_SIZE - i * c.CODEBOOK_SIZE, 0, c.CODEBOOK_SIZE - 1)
+        return toks
+
+    # -- stage 3: coarse → fine (reference inference_funcs.py:495) ---------
+    def generate_fine(self, coarse_codes: np.ndarray, rng, temperature: float = 0.5):
+        c = self.config
+        n_fine = c.N_FINE_CODEBOOKS
+        T = coarse_codes.shape[1]
+        codes = np.full((n_fine, T), c.CODEBOOK_SIZE, np.int32)
+        codes[: coarse_codes.shape[0]] = coarse_codes
+        idx = jnp.asarray(codes.T[None], jnp.int32)  # [1, T, n_fine]
+        for k in range(coarse_codes.shape[0], n_fine):
+            logits = self.fine_model.apply(self.fine_params, k, idx)
+            rng, sub = jax.random.split(rng)
+            sampled = sample_logits(
+                sub, logits.reshape(-1, logits.shape[-1])[:, : c.CODEBOOK_SIZE],
+                temperature=temperature, top_k=0, top_p=1.0,
+            ).reshape(1, T)
+            idx = idx.at[:, :, k].set(sampled)
+        return np.asarray(idx[0]).T  # [n_fine, T]
+
+    def codes_to_audio(self, fine_codes: np.ndarray) -> np.ndarray:
+        """EnCodec decode (gated on the optional ``encodec`` package)."""
+        try:
+            import torch
+            from encodec import EncodecModel
+        except ImportError as e:
+            raise RuntimeError(
+                "Bark waveform decoding requires the `encodec` package; "
+                "codes were generated successfully."
+            ) from e
+        if self.encodec is None:
+            self.encodec = EncodecModel.encodec_model_24khz()
+            self.encodec.set_target_bandwidth(6.0)
+        frames = [(torch.from_numpy(fine_codes[None]).long(), None)]
+        with torch.no_grad():
+            wav = self.encodec.decode(frames)
+        return wav[0, 0].numpy()
+
+    def synthesize(self, text: str, config, rng=None, **kwargs) -> Dict:
+        """Full 3-stage pipeline; tokenizes with the BERT tokenizer like the
+        reference (``bark.py:34``) if available, else bytes."""
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        try:
+            from transformers import BertTokenizer
+
+            tok = BertTokenizer.from_pretrained(
+                "bert-base-multilingual-cased", local_files_only=True
+            )
+            text_tokens = np.asarray(tok.encode(text, add_special_tokens=False))
+        except Exception:
+            # offline fallback: raw utf-8 bytes as token ids
+            text_tokens = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.int64)
+        r1, r2, r3 = jax.random.split(rng, 3)
+        semantic = self.generate_text_semantic(text_tokens, r1, **kwargs)
+        coarse = self.generate_coarse(semantic, r2)
+        fine = self.generate_fine(coarse, r3)
+        out = {"semantic": semantic, "coarse": coarse, "fine": fine}
+        try:
+            out["wav"] = self.codes_to_audio(fine)
+        except RuntimeError as e:
+            out["wav"] = None
+            out["decode_error"] = str(e)
+        return out
