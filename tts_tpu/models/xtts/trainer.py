@@ -1,0 +1,100 @@
+"""XTTS GPT fine-tuning (reference
+``TTS/tts/layers/xtts/trainer/gpt_trainer.py:69`` GPTTrainer).
+
+Loss = weighted text CE + mel-code CE; audio codes are extracted on the
+fly by the (frozen) DVAE; conditioning mels computed from reference audio.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from tts_tpu.trainer.optim import build_lr_schedule, build_optimizer
+from tts_tpu.trainer.state import TrainState
+
+from .dvae import DiscreteVAE
+from .model import Xtts, wav_to_mel_cloning
+
+
+def _masked_ce(logits, targets, lengths):
+    """Cross entropy over valid positions (+1 for the stop token)."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, targets[..., None], -1)[..., 0]
+    mask = jnp.arange(targets.shape[1])[None] <= lengths[:, None]
+    return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1)
+
+
+class GPTTrainer:
+    """Host wrapper implementing the trainer-model contract for XTTS GPT
+    fine-tuning."""
+
+    def __init__(self, config):
+        self.config = config
+        self.xtts = Xtts(config)
+        self.dvae = DiscreteVAE(
+            channels=80,
+            num_tokens=config.model_args.gpt_num_audio_tokens - 2,
+            codebook_dim=512,
+            hidden_dim=512,
+        )
+        self.dvae_params = None
+        self.text_ce_weight = getattr(config, "gpt_loss_text_ce_weight", 0.01)
+        self.mel_ce_weight = getattr(config, "gpt_loss_mel_ce_weight", 1.0)
+
+    @classmethod
+    def init_from_config(cls, config, samples=None):
+        return cls(config)
+
+    def init_params(self, rng, t_text: int = 16, t_mel: int = 64, t_cond: int = 64):
+        r1, r2 = jax.random.split(rng)
+        self.xtts.init_params(r1, t_text=t_text, t_codes=t_mel // 4, t_cond=t_cond)
+        self.dvae_params = self.dvae.init(r2, jnp.zeros((1, t_mel, 80)))
+        return {"gpt": self.xtts.gpt_params, "dvae": self.dvae_params}
+
+    def extract_codes(self, dvae_params, mel: jnp.ndarray) -> jnp.ndarray:
+        return self.dvae.apply(dvae_params, mel, method=self.dvae.get_codebook_indices)
+
+    def loss_fn(self, gpt_params, dvae_params, batch, train: bool = True):
+        mel = batch["mel_input"]  # [B, T, 80] cloning-domain mel
+        codes = jax.lax.stop_gradient(self.extract_codes(dvae_params, mel))
+        code_lengths = batch["mel_lengths"] // 4
+        out = self.xtts.gpt.apply(
+            gpt_params,
+            batch["text_input"],
+            batch["text_lengths"],
+            codes,
+            code_lengths,
+            cond_mels=batch["cond_mels"],
+            train=train,
+        )
+        text_ce = _masked_ce(out["text_logits"], out["text_targets"], batch["text_lengths"])
+        mel_ce = _masked_ce(out["mel_logits"], out["mel_targets"], code_lengths)
+        loss = self.text_ce_weight * text_ce + self.mel_ce_weight * mel_ce
+        return loss, {"loss": loss, "loss_text_ce": text_ce, "loss_mel_ce": mel_ce}
+
+    def make_train_step(self, config, rng):
+        params = self.init_params(rng)
+        sched = build_lr_schedule(
+            getattr(config, "lr_scheduler", None), getattr(config, "lr", 5e-6),
+            getattr(config, "lr_scheduler_params", {}),
+        )
+        tx = build_optimizer(
+            getattr(config, "optimizer", "adamw"), sched,
+            getattr(config, "optimizer_params", {}) or {},
+            getattr(config, "grad_clip", 0.0),
+        )
+        optimizers = {"gpt": tx}
+        state = TrainState.create({"gpt": params["gpt"]}, optimizers)
+        dvae_params = params["dvae"]
+
+        def train_step(state: TrainState, batch, rng_):
+            (loss, metrics), grads = jax.value_and_grad(
+                lambda p: self.loss_fn(p, dvae_params, batch), has_aux=True
+            )(state.params["gpt"])
+            state = state.apply_updates(optimizers, {"gpt": grads})
+            return state, metrics
+
+        return train_step, optimizers, state
