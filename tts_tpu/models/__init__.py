@@ -18,6 +18,7 @@ _MODEL_REGISTRY: Dict[str, str] = {
     "forward_tts": "tts_tpu.models.forward_tts.model:ForwardTTS",
     "align_tts": "tts_tpu.models.align_tts.model:AlignTTS",
     "tacotron2": "tts_tpu.models.tacotron2.model:Tacotron2",
+    "tacotron": "tts_tpu.models.tacotron2.tacotron_v1:Tacotron",
     "overflow": "tts_tpu.models.overflow.model:Overflow",
     "neuralhmm_tts": "tts_tpu.models.overflow.model:NeuralhmmTTS",
     "delightful_tts": "tts_tpu.models.delightful_tts.model:DelightfulTTS",

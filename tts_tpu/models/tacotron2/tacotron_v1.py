@@ -1,0 +1,195 @@
+"""Tacotron (v1) — CBHG encoder, AR decoder over mel with reduction r,
+CBHG post-net to linear spectrograms, optional GST
+(reference ``TTS/tts/models/tacotron.py`` + ``layers/tacotron/tacotron.py``).
+
+The decoder reuses the scanned attention cell from Tacotron2 (functionally
+equivalent AR decode; the reference's GRU variant differs in cell type).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from tts_tpu.layers.tacotron import Prenet, Tacotron2DecoderCell
+from tts_tpu.layers.tacotron_v1 import CBHG, GST
+from tts_tpu.models.tacotron2.config import TacotronConfig
+from tts_tpu.models.tacotron2.model import Tacotron2, tacotron_loss
+from tts_tpu.ops import sequence_mask
+
+
+class TacotronModule(nn.Module):
+    num_chars: int
+    decoder_output_dim: int = 80  # mel
+    out_channels: int = 513  # linear
+    r: int = 2
+    encoder_in_features: int = 256
+    use_gst: bool = False
+    gst_num_heads: int = 4
+    gst_num_style_tokens: int = 10
+    gst_embedding_dim: int = 256
+    max_decoder_steps: int = 500
+
+    def setup(self):
+        self.embedding = nn.Embed(self.num_chars, 256, name="embedding")
+        self.encoder_prenet = Prenet((256, 128), name="encoder_prenet")
+        self.encoder_cbhg = CBHG(
+            K=16, conv_bank_features=128, conv_projections=(128, 128),
+            highway_features=128, gru_features=128, name="encoder_cbhg",
+        )
+        self.cell = Tacotron2DecoderCell(
+            in_channels=256 + (self.gst_embedding_dim if self.use_gst else 0),
+            frame_channels=self.decoder_output_dim,
+            r=self.r,
+            name="decoder_cell",
+        )
+        self.inputs_layer = nn.Dense(128, use_bias=False, name="inputs_layer")
+        self.post_cbhg = CBHG(
+            K=8, conv_bank_features=128, conv_projections=(256, self.decoder_output_dim),
+            highway_features=128, gru_features=128, name="post_cbhg",
+        )
+        self.last_linear = nn.Dense(self.out_channels, name="last_linear")
+        if self.use_gst:
+            self.gst = GST(
+                num_mel=self.decoder_output_dim,
+                num_heads=self.gst_num_heads,
+                num_style_tokens=self.gst_num_style_tokens,
+                gst_embedding_dim=self.gst_embedding_dim,
+                name="gst_layer",
+            )
+
+    def _encode(self, text, text_lengths, mel_for_style, train):
+        x_mask = sequence_mask(text_lengths, text.shape[1])[:, :, None].astype(jnp.float32)
+        emb = self.embedding(text)
+        h = self.encoder_prenet(emb, train=train)
+        enc = self.encoder_cbhg(h, train=train) * x_mask
+        if self.use_gst:
+            if mel_for_style is not None:
+                style = self.gst(mel_for_style)  # [B, D_gst]
+            else:
+                # no reference audio: neutral (zero) style vector
+                style = jnp.zeros((enc.shape[0], self.gst_embedding_dim))
+            enc = jnp.concatenate(
+                [enc, jnp.broadcast_to(style[:, None], (enc.shape[0], enc.shape[1], style.shape[-1]))],
+                axis=-1,
+            )
+        return enc
+
+    def __call__(self, text, text_lengths, mel_specs, mel_lengths, aux_input=None, train: bool = False):
+        B, T_in = text.shape
+        enc = self._encode(text, text_lengths, mel_specs if self.use_gst else None, train)
+        input_mask = sequence_mask(text_lengths, T_in)
+        processed_inputs = self.inputs_layer(enc)
+
+        T_de = mel_specs.shape[1] // self.r
+        frames = mel_specs[:, : T_de * self.r].reshape(B, T_de, self.r * self.decoder_output_dim)
+        go = jnp.zeros((B, 1, self.r * self.decoder_output_dim))
+        memories = jnp.moveaxis(jnp.concatenate([go, frames[:, :-1]], 1), 0, 1)
+
+        scan_cell = nn.scan(
+            lambda cell, carry, mem: cell(carry, mem, enc, processed_inputs, input_mask, train),
+            variable_broadcast="params",
+            split_rngs={"params": False, "dropout": True},
+        )
+        carry = self.cell.init_carry(B, T_in, enc.shape[-1])
+        _, (decoder_outputs, stop_tokens, alignments) = scan_cell(self.cell, carry, memories)
+        decoder_outputs = jnp.moveaxis(decoder_outputs, 0, 1).reshape(
+            B, T_de * self.r, self.decoder_output_dim
+        )
+        stop_tokens = jnp.repeat(jnp.moveaxis(stop_tokens, 0, 1), self.r, axis=1)
+        alignments = jnp.moveaxis(alignments, 0, 1)
+
+        post = self.post_cbhg(decoder_outputs, train=train)
+        linear_outputs = self.last_linear(post)
+        return {
+            "model_outputs": linear_outputs,  # linear spec [B, T, 513]
+            "decoder_outputs": decoder_outputs,  # mel [B, T, 80]
+            "alignments": alignments,
+            "stop_tokens": stop_tokens,
+        }
+
+    def inference(self, text, text_lengths, aux_input=None, max_steps: Optional[int] = None,
+                  style_mel: Optional[jnp.ndarray] = None):
+        B, T_in = text.shape
+        max_steps = max_steps or self.max_decoder_steps
+        enc = self._encode(text, text_lengths, style_mel, train=False)
+        input_mask = sequence_mask(text_lengths, T_in)
+        processed_inputs = self.inputs_layer(enc)
+
+        def step(cell, carry, _):
+            cell_carry, prev, finished = carry
+            new_carry, (out, stop, align) = cell(
+                cell_carry, prev, enc, processed_inputs, input_mask, False
+            )
+            new_finished = finished | (nn.sigmoid(stop) > 0.5)
+            return (new_carry, out, new_finished), (out, stop, align, finished)
+
+        scan_step = nn.scan(
+            step, variable_broadcast="params",
+            split_rngs={"params": False, "dropout": True}, length=max_steps,
+        )
+        carry0 = (
+            self.cell.init_carry(B, T_in, enc.shape[-1]),
+            jnp.zeros((B, self.r * self.decoder_output_dim)),
+            jnp.zeros((B,), bool),
+        )
+        _, (outputs, stops, aligns, finished) = scan_step(self.cell, carry0, None)
+        outputs = jnp.moveaxis(outputs, 0, 1).reshape(B, max_steps * self.r, self.decoder_output_dim)
+        active = ~jnp.moveaxis(finished, 0, 1)
+        mel_lengths = jnp.sum(active.astype(jnp.int32), axis=1) * self.r
+        valid = jnp.repeat(active, self.r, axis=1)[:, :, None]
+        outputs = outputs * valid
+        linear = self.last_linear(self.post_cbhg(outputs, train=False)) * valid
+        return {
+            "model_outputs": linear,
+            "decoder_outputs": outputs,
+            "alignments": jnp.moveaxis(aligns, 0, 1),
+            "mel_lengths": mel_lengths,
+        }
+
+
+class Tacotron(Tacotron2):
+    """Host wrapper for Tacotron v1 (linear-spec output + Griffin-Lim)."""
+
+    def __init__(self, config: TacotronConfig):
+        self.config = config
+        self.module = TacotronModule(
+            num_chars=config.num_chars,
+            decoder_output_dim=config.decoder_output_dim,
+            out_channels=config.out_channels,
+            r=config.r,
+            encoder_in_features=config.encoder_in_features,
+            use_gst=config.use_gst,
+            max_decoder_steps=config.max_decoder_steps,
+        )
+
+    def train_step(self, params, batch, rngs=None):
+        outputs = self.forward(params, batch, train=True, rngs=rngs)
+        # decoder loss on mel, postnet loss on linear (reference TacotronLoss)
+        from tts_tpu.layers import losses as L
+
+        dec_loss = L.l1_loss_masked(
+            outputs["decoder_outputs"], batch["mel_input"], batch["mel_lengths"]
+        )
+        post_loss = L.l1_loss_masked(
+            outputs["model_outputs"], batch["linear_input"], batch["mel_lengths"]
+        )
+        stop_loss = L.bce_loss_masked(
+            outputs["stop_tokens"], batch["stop_targets"], batch["mel_lengths"],
+            pos_weight=self.config.stopnet_pos_weight,
+        )
+        loss = (
+            self.config.decoder_loss_alpha * dec_loss
+            + self.config.postnet_loss_alpha * post_loss
+            + stop_loss
+        )
+        return loss, {
+            "loss": loss,
+            "decoder_loss": dec_loss,
+            "postnet_loss": post_loss,
+            "stopnet_loss": stop_loss,
+            "outputs": outputs,
+        }
