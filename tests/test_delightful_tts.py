@@ -1,0 +1,62 @@
+"""DelightfulTTS tests (reference model: tests/tts_tests2/test_delightful_tts*)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tts_tpu.models.delightful_tts import DelightfulTTS, DelightfulTTSConfig
+from tts_tpu.models.delightful_tts.config import DelightfulTtsArgs
+
+
+@pytest.fixture(scope="module")
+def dt_small():
+    cfg = DelightfulTTSConfig()
+    cfg.model_args = DelightfulTtsArgs(
+        num_chars=24,
+        n_hidden_conformer_encoder=32, n_layers_conformer_encoder=1, n_heads_conformer_encoder=2,
+        n_hidden_conformer_decoder=32, n_layers_conformer_decoder=1, n_heads_conformer_decoder=2,
+        duration_predictor_hidden=16, pitch_predictor_hidden=16, energy_predictor_hidden=16,
+        bottleneck_size_u_reference_encoder=16, bottleneck_size_p_reference_encoder=4,
+    )
+    cfg.audio.num_mels = 20
+    cfg.vocoder.upsample_rates_decoder = [4, 4]
+    cfg.vocoder.upsample_kernel_sizes_decoder = [8, 8]
+    cfg.vocoder.upsample_initial_channel_decoder = 32
+    cfg.vocoder.resblock_kernel_sizes_decoder = [3]
+    cfg.vocoder.resblock_dilation_sizes_decoder = [[1, 3]]
+    model = DelightfulTTS(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    return model, params, cfg
+
+
+def _batch(B=2, T_en=7, T_de=24, M=20):
+    rng = np.random.RandomState(0)
+    return {
+        "text_input": jnp.asarray(rng.randint(0, 24, (B, T_en))),
+        "text_lengths": jnp.asarray([T_en, T_en - 2]),
+        "mel_input": jnp.asarray(rng.randn(B, T_de, M).astype(np.float32)),
+        "mel_lengths": jnp.asarray([T_de, T_de - 6]),
+        "pitch": jnp.asarray(np.abs(rng.randn(B, T_de, 1)).astype(np.float32)),
+        "energy": jnp.asarray(np.abs(rng.randn(B, T_de, 1)).astype(np.float32)),
+    }
+
+
+def test_forward_losses(dt_small):
+    model, params, cfg = dt_small
+    batch = _batch()
+    loss, aux = model.train_step(params, batch, rngs={"dropout": jax.random.PRNGKey(1)})
+    assert np.isfinite(float(loss))
+    for k in ("loss_mel", "loss_pitch", "loss_energy", "loss_u_prosody", "loss_p_prosody",
+              "loss_aligner", "loss_binary"):
+        assert np.isfinite(float(aux[k])), k
+    assert aux["outputs"]["model_outputs"].shape == (2, 24, 20)
+
+
+def test_inference_with_vocoder(dt_small):
+    model, params, cfg = dt_small
+    batch = _batch()
+    out = model.inference(params, batch["text_input"], batch["text_lengths"], max_frames=32)
+    assert out["model_outputs"].shape == (2, 32, 20)
+    assert out["waveform"].shape == (2, 32 * 16, 1)
+    assert np.isfinite(np.asarray(out["waveform"])).all()
