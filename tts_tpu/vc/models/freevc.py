@@ -1,0 +1,161 @@
+"""FreeVC — any-to-any voice conversion (reference ``TTS/vc/models/freevc.py:298``).
+
+VITS-style architecture: content (WavLM SSL) features → prior encoder;
+linear spec → posterior encoder; residual-coupling flow bridges them,
+conditioned on a speaker embedding; HiFiGAN decodes.  The WavLM content
+model is pluggable: pass precomputed SSL features, or any callable
+``wav → [B, T, ssl_dim]`` (the torch WavLM can be converted with
+``tts_tpu.utils.convert``; a native JAX WavLM port is tracked for a
+future round).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from tts_tpu.encoder.model import LSTMSpeakerEncoder
+from tts_tpu.layers.wavenet import WN
+from tts_tpu.models.vits.modules import PosteriorEncoder, ResidualCouplingBlocks
+from tts_tpu.ops import rand_segments, sequence_mask
+from tts_tpu.vocoder.models.hifigan_generator import HifiganGenerator
+
+from tts_tpu.vc.configs import FreeVCConfig
+
+
+class ContentEncoder(nn.Module):
+    """SSL features → prior stats (reference freevc Encoder: WN-based)."""
+
+    out_channels: int
+    hidden_channels: int
+    kernel_size: int = 5
+    n_layers: int = 16
+
+    @nn.compact
+    def __call__(self, x, x_lengths, train: bool = False):
+        x_mask = sequence_mask(x_lengths, x.shape[1])[:, :, None].astype(jnp.float32)
+        h = nn.Dense(self.hidden_channels, name="pre")(x) * x_mask
+        h = WN(
+            hidden_channels=self.hidden_channels,
+            kernel_size=self.kernel_size,
+            dilation_rate=1,
+            num_layers=self.n_layers,
+            name="enc",
+        )(h, x_mask, train=train)
+        stats = nn.Dense(self.out_channels * 2, name="proj")(h) * x_mask
+        m, logs = jnp.split(stats, 2, axis=-1)
+        return m, logs, x_mask
+
+
+class FreeVCModule(nn.Module):
+    args: "FreeVCArgs"
+
+    def setup(self):
+        a = self.args
+        self.enc_p = ContentEncoder(
+            out_channels=a.inter_channels, hidden_channels=a.hidden_channels, name="enc_p"
+        )
+        self.enc_q = PosteriorEncoder(
+            in_channels=a.spec_channels,
+            out_channels=a.inter_channels,
+            hidden_channels=a.hidden_channels,
+            kernel_size=5,
+            dilation_rate=1,
+            num_layers=16,
+            cond_channels=a.gin_channels,
+            name="enc_q",
+        )
+        self.flow = ResidualCouplingBlocks(
+            channels=a.inter_channels,
+            hidden_channels=a.hidden_channels,
+            kernel_size=5,
+            dilation_rate=1,
+            num_layers=4,
+            cond_channels=a.gin_channels,
+            name="flow",
+        )
+        self.dec = HifiganGenerator(
+            in_channels=a.inter_channels,
+            out_channels=1,
+            resblock_type=a.resblock,
+            resblock_dilation_sizes=tuple(map(tuple, a.resblock_dilation_sizes)),
+            resblock_kernel_sizes=tuple(a.resblock_kernel_sizes),
+            upsample_kernel_sizes=tuple(a.upsample_kernel_sizes),
+            upsample_initial_channel=a.upsample_initial_channel,
+            upsample_factors=tuple(a.upsample_rates),
+            cond_channels=a.gin_channels,
+            name="dec",
+        )
+        if not a.use_spk:
+            self.enc_spk = LSTMSpeakerEncoder(
+                input_dim=80, proj_dim=a.gin_channels, lstm_dim=768, num_lstm_layers=3,
+                name="enc_spk",
+            )
+
+    def __call__(self, c, c_lengths, spec, spec_lengths, g, train: bool = False):
+        """Training forward: c = SSL content [B, T, ssl_dim], spec = linear
+        spec [B, T, C], g = speaker embedding [B, gin]."""
+        m_p, logs_p, _ = self.enc_p(c, c_lengths, train=train)
+        z, m_q, logs_q, y_mask = self.enc_q(spec, spec_lengths, g=g, train=train)
+        z_p = self.flow(z, y_mask, g=g, train=train)
+        seg_rng = self.make_rng("segments")
+        z_slice, ids = rand_segments(
+            seg_rng, z, spec_lengths, segment_size=32, let_short_samples=True, pad_short=True
+        )
+        o = self.dec(z_slice, g=g)
+        return {
+            "model_outputs": o,
+            "m_p": m_p,
+            "logs_p": logs_p,
+            "z_p": z_p,
+            "m_q": m_q,
+            "logs_q": logs_q,
+            "slice_ids": ids,
+            "y_mask": y_mask,
+        }
+
+    def voice_conversion(self, c, c_lengths, g_tgt):
+        """Content features + target speaker → converted waveform
+        (reference ``freevc.py`` voice_conversion)."""
+        m_p, logs_p, x_mask = self.enc_p(c, c_lengths, train=False)
+        z_p = m_p + jnp.exp(logs_p) * jax.random.normal(self.make_rng("noise"), m_p.shape) * 0.5
+        z = self.flow(z_p * x_mask, x_mask, g=g_tgt, reverse=True)
+        return self.dec(z * x_mask, g=g_tgt)
+
+
+class FreeVC:
+    """Host wrapper (reference ``FreeVC``)."""
+
+    def __init__(self, config: FreeVCConfig):
+        self.config = config
+        self.args = config.model_args
+        self.module = FreeVCModule(args=self.args)
+
+    @classmethod
+    def init_from_config(cls, config: FreeVCConfig, samples=None):
+        return cls(config)
+
+    def init_params(self, rng, t: int = 16):
+        a = self.args
+        return self.module.init(
+            {"params": rng, "noise": jax.random.fold_in(rng, 1),
+             "segments": jax.random.fold_in(rng, 2)},
+            jnp.zeros((1, t, a.ssl_dim)),
+            jnp.full((1,), t, jnp.int32),
+            jnp.zeros((1, t, a.spec_channels)),
+            jnp.full((1,), t, jnp.int32),
+            jnp.zeros((1, a.gin_channels)),
+        )
+
+    def voice_conversion(self, params, content_features, content_lengths, target_speaker_emb, rng=None):
+        return self.module.apply(
+            params,
+            content_features,
+            content_lengths,
+            target_speaker_emb,
+            method=self.module.voice_conversion,
+            rngs={"noise": rng if rng is not None else jax.random.PRNGKey(0)},
+        )
