@@ -221,6 +221,115 @@ class XttsGPT(nn.Module):
         }
 
     # ------------------------------------------------------------------
+    def prefill(
+        self,
+        cond_latents: jnp.ndarray,  # [B, L_c, D]
+        text_inputs: jnp.ndarray,  # [B, T_text] token ids (unwrapped)
+        text_lengths: jnp.ndarray,
+        max_new_tokens: int = 600,
+    ):
+        """Run the conditioning+text prefix once; returns the decode state
+        pytree consumed by :meth:`decode_chunk` (chunked streaming) or the
+        full scan in :meth:`generate`."""
+        B = text_inputs.shape[0]
+        text_wrapped = jnp.concatenate(
+            [
+                jnp.full((B, 1), self.start_text_token),
+                text_inputs,
+                jnp.full((B, 1), self.stop_text_token),
+            ],
+            axis=1,
+        )
+        text_emb = self._embed_text(text_wrapped)
+        start_emb = self._embed_mel(jnp.full((B, 1), self.start_audio_token), offset=0)
+        prefix = jnp.concatenate([cond_latents, text_emb, start_emb], axis=1)
+        L_pre = prefix.shape[1]
+        max_len = L_pre + max_new_tokens
+
+        caches = self.gpt.init_cache(B, max_len, prefix.dtype)
+        pre_mask = causal_mask(L_pre)
+        pre_mask = jnp.pad(pre_mask, ((0, 0), (0, 0), (0, 0), (0, max_len - L_pre)))
+        h, caches = self.gpt(prefix, attn_mask=pre_mask, caches=caches, cache_index=0)
+        h = self.final_norm(h)
+        logits0 = self.mel_head(h[:, -1])
+        return {
+            "caches": caches,
+            "cur_index": jnp.asarray(L_pre, jnp.int32),
+            "tok_pos": jnp.asarray(1, jnp.int32),
+            "last_logits": logits0,
+            "last_h": h[:, -1],
+            "rep_counts": jnp.zeros((B, self.num_audio_tokens), jnp.int32),
+            "done": jnp.zeros((B,), bool),
+            "out_len": jnp.zeros((B,), jnp.int32),
+        }
+
+    def decode_chunk(
+        self,
+        state: Dict,
+        rng: jax.Array,
+        chunk_size: int = 20,
+        temperature: float = 0.75,
+        top_k: int = 50,
+        top_p: float = 0.85,
+        repetition_penalty: float = 5.0,
+    ):
+        """Decode ``chunk_size`` tokens from a prefill/decode state.
+        Returns (new_state, tokens [B, chunk], latents [B, chunk, D])."""
+        # max cache length is static (cache array shape), not traced state
+        max_len = state["caches"][0]["k"].shape[1]
+        step = self._make_step(max_len, temperature, top_k, top_p, repetition_penalty)
+        carry0 = (
+            state["caches"], state["cur_index"], state["tok_pos"],
+            state["last_logits"], state["last_h"], state["rep_counts"],
+            state["done"], state["out_len"],
+        )
+        rngs = jax.random.split(rng, chunk_size)
+        (caches, cur, pos, logits, h, rep, done, n), (toks, lats) = jax.lax.scan(
+            step, carry0, rngs
+        )
+        new_state = {
+            "caches": caches, "cur_index": cur, "tok_pos": pos,
+            "last_logits": logits, "last_h": h, "rep_counts": rep,
+            "done": done, "out_len": n,
+        }
+        return new_state, jnp.moveaxis(toks, 0, 1), jnp.moveaxis(lats, 0, 1)
+
+    def _make_step(self, max_len, temperature, top_k, top_p, repetition_penalty):
+        B = None  # inferred from carry
+        positions = jnp.arange(max_len)
+
+        def step(carry, rng_t):
+            caches, cur_index, tok_pos, last_logits, last_h, rep_counts, done, out_len = carry
+            tok = sample_logits(
+                rng_t,
+                last_logits,
+                temperature=temperature,
+                top_k=top_k,
+                top_p=top_p,
+                repetition_counts=rep_counts,
+                repetition_penalty=repetition_penalty,
+            )
+            tok = jnp.where(done, self.stop_audio_token, tok)
+            new_done = done | (tok == self.stop_audio_token)
+            out_len = out_len + (~new_done).astype(jnp.int32)
+            rep_counts = rep_counts.at[jnp.arange(tok.shape[0]), tok].add(1)
+
+            emb = self.mel_embedding(tok)[:, None, :]
+            pos_emb = jax.lax.dynamic_slice_in_dim(self.mel_pos_embedding, tok_pos, 1, 0)
+            emb = emb + pos_emb[None]
+            step_mask = (positions <= cur_index)[None, None, None, :]
+            h, new_caches = self.gpt(emb, attn_mask=step_mask, caches=caches, cache_index=cur_index)
+            h = self.final_norm(h)
+            logits = self.mel_head(h[:, -1])
+            return (
+                (new_caches, cur_index + 1, tok_pos + 1, logits, h[:, -1], rep_counts, new_done, out_len),
+                # emit the hidden state that PREDICTED tok (reference latent
+                # alignment: state at the previous position)
+                (tok, last_h),
+            )
+
+        return step
+
     def generate(
         self,
         cond_latents: jnp.ndarray,  # [B, L_c, D]
@@ -238,78 +347,10 @@ class XttsGPT(nn.Module):
 
         Returns codes ``[B, max_new_tokens]`` (stop-padded) and lengths.
         """
-        B = text_inputs.shape[0]
-        D = self.model_dim
-        text_wrapped = jnp.concatenate(
-            [
-                jnp.full((B, 1), self.start_text_token),
-                text_inputs,
-                jnp.full((B, 1), self.stop_text_token),
-            ],
-            axis=1,
+        state = self.prefill(cond_latents, text_inputs, text_lengths, max_new_tokens)
+        state, tokens, latents = self.decode_chunk(
+            state, rng, chunk_size=max_new_tokens,
+            temperature=temperature, top_k=top_k, top_p=top_p,
+            repetition_penalty=repetition_penalty,
         )
-        text_emb = self._embed_text(text_wrapped)
-        start_emb = self._embed_mel(jnp.full((B, 1), self.start_audio_token), offset=0)
-        prefix = jnp.concatenate([cond_latents, text_emb, start_emb], axis=1)
-        L_pre = prefix.shape[1]
-        max_len = L_pre + max_new_tokens
-
-        caches = self.gpt.init_cache(B, max_len, prefix.dtype)
-        # prefill: causal over the prefix
-        pre_mask = causal_mask(L_pre)
-        pre_mask = jnp.pad(pre_mask, ((0, 0), (0, 0), (0, 0), (0, max_len - L_pre)))
-        h, caches = self.gpt(prefix, attn_mask=pre_mask, caches=caches, cache_index=0)
-        h = self.final_norm(h)
-        logits0 = self.mel_head(h[:, -1])
-
-        positions = jnp.arange(max_len)
-
-        def step(carry, rng_t):
-            caches, cur_index, tok_pos, last_logits, last_h, rep_counts, done, out_len = carry
-            tok = sample_logits(
-                rng_t,
-                last_logits,
-                temperature=temperature,
-                top_k=top_k,
-                top_p=top_p,
-                repetition_counts=rep_counts,
-                repetition_penalty=repetition_penalty,
-            )
-            tok = jnp.where(done, self.stop_audio_token, tok)
-            new_done = done | (tok == self.stop_audio_token)
-            out_len = out_len + (~new_done).astype(jnp.int32)
-            rep_counts = rep_counts.at[jnp.arange(B), tok].add(1)
-
-            emb = self.mel_embedding(tok)[:, None, :]
-            pos_emb = jax.lax.dynamic_slice_in_dim(self.mel_pos_embedding, tok_pos, 1, 0)
-            emb = emb + pos_emb[None]
-            step_mask = (positions <= cur_index)[None, None, None, :]
-            h, new_caches = self.gpt(emb, attn_mask=step_mask, caches=caches, cache_index=cur_index)
-            h = self.final_norm(h)
-            logits = self.mel_head(h[:, -1])
-            return (
-                (new_caches, cur_index + 1, tok_pos + 1, logits, h[:, -1], rep_counts, new_done, out_len),
-                # emit the hidden state that PREDICTED tok (reference latent
-                # alignment: state at the previous position) alongside it —
-                # saves the reference's second full teacher-forced GPT pass
-                (tok, last_h),
-            )
-
-        rep0 = jnp.zeros((B, self.num_audio_tokens), jnp.int32)
-        carry0 = (
-            caches,
-            jnp.asarray(L_pre, jnp.int32),
-            jnp.asarray(1, jnp.int32),  # mel pos 0 = start token
-            logits0,
-            h[:, -1],
-            rep0,
-            jnp.zeros((B,), bool),
-            jnp.zeros((B,), jnp.int32),
-        )
-        rngs = jax.random.split(rng, max_new_tokens)
-        (caches, _, _, _, _, _, done, out_len), (tokens, latents) = jax.lax.scan(
-            step, carry0, rngs
-        )
-        tokens = jnp.moveaxis(tokens, 0, 1)  # [B, max_new_tokens]
-        latents = jnp.moveaxis(latents, 0, 1)  # [B, max_new_tokens, D]
-        return {"codes": tokens, "code_lengths": out_len, "latents": latents}
+        return {"codes": tokens, "code_lengths": state["out_len"], "latents": latents}

@@ -244,32 +244,69 @@ class Xtts:
         overlap_wav_len: int = 1024,
         max_new_tokens: Optional[int] = None,
         rng: Optional[jax.Array] = None,
+        temperature: float = 0.75,
+        top_k: int = 50,
+        top_p: float = 0.85,
+        repetition_penalty: float = 5.0,
         **sampling_kwargs,
     ) -> Iterator[np.ndarray]:
-        """Streaming synthesis: decode in code chunks, crossfade waveform
-        chunks (reference ``xtts.py:611`` + ``handle_chunks`` :585)."""
-        out = self.inference(
-            text, language, gpt_cond_latent, speaker_embedding,
-            max_new_tokens=max_new_tokens, rng=rng, **sampling_kwargs,
+        """TRUE incremental streaming (reference ``xtts.py:611``): prefill
+        once, then decode ``stream_chunk_size`` tokens at a time, vocode
+        each chunk's latents immediately and yield crossfaded audio.
+        Time-to-first-audio = prefill + one chunk + one vocoder call."""
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        token_ids = self.tokenizer.encode(text, language)
+        text_tokens = jnp.asarray(token_ids, jnp.int32)[None]
+        max_new = max_new_tokens or self.gpt.max_mel_tokens - 3
+        # round up to a whole number of chunks (static shapes per chunk)
+        n_chunks = -(-max_new // stream_chunk_size)
+
+        prefill = jax.jit(
+            lambda p, c, t: self.gpt.apply(
+                p, c, t, jnp.asarray([t.shape[1]]),
+                max_new_tokens=n_chunks * stream_chunk_size,
+                method=self.gpt.prefill,
+            ),
+            static_argnames=(),
         )
-        wav = out["wav"]
-        samples_per_chunk = stream_chunk_size * (
-            self.args.gpt_code_stride_len
-            * self.args.output_sample_rate
-            // self.args.input_sample_rate
+        chunk_fn = jax.jit(
+            lambda p, s, r: self.gpt.apply(
+                p, s, r, chunk_size=stream_chunk_size,
+                temperature=temperature, top_k=top_k, top_p=top_p,
+                repetition_penalty=repetition_penalty,
+                method=self.gpt.decode_chunk,
+            )
         )
-        last_tail = None
-        for i in range(0, len(wav), samples_per_chunk):
-            chunk = wav[i : i + samples_per_chunk].copy()
+        vocode = jax.jit(lambda p, lat, spk: self.hifigan_decoder.apply(p, lat, spk))
+
+        state = prefill(self.gpt_params, gpt_cond_latent, text_tokens)
+        last_tail: Optional[np.ndarray] = None
+        for i in range(n_chunks):
+            rng, sub = jax.random.split(rng)
+            state, toks, latents = chunk_fn(self.gpt_params, state, sub)
+            wav = np.asarray(vocode(self.decoder_params, latents, speaker_embedding), np.float32)[
+                0, :, 0
+            ]
+            # trim to real tokens in this chunk
+            done_before = int(np.asarray(state["out_len"])[0]) - int(
+                np.sum(np.asarray(toks[0]) != self.gpt.stop_audio_token)
+            )
+            n_valid = int(np.sum(np.asarray(toks[0]) != self.gpt.stop_audio_token))
+            if n_valid == 0:
+                break
+            samples_per_code = wav.shape[0] // latents.shape[1]
+            chunk = wav[: n_valid * samples_per_code].copy()
             if last_tail is not None and len(chunk) >= overlap_wav_len:
                 fade = np.linspace(0, 1, overlap_wav_len, dtype=np.float32)
                 chunk[:overlap_wav_len] = (
                     chunk[:overlap_wav_len] * fade + last_tail * (1 - fade)
                 )
-            last_tail = wav[
-                i + samples_per_chunk - overlap_wav_len : i + samples_per_chunk
-            ].copy() if i + samples_per_chunk <= len(wav) else None
+            last_tail = (
+                chunk[-overlap_wav_len:].copy() if len(chunk) >= overlap_wav_len else None
+            )
             yield chunk
+            if bool(np.asarray(state["done"])[0]):
+                break
 
     def synthesize(self, text: str, config, speaker_wav, language: str, **kwargs):
         """(reference ``xtts.py:382``)"""
