@@ -1,0 +1,147 @@
+"""VITS torch→flax conversion parity: run reference submodules and our
+converted flax modules on identical inputs."""
+
+import sys
+import types
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+
+@pytest.fixture(scope="module")
+def ref_vits():
+    def stub(name, **attrs):
+        m = types.ModuleType(name)
+        for k, v in attrs.items():
+            setattr(m, k, v)
+        sys.modules.setdefault(name, m)
+        return sys.modules[name]
+
+    stub("coqpit", Coqpit=object)
+    lib = stub("librosa", magphase=None, pyin=None, stft=None, istft=None, resample=None,
+               load=None, to_mono=None)
+    lib.effects = stub("librosa.effects", trim=None)
+    lib.filters = stub("librosa.filters", mel=None)
+    lib.feature = stub("librosa.feature", melspectrogram=None)
+    stub("soundfile", read=None, write=None)
+    stub("anyascii", anyascii=lambda s: s)
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    from TTS.tts.layers.vits import networks
+
+    return networks
+
+
+def test_text_encoder_parity(ref_vits):
+    from tts_tpu.models.vits.modules import TextEncoder
+    from tts_tpu.utils.convert import convert_vits_text_encoder
+
+    torch.manual_seed(0)
+    tm = ref_vits.TextEncoder(40, 16, 16, 32, 2, 2, 3, 0.0)
+    tm.eval()
+    x = np.random.RandomState(0).randint(1, 40, (2, 11))
+    xl = np.array([11, 8])
+    with torch.no_grad():
+        _, m_t, logs_t, mask_t = tm(torch.from_numpy(x), torch.from_numpy(xl))
+
+    state = {k: v.numpy() for k, v in tm.state_dict().items()}
+    params = convert_vits_text_encoder(state, num_layers=2)
+
+    jm = TextEncoder(
+        n_vocab=40, out_channels=16, hidden_channels=16, hidden_channels_ffn=32,
+        num_heads=2, num_layers=2, kernel_size=3, dropout_p=0.0,
+    )
+    _, m_j, logs_j, _ = jm.apply(params, jnp.asarray(x), jnp.asarray(xl))
+    np.testing.assert_allclose(
+        np.asarray(m_j), m_t.numpy().transpose(0, 2, 1), atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(logs_j), logs_t.numpy().transpose(0, 2, 1), atol=2e-4
+    )
+
+
+def test_posterior_encoder_parity(ref_vits):
+    from tts_tpu.models.vits.modules import PosteriorEncoder
+    from tts_tpu.utils.convert import convert_vits_posterior
+
+    torch.manual_seed(0)
+    tm = ref_vits.PosteriorEncoder(33, 16, 16, 5, 1, 4)
+    tm.eval()
+    spec = np.random.RandomState(0).randn(2, 33, 20).astype(np.float32)  # [B,C,T]
+    sl = np.array([20, 15])
+    with torch.no_grad():
+        _, m_t, logs_t, _ = tm(torch.from_numpy(spec), torch.from_numpy(sl))
+
+    state = {k: v.numpy() for k, v in tm.state_dict().items()}
+    params = convert_vits_posterior(state, num_layers=4)
+    jm = PosteriorEncoder(
+        in_channels=33, out_channels=16, hidden_channels=16, kernel_size=5,
+        dilation_rate=1, num_layers=4,
+    )
+    _, m_j, logs_j, _ = jm.apply(
+        params, jnp.asarray(spec.transpose(0, 2, 1)), jnp.asarray(sl),
+        rngs={"noise": jax.random.PRNGKey(0)},
+    )
+    np.testing.assert_allclose(np.asarray(m_j), m_t.numpy().transpose(0, 2, 1), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(logs_j), logs_t.numpy().transpose(0, 2, 1), atol=2e-4)
+
+
+def test_flow_parity(ref_vits):
+    from tts_tpu.models.vits.modules import ResidualCouplingBlocks
+    from tts_tpu.utils.convert import convert_vits_flow
+
+    torch.manual_seed(0)
+    tm = ref_vits.ResidualCouplingBlocks(16, 16, 5, 1, 2, num_flows=2)
+    tm.eval()
+    z = np.random.RandomState(0).randn(2, 16, 12).astype(np.float32)
+    mask_t = torch.ones(2, 1, 12)
+    with torch.no_grad():
+        fwd_t = tm(torch.from_numpy(z), mask_t).numpy()
+        rev_t = tm(torch.from_numpy(z), mask_t, reverse=True).numpy()
+
+    state = {k: v.numpy() for k, v in tm.state_dict().items()}
+    params = convert_vits_flow(state, num_flows=2, num_layers=2)
+    jm = ResidualCouplingBlocks(
+        channels=16, hidden_channels=16, kernel_size=5, dilation_rate=1,
+        num_layers=2, num_flows=2,
+    )
+    mask_j = jnp.ones((2, 12, 1))
+    fwd_j = jm.apply(params, jnp.asarray(z.transpose(0, 2, 1)), mask_j)
+    rev_j = jm.apply(params, jnp.asarray(z.transpose(0, 2, 1)), mask_j, reverse=True)
+    np.testing.assert_allclose(np.asarray(fwd_j), fwd_t.transpose(0, 2, 1), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(rev_j), rev_t.transpose(0, 2, 1), atol=2e-4)
+
+
+def test_sdp_inference_parity(ref_vits):
+    """SDP reverse path with zero noise is deterministic — exact comparison."""
+    from TTS.tts.layers.vits.stochastic_duration_predictor import (
+        StochasticDurationPredictor as TorchSDP,
+    )
+
+    from tts_tpu.models.vits.modules import StochasticDurationPredictor
+    from tts_tpu.utils.convert import convert_vits_sdp
+
+    torch.manual_seed(0)
+    tm = TorchSDP(16, 16, 3, 0.0, 2)
+    tm.eval()
+    x = np.random.RandomState(0).randn(2, 16, 9).astype(np.float32)
+    mask = torch.ones(2, 1, 9)
+    with torch.no_grad():
+        logw_t = tm(torch.from_numpy(x), mask, reverse=True, noise_scale=0.0).numpy()
+
+    state = {k: v.numpy() for k, v in tm.state_dict().items()}
+    params = convert_vits_sdp(state, num_flows=2)
+    jm = StochasticDurationPredictor(
+        in_channels=16, hidden_channels=16, kernel_size=3, dropout_p=0.0, num_flows=2,
+    )
+    logw_j = jm.apply(
+        params, jnp.asarray(x.transpose(0, 2, 1)), jnp.ones((2, 9, 1)),
+        reverse=True, noise_scale=0.0, rngs={"noise": jax.random.PRNGKey(0)},
+    )
+    np.testing.assert_allclose(
+        np.asarray(logw_j)[:, :, 0], logw_t[:, 0, :], atol=5e-4
+    )

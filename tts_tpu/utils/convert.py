@@ -137,3 +137,199 @@ def convert_hifigan_generator(state: Dict[str, np.ndarray]) -> Dict[str, Any]:
                     {"kernel": conv1d_kernel(w), "bias": b},
                 )
     return {"params": params}
+
+
+# ---------------------------------------------------------------------------
+# VITS converters
+# ---------------------------------------------------------------------------
+
+
+def _dense(state, key):
+    """torch 1x1 Conv1d or Linear → flax Dense leaf."""
+    w = state[f"{key}.weight"]
+    if w.ndim == 3:  # [out, in, 1] conv1x1
+        w = w[:, :, 0]
+    leaf = {"kernel": linear_kernel(w)}
+    if f"{key}.bias" in state:
+        leaf["bias"] = state[f"{key}.bias"]
+    return leaf
+
+
+def _conv(state, key):
+    """torch Conv1d → wrapped Conv1d (child "Conv_0")."""
+    leaf = {"kernel": conv1d_kernel(state[f"{key}.weight"])}
+    if f"{key}.bias" in state:
+        leaf["bias"] = state[f"{key}.bias"]
+    return {"Conv_0": leaf}
+
+
+def _plain_conv(state, key):
+    """torch Conv1d → bare nn.Conv leaf (no wrapper)."""
+    leaf = {"kernel": conv1d_kernel(state[f"{key}.weight"])}
+    if f"{key}.bias" in state:
+        leaf["bias"] = state[f"{key}.bias"]
+    return leaf
+
+
+def _layernorm(state, key):
+    """glow_tts LayerNorm (gamma/beta) or LayerNorm2 (weight/bias) → flax."""
+    if f"{key}.gamma" in state:
+        scale, bias = state[f"{key}.gamma"], state[f"{key}.beta"]
+    else:
+        scale, bias = state[f"{key}.weight"], state[f"{key}.bias"]
+    return {"scale": scale.reshape(-1), "bias": bias.reshape(-1)}
+
+
+def convert_rel_pos_transformer(state, prefix, num_layers):
+    """Reference ``glow_tts/transformer.py`` RelativePositionTransformer →
+    ``tts_tpu.layers.transformer.RelativePositionTransformer`` params."""
+    p = {}
+    for i in range(num_layers):
+        attn = {
+            "conv_q": _dense(state, f"{prefix}attn_layers.{i}.conv_q"),
+            "conv_k": _dense(state, f"{prefix}attn_layers.{i}.conv_k"),
+            "conv_v": _dense(state, f"{prefix}attn_layers.{i}.conv_v"),
+            "conv_o": _dense(state, f"{prefix}attn_layers.{i}.conv_o"),
+        }
+        if f"{prefix}attn_layers.{i}.emb_rel_k" in state:
+            attn["emb_rel_k"] = state[f"{prefix}attn_layers.{i}.emb_rel_k"]
+            attn["emb_rel_v"] = state[f"{prefix}attn_layers.{i}.emb_rel_v"]
+        p[f"attn_{i}"] = attn
+        p[f"norm1_{i}"] = {"LayerNorm_0": _layernorm(state, f"{prefix}norm_layers_1.{i}")}
+        p[f"ffn_{i}"] = {
+            "conv_1": _conv(state, f"{prefix}ffn_layers.{i}.conv_1"),
+            "conv_2": _conv(state, f"{prefix}ffn_layers.{i}.conv_2"),
+        }
+        p[f"norm2_{i}"] = {"LayerNorm_0": _layernorm(state, f"{prefix}norm_layers_2.{i}")}
+    return p
+
+
+def convert_wn(state, prefix, num_layers, has_cond=False):
+    """Reference ``generic/wavenet.py`` WN → ``tts_tpu.layers.wavenet.WN``."""
+    state = fold_weight_norm(state)
+    p = {}
+    for i in range(num_layers):
+        p[f"in_layer_{i}"] = _conv(state, f"{prefix}in_layers.{i}")
+        p[f"res_skip_layer_{i}"] = _dense(state, f"{prefix}res_skip_layers.{i}")
+    if has_cond and f"{prefix}cond_layer.weight" in state:
+        p["cond_layer"] = _dense(state, f"{prefix}cond_layer")
+    return p
+
+
+def convert_vits_text_encoder(state, num_layers=6):
+    """Reference ``vits/networks.py`` TextEncoder →
+    ``tts_tpu.models.vits.modules.TextEncoder``."""
+    p = {
+        "emb": {"embedding": state["emb.weight"]},
+        "encoder": convert_rel_pos_transformer(state, "encoder.", num_layers),
+        "proj": _dense(state, "proj"),
+    }
+    return {"params": p}
+
+
+def convert_vits_posterior(state, num_layers=16, has_cond=False):
+    """Reference PosteriorEncoder → ``tts_tpu`` PosteriorEncoder."""
+    return {
+        "params": {
+            "pre": _dense(state, "pre"),
+            "enc": convert_wn(state, "enc.", num_layers, has_cond),
+            "proj": _dense(state, "proj"),
+        }
+    }
+
+
+def convert_vits_flow(state, num_flows=4, num_layers=4, has_cond=False):
+    """Reference ResidualCouplingBlocks → ``tts_tpu`` ResidualCouplingBlocks."""
+    p = {}
+    for i in range(num_flows):
+        p[f"flow_{i}"] = {
+            "pre": _dense(state, f"flows.{i}.pre"),
+            "enc": convert_wn(state, f"flows.{i}.enc.", num_layers, has_cond),
+            "post": _dense(state, f"flows.{i}.post"),
+        }
+    return {"params": p}
+
+
+def _convert_dds(state, prefix, num_layers=3):
+    """DilatedDepthSeparableConv (reference ``stochastic_duration_predictor.py:9``)."""
+    p = {}
+    for i in range(num_layers):
+        p[f"conv_sep_{i}"] = _plain_conv(state, f"{prefix}convs_sep.{i}")
+        p[f"conv_1x1_{i}"] = _dense(state, f"{prefix}convs_1x1.{i}")
+        p[f"norm1_{i}"] = {"LayerNorm_0": _layernorm(state, f"{prefix}norms_1.{i}")}
+        p[f"norm2_{i}"] = {"LayerNorm_0": _layernorm(state, f"{prefix}norms_2.{i}")}
+    return p
+
+
+def _convert_conv_flow(state, prefix):
+    return {
+        "pre": _dense(state, f"{prefix}pre"),
+        "convs": _convert_dds(state, f"{prefix}convs."),
+        "proj": _dense(state, f"{prefix}proj"),
+    }
+
+
+def _convert_affine_flow(state, prefix):
+    return {
+        "translation": state[f"{prefix}translation"].reshape(-1),
+        "log_scale": state[f"{prefix}log_scale"].reshape(-1),
+    }
+
+
+def convert_vits_sdp(state, num_flows=4, has_cond=False):
+    """StochasticDurationPredictor → ``tts_tpu`` SDP params."""
+    p = {
+        "pre": _dense(state, "pre"),
+        "convs": _convert_dds(state, "convs."),
+        "proj": _dense(state, "proj"),
+        "post_pre": _dense(state, "post_pre"),
+        "post_convs": _convert_dds(state, "post_convs."),
+        "post_proj": _dense(state, "post_proj"),
+        "flow_affine": _convert_affine_flow(state, "flows.0."),
+        "post_flow_affine": _convert_affine_flow(state, "post_flows.0."),
+    }
+    for i in range(num_flows):
+        p[f"flow_{i}"] = _convert_conv_flow(state, f"flows.{i + 1}.")
+        p[f"post_flow_{i}"] = _convert_conv_flow(state, f"post_flows.{i + 1}.")
+    if has_cond and "cond.weight" in state:
+        p["cond"] = _dense(state, "cond")
+    return {"params": p}
+
+
+def _subdict(state, prefix):
+    return {k[len(prefix):]: v for k, v in state.items() if k.startswith(prefix)}
+
+
+def convert_vits_generator(state, args) -> Dict[str, Any]:
+    """Full reference ``Vits`` state dict → ``tts_tpu`` VitsModule params.
+
+    ``args`` is a ``VitsArgs`` (layer counts drive the name maps).
+    """
+    state = fold_weight_norm(state)
+    has_cond = bool(args.use_speaker_embedding or args.use_d_vector_file)
+    p = {
+        "text_encoder": convert_vits_text_encoder(
+            _subdict(state, "text_encoder."), num_layers=args.num_layers_text_encoder
+        )["params"],
+        "posterior_encoder": convert_vits_posterior(
+            _subdict(state, "posterior_encoder."),
+            num_layers=args.num_layers_posterior_encoder, has_cond=has_cond,
+        )["params"],
+        "flow": convert_vits_flow(
+            _subdict(state, "flow."), num_flows=4,
+            num_layers=args.num_layers_flow, has_cond=has_cond,
+        )["params"],
+        "waveform_decoder": convert_hifigan_generator(_subdict(state, "waveform_decoder."))[
+            "params"
+        ],
+    }
+    if args.use_sdp:
+        p["duration_predictor"] = convert_vits_sdp(
+            _subdict(state, "duration_predictor."), num_flows=4,
+            has_cond=has_cond and args.condition_dp_on_speaker,
+        )["params"]
+    if "emb_g.weight" in state:
+        p["emb_g"] = {"embedding": state["emb_g.weight"]}
+    if "emb_l.weight" in state:
+        p["emb_l"] = {"embedding": state["emb_l.weight"]}
+    return {"params": p}
