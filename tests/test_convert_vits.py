@@ -145,3 +145,34 @@ def test_sdp_inference_parity(ref_vits):
     np.testing.assert_allclose(
         np.asarray(logw_j)[:, :, 0], logw_t[:, 0, :], atol=5e-4
     )
+
+
+def test_glow_decoder_parity(ref_vits):
+    """Glow flow decoder: forward+reverse parity with the reference."""
+    from TTS.tts.layers.glow_tts.decoder import Decoder as TorchGlowDecoder
+
+    from tts_tpu.layers.glow import GlowDecoder
+    from tts_tpu.utils.convert import convert_glow_decoder
+
+    torch.manual_seed(0)
+    tm = TorchGlowDecoder(20, 24, 5, 1, num_flow_blocks=2, num_coupling_layers=2)
+    tm.eval()
+    tm.store_inverse()
+    y = np.random.RandomState(0).randn(1, 20, 16).astype(np.float32)
+    mask = torch.ones(1, 1, 8)
+    with torch.no_grad():
+        fwd_t, logdet_t = tm(torch.from_numpy(y), torch.ones(1, 1, 16))
+        rev_t, _ = tm(torch.from_numpy(y), torch.ones(1, 1, 16), reverse=True)
+
+    state = {k: v.numpy() for k, v in tm.state_dict().items()}
+    params = {"params": convert_glow_decoder(state, "", 2, 2)}
+    jm = GlowDecoder(
+        in_channels=20, hidden_channels=24, kernel_size=5, dilation_rate=1,
+        num_flow_blocks=2, num_coupling_layers=2,
+    )
+    y_j = jnp.asarray(y.transpose(0, 2, 1))
+    fwd_j, logdet_j, _ = jm.apply(params, y_j, jnp.ones((1, 16, 1)))
+    rev_j, _, _ = jm.apply(params, y_j, jnp.ones((1, 16, 1)), reverse=True)
+    np.testing.assert_allclose(np.asarray(fwd_j), fwd_t.numpy().transpose(0, 2, 1), atol=3e-4)
+    np.testing.assert_allclose(np.asarray(rev_j), rev_t.numpy().transpose(0, 2, 1), atol=3e-4)
+    np.testing.assert_allclose(float(jnp.sum(logdet_j)), float(logdet_t.sum()), atol=1e-3)

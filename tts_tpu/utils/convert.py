@@ -333,3 +333,80 @@ def convert_vits_generator(state, args) -> Dict[str, Any]:
     if "emb_l.weight" in state:
         p["emb_l"] = {"embedding": state["emb_l.weight"]}
     return {"params": p}
+
+
+# ---------------------------------------------------------------------------
+# GlowTTS converters
+# ---------------------------------------------------------------------------
+
+
+def convert_glow_duration_predictor(state, prefix=""):
+    """glow_tts DurationPredictor → ``tts_tpu.layers.common.DurationPredictor``."""
+    p = {
+        "conv_1": _conv(state, f"{prefix}conv_1"),
+        "norm_1": {"LayerNorm_0": _layernorm(state, f"{prefix}norm_1")},
+        "conv_2": _conv(state, f"{prefix}conv_2"),
+        "norm_2": {"LayerNorm_0": _layernorm(state, f"{prefix}norm_2")},
+        "proj": _plain_conv(state, f"{prefix}proj"),
+    }
+    if f"{prefix}cond.weight" in state:
+        p["cond"] = _dense(state, f"{prefix}cond")
+    return p
+
+
+def convert_glow_prenet(state, prefix, num_layers=3):
+    """ResidualConv1dLayerNormBlock → ``ConvLayerNormBlock``."""
+    p = {}
+    for i in range(num_layers):
+        p[f"conv_{i}"] = _conv(state, f"{prefix}conv_layers.{i}")
+        p[f"norm_{i}"] = {"LayerNorm_0": _layernorm(state, f"{prefix}norm_layers.{i}")}
+    p["proj"] = _plain_conv(state, f"{prefix}proj")
+    return p
+
+
+def convert_glow_decoder(state, prefix="", num_flow_blocks=12, num_coupling_layers=4):
+    """glow_tts Decoder (flows list) → ``tts_tpu.layers.glow.GlowDecoder``."""
+    state = fold_weight_norm(state)
+    p = {}
+    for k in range(num_flow_blocks):
+        base = 3 * k
+        p[f"actnorm_{k}"] = {
+            "logs": state[f"{prefix}flows.{base}.logs"].reshape(-1),
+            "bias": state[f"{prefix}flows.{base}.bias"].reshape(-1),
+        }
+        p[f"invconv_{k}"] = {"weight": state[f"{prefix}flows.{base + 1}.weight"]}
+        cpl = f"{prefix}flows.{base + 2}."
+        p[f"coupling_{k}"] = {
+            "start": _dense(state, f"{cpl}start"),
+            "wn": convert_wn(state, f"{cpl}wn.", num_coupling_layers, has_cond=True),
+            "end": _dense(state, f"{cpl}end"),
+        }
+    return p
+
+
+def convert_glow_tts(state, config) -> Dict[str, Any]:
+    """Full reference ``GlowTTS`` state dict → ``tts_tpu`` GlowTTSModule."""
+    state = fold_weight_norm(state)
+    enc = {
+        "emb": {"embedding": state["encoder.emb.weight"]},
+        "encoder": convert_rel_pos_transformer(
+            state, "encoder.encoder.", config.encoder_params.get("num_layers", 6)
+        ),
+        "proj_m": _dense(state, "encoder.proj_m"),
+        "duration_predictor": convert_glow_duration_predictor(
+            state, "encoder.duration_predictor."
+        ),
+    }
+    if config.use_encoder_prenet:
+        enc["prenet"] = convert_glow_prenet(state, "encoder.prenet.")
+    if not config.mean_only and "encoder.proj_s.weight" in state:
+        enc["proj_s"] = _dense(state, "encoder.proj_s")
+    p = {
+        "enc": enc,
+        "dec": convert_glow_decoder(
+            state, "decoder.", config.num_flow_blocks_dec, config.num_block_layers
+        ),
+    }
+    if "emb_g.weight" in state:
+        p["emb_g"] = {"embedding": state["emb_g.weight"]}
+    return {"params": p}
