@@ -130,10 +130,16 @@ class Tacotron2DecoderCell(nn.Module):
     location_attn: bool = True
     attn_norm: str = "softmax"
     separate_stopnet: bool = True
+    attn_type: str = "original"  # "original" | "graves"
+    attn_K: int = 5  # Graves attention heads
+    use_forward_attn: bool = False
+    trans_agent: bool = False
+    attn_win: bool = False  # window attention around the running peak
 
     @nn.compact
     def __call__(self, carry, memory_t, inputs, processed_inputs, input_mask, train: bool = False):
-        (attn_h, attn_c, dec_h, dec_c, context, attn_w, attn_w_cum) = carry
+        (attn_h, attn_c, dec_h, dec_c, context, attn_w, attn_w_cum, alpha, u, mu_prev) = carry
+        T_in = inputs.shape[1]
 
         processed = Prenet(
             (self.prenet_dim, self.prenet_dim),
@@ -148,25 +154,60 @@ class Tacotron2DecoderCell(nn.Module):
         )
         query = nn.Dropout(0.1, deterministic=not train)(attn_h)
 
-        # location-sensitive additive attention (reference attentions.py:127)
-        processed_query = nn.Dense(self.attn_dim, use_bias=False, name="query_layer")(query)
-        energies = processed_inputs + processed_query[:, None, :]
-        if self.location_attn:
-            attn_cat = jnp.stack([attn_w, attn_w_cum], axis=-1)  # [B, T, 2]
-            loc = nn.Conv(32, (31,), padding=[(15, 15)], use_bias=False, name="location_conv")(
-                attn_cat
+        if self.attn_type == "graves":
+            # Graves GMM attention (reference attentions.py:40)
+            gbk = nn.Dense(self.query_dim, name="graves_l1")(query)
+            gbk = nn.Dense(3 * self.attn_K, name="graves_l2")(nn.relu(gbk))
+            g_t, b_t, k_t = jnp.split(gbk, 3, axis=-1)
+            sig_t = nn.softplus(b_t) + 1e-5
+            mu_t = mu_prev + nn.softplus(k_t)
+            g_t = nn.softmax(g_t, axis=-1) + 1e-5
+            j = jnp.arange(T_in, dtype=jnp.float32)[None, None, :] + 0.5
+            phi = g_t[..., None] * jnp.exp(
+                -0.5 * ((mu_t[..., None] - j) / sig_t[..., None]) ** 2
             )
-            loc = nn.Dense(self.attn_dim, use_bias=False, name="location_dense")(loc)
-            energies = energies + loc
-        scores = nn.Dense(1, name="v")(jnp.tanh(energies))[..., 0]  # [B, T]
-        scores = jnp.where(input_mask, scores, -jnp.inf)
-        if self.attn_norm == "sigmoid":
-            alignment = nn.sigmoid(scores) / jnp.sum(
-                nn.sigmoid(scores), axis=-1, keepdims=True
-            )
+            alignment = 0.3989422917366028 * jnp.sum(phi, axis=1)  # [B, T]
+            alignment = jnp.where(input_mask, alignment, 1e-8)
+            alignment = alignment / jnp.sum(alignment, -1, keepdims=True)
+            mu_prev = mu_t
         else:
-            alignment = nn.softmax(scores, axis=-1)
+            # location-sensitive additive attention (reference attentions.py:127)
+            processed_query = nn.Dense(self.attn_dim, use_bias=False, name="query_layer")(query)
+            energies = processed_inputs + processed_query[:, None, :]
+            if self.location_attn:
+                attn_cat = jnp.stack([attn_w, attn_w_cum], axis=-1)  # [B, T, 2]
+                loc = nn.Conv(32, (31,), padding=[(15, 15)], use_bias=False, name="location_conv")(
+                    attn_cat
+                )
+                loc = nn.Dense(self.attn_dim, use_bias=False, name="location_dense")(loc)
+                energies = energies + loc
+            scores = nn.Dense(1, name="v")(jnp.tanh(energies))[..., 0]  # [B, T]
+            scores = jnp.where(input_mask, scores, -jnp.inf)
+            if self.attn_win:
+                # attention windowing around the previous peak
+                # (reference init_win_idx: back=2, front=6)
+                peak = jnp.argmax(attn_w, axis=-1)
+                pos = jnp.arange(T_in)[None, :]
+                win = (pos >= peak[:, None] - 2) & (pos <= peak[:, None] + 6)
+                scores = jnp.where(win, scores, -jnp.inf)
+            if self.attn_norm == "sigmoid":
+                alignment = nn.sigmoid(scores) / jnp.sum(
+                    nn.sigmoid(scores), axis=-1, keepdims=True
+                )
+            else:
+                alignment = nn.softmax(scores, axis=-1)
+            if self.use_forward_attn:
+                # forward attention recursion (reference attentions.py:260)
+                fwd_shifted = jnp.pad(alpha[:, :-1], ((0, 0), (1, 0)))
+                alpha = ((1 - u) * alpha + u * fwd_shifted + 1e-8) * alignment
+                alpha = alpha / jnp.sum(alpha, axis=-1, keepdims=True)
+                alignment = alpha
         context = jnp.einsum("bt,btc->bc", alignment, inputs)
+        if self.use_forward_attn and self.trans_agent:
+            # transition agent gates move/stay (reference :312)
+            u = nn.sigmoid(
+                nn.Dense(1, name="trans_agent")(jnp.concatenate([context, query], -1))
+            )
         attn_w = alignment
         attn_w_cum = attn_w_cum + alignment
 
@@ -185,11 +226,15 @@ class Tacotron2DecoderCell(nn.Module):
             nn.Dropout(0.1, deterministic=not train)(stop_in)
         )
 
-        new_carry = (attn_h, attn_c, dec_h, dec_c, context, attn_w, attn_w_cum)
+        new_carry = (attn_h, attn_c, dec_h, dec_c, context, attn_w, attn_w_cum, alpha, u, mu_prev)
         return new_carry, (decoder_output, stop_token[..., 0], alignment)
 
     def init_carry(self, B: int, T_in: int, in_channels: int):
         z = jnp.zeros
+        # forward-attention alpha starts fully on the first token
+        alpha0 = jnp.concatenate(
+            [jnp.ones((B, 1)), jnp.full((B, T_in - 1), 1e-7)], axis=1
+        )
         return (
             z((B, self.query_dim)),
             z((B, self.query_dim)),
@@ -198,4 +243,7 @@ class Tacotron2DecoderCell(nn.Module):
             z((B, in_channels)),
             z((B, T_in)),
             z((B, T_in)),
+            alpha0,
+            0.5 * jnp.ones((B, 1)),
+            z((B, self.attn_K)),
         )

@@ -43,6 +43,11 @@ class Tacotron2Module(nn.Module):
     num_speakers: int = 0
     use_speaker_embedding: bool = False
     speaker_embedding_dim: int = 512
+    attn_type: str = "original"
+    attn_K: int = 5
+    use_forward_attn: bool = False
+    trans_agent: bool = False
+    attn_win: bool = False
 
     def setup(self):
         self.embedding = nn.Embed(
@@ -61,6 +66,11 @@ class Tacotron2Module(nn.Module):
             location_attn=self.location_attn,
             attn_norm=self.attn_norm,
             separate_stopnet=self.separate_stopnet,
+            attn_type=self.attn_type,
+            attn_K=self.attn_K,
+            use_forward_attn=self.use_forward_attn,
+            trans_agent=self.trans_agent,
+            attn_win=self.attn_win,
             name="decoder_cell",
         )
         self.inputs_layer = nn.Dense(128, use_bias=False, name="inputs_layer")
@@ -236,6 +246,11 @@ class Tacotron2:
             max_decoder_steps=config.max_decoder_steps,
             num_speakers=config.num_speakers,
             use_speaker_embedding=config.use_speaker_embedding,
+            attn_type=config.attention_type,
+            attn_K=config.attention_heads,
+            use_forward_attn=config.use_forward_attn,
+            trans_agent=config.transition_agent,
+            attn_win=config.attention_win,
         )
 
     @classmethod
