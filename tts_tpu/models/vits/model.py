@@ -323,12 +323,41 @@ class Vits:
 
     @classmethod
     def init_from_config(cls, config: VitsConfig, samples=None) -> "Vits":
-        from tts_tpu.models.base import init_tokenizer
+        from tts_tpu.models.base import init_speaker_manager, init_tokenizer
 
         tokenizer, config = init_tokenizer(config)
+        # mirror top-level multispeaker fields into model_args (reference
+        # Vits.init_multispeaker)
+        for f in ("num_speakers", "use_speaker_embedding", "use_d_vector_file", "d_vector_dim"):
+            if getattr(config, f, None):
+                setattr(config.model_args, f, getattr(config, f))
+        holder = type("_M", (), {})()
+        init_speaker_manager(holder, config, samples)
+        if holder.speaker_manager and config.model_args.use_speaker_embedding:
+            config.model_args.num_speakers = holder.speaker_manager.num_speakers
         model = cls(config)
         model.tokenizer = tokenizer
+        model.speaker_manager = holder.speaker_manager
+        model.language_manager = holder.language_manager
         return model
+
+    def get_aux_input(self):
+        return {"speaker_manager": getattr(self, "speaker_manager", None)}
+
+    def make_train_step(self, config, rng):
+        """Trainer hook: fused GAN step (see ``vits/train.py``)."""
+        from .train import create_train_state, make_train_step
+
+        state = create_train_state(self, config, rng)
+        step_fn, optimizers = make_train_step(self, config)
+        return step_fn, optimizers, state
+
+    @staticmethod
+    def format_batch(batch):
+        """Map dataset keys to the VITS step contract."""
+        if "spec" in batch and "spec_lengths" not in batch:
+            batch["spec_lengths"] = batch["mel_lengths"]
+        return batch
 
     def init_params(self, rng: jax.Array, t_en: int = 17, t_de: int = 64):
         a = self.args

@@ -165,10 +165,19 @@ class Trainer:
 
         ap = AudioProcessor.init_from_config(self.config.audio, verbose=False)
         tokenizer = getattr(self.model, "tokenizer", None)
+        speaker_manager = getattr(self.model, "speaker_manager", None)
+        language_manager = getattr(self.model, "language_manager", None)
         ds = TTSDataset(
             samples=samples,
             ap=ap,
             tokenizer=tokenizer,
+            speaker_id_mapping=speaker_manager.name_to_id if speaker_manager else None,
+            language_id_mapping=language_manager.name_to_id if language_manager else None,
+            d_vector_mapping=(
+                speaker_manager.embeddings
+                if speaker_manager and getattr(self.config, "use_d_vector_file", False)
+                else None
+            ),
             compute_linear_spec=getattr(self.config, "compute_linear_spec", False),
             return_wav=getattr(self.config, "return_wav", False),
             compute_f0=getattr(self.config, "compute_f0", False),
