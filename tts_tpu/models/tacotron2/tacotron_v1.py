@@ -31,6 +31,8 @@ class TacotronModule(nn.Module):
     gst_num_heads: int = 4
     gst_num_style_tokens: int = 10
     gst_embedding_dim: int = 256
+    use_capacitron_vae: bool = False
+    capacitron_VAE_embedding_dim: int = 128
     max_decoder_steps: int = 500
 
     def setup(self):
@@ -60,6 +62,13 @@ class TacotronModule(nn.Module):
                 gst_embedding_dim=self.gst_embedding_dim,
                 name="gst_layer",
             )
+        if self.use_capacitron_vae:
+            from tts_tpu.layers.capacitron import CapacitronVAE
+
+            self.capacitron_layer = CapacitronVAE(
+                capacitron_VAE_embedding_dim=self.capacitron_VAE_embedding_dim,
+                name="capacitron_vae_layer",
+            )
 
     def _encode(self, text, text_lengths, mel_for_style, train):
         x_mask = sequence_mask(text_lengths, text.shape[1])[:, :, None].astype(jnp.float32)
@@ -76,11 +85,20 @@ class TacotronModule(nn.Module):
                 [enc, jnp.broadcast_to(style[:, None], (enc.shape[0], enc.shape[1], style.shape[-1]))],
                 axis=-1,
             )
-        return enc
+        extras = {}
+        if self.use_capacitron_vae:
+            z, kl, beta = self.capacitron_layer(mel_for_style, enc)
+            extras["capacitron_kl"] = kl
+            extras["capacitron_beta"] = beta
+            enc = jnp.concatenate(
+                [enc, jnp.broadcast_to(z, (enc.shape[0], enc.shape[1], z.shape[-1]))], axis=-1
+            )
+        return enc, extras
 
     def __call__(self, text, text_lengths, mel_specs, mel_lengths, aux_input=None, train: bool = False):
         B, T_in = text.shape
-        enc = self._encode(text, text_lengths, mel_specs if self.use_gst else None, train)
+        style_mel_in = mel_specs if (self.use_gst or self.use_capacitron_vae) else None
+        enc, extras = self._encode(text, text_lengths, style_mel_in, train)
         input_mask = sequence_mask(text_lengths, T_in)
         processed_inputs = self.inputs_layer(enc)
 
@@ -109,13 +127,14 @@ class TacotronModule(nn.Module):
             "decoder_outputs": decoder_outputs,  # mel [B, T, 80]
             "alignments": alignments,
             "stop_tokens": stop_tokens,
+            **extras,
         }
 
     def inference(self, text, text_lengths, aux_input=None, max_steps: Optional[int] = None,
                   style_mel: Optional[jnp.ndarray] = None):
         B, T_in = text.shape
         max_steps = max_steps or self.max_decoder_steps
-        enc = self._encode(text, text_lengths, style_mel, train=False)
+        enc, _ = self._encode(text, text_lengths, style_mel, train=False)
         input_mask = sequence_mask(text_lengths, T_in)
         processed_inputs = self.inputs_layer(enc)
 
@@ -163,6 +182,7 @@ class Tacotron(Tacotron2):
             r=config.r,
             encoder_in_features=config.encoder_in_features,
             use_gst=config.use_gst,
+            use_capacitron_vae=config.use_capacitron_vae,
             max_decoder_steps=config.max_decoder_steps,
         )
 
@@ -186,7 +206,19 @@ class Tacotron(Tacotron2):
             + self.config.postnet_loss_alpha * post_loss
             + stop_loss
         )
+        extra_metrics = {}
+        if outputs.get("capacitron_kl") is not None:
+            from tts_tpu.layers.capacitron import capacitron_loss
+
+            cap = (self.config.capacitron_vae or {})
+            cap_loss, kl = capacitron_loss(
+                outputs["capacitron_kl"], outputs["capacitron_beta"],
+                capacity=cap.get("capacitron_capacity", 150.0),
+            )
+            loss = loss + cap.get("capacitron_VAE_loss_alpha", 0.25) * cap_loss
+            extra_metrics = {"capacitron_loss": cap_loss, "capacitron_kl": kl}
         return loss, {
+            **extra_metrics,
             "loss": loss,
             "decoder_loss": dec_loss,
             "postnet_loss": post_loss,
