@@ -31,6 +31,12 @@ def ref_vits():
     stub("anyascii", anyascii=lambda s: s)
     if "/root/reference" not in sys.path:
         sys.path.insert(0, "/root/reference")
+    # test_convert.py registers bare-module TTS/TTS.utils stubs; purge any
+    # that don't come from the real reference tree so package imports work
+    for key in list(sys.modules):
+        if key == "TTS" or key.startswith("TTS."):
+            if not str(getattr(sys.modules[key], "__file__", "")).startswith("/root/reference"):
+                del sys.modules[key]
     from TTS.tts.layers.vits import networks
 
     return networks

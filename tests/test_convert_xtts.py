@@ -1,0 +1,149 @@
+"""XTTS GPT torch→flax conversion parity: run the reference GPT stack and
+our converted flax modules on identical inputs (reference
+``TTS/tts/layers/xtts/gpt.py:88``)."""
+
+import sys
+import types
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+DIMS = dict(
+    layers=2,
+    model_dim=64,
+    heads=4,
+    max_text_tokens=40,
+    max_mel_tokens=60,
+    max_prompt_tokens=2,
+    number_text_tokens=50,
+    num_audio_tokens=30,
+    start_audio_token=26,
+    stop_audio_token=27,
+    start_text_token=48,
+    stop_text_token=0,
+)
+
+
+@pytest.fixture(scope="module")
+def ref_gpt():
+    import importlib.machinery
+
+    def stub(name, **attrs):
+        # reuse a stub another test already registered, but make sure it has
+        # a real __spec__ — transformers probes importlib.util.find_spec on
+        # optional deps and a None __spec__ makes that raise
+        m = sys.modules.setdefault(name, types.ModuleType(name))
+        if getattr(m, "__spec__", None) is None:
+            m.__spec__ = importlib.machinery.ModuleSpec(name, None)
+        for k, v in attrs.items():
+            if not hasattr(m, k):
+                setattr(m, k, v)
+        return m
+
+    stub("coqpit", Coqpit=object)
+    lib = stub("librosa", magphase=None, pyin=None, stft=None, istft=None, resample=None,
+               load=None, to_mono=None)
+    lib.effects = stub("librosa.effects", trim=None)
+    lib.filters = stub("librosa.filters", mel=None)
+    lib.feature = stub("librosa.feature", melspectrogram=None)
+    stub("soundfile", read=None, write=None)
+    stub("anyascii", anyascii=lambda s: s)
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    # test_convert.py registers bare-module TTS/TTS.utils stubs; purge any
+    # that don't come from the real reference tree so package imports work
+    for key in list(sys.modules):
+        if key == "TTS" or key.startswith("TTS."):
+            if not str(getattr(sys.modules[key], "__file__", "")).startswith("/root/reference"):
+                del sys.modules[key]
+    from TTS.tts.layers.xtts.gpt import GPT
+
+    torch.manual_seed(0)
+    model = GPT(use_perceiver_resampler=True, **DIMS)
+    model.eval()
+    return model
+
+
+@pytest.fixture(scope="module")
+def converted(ref_gpt):
+    from tts_tpu.utils.convert import convert_xtts_gpt
+
+    sd = {k: v.detach().numpy() for k, v in ref_gpt.state_dict().items()}
+    return convert_xtts_gpt(
+        sd, layers=DIMS["layers"], heads=DIMS["heads"], prefix=""
+    )
+
+
+def test_gpt2_core_parity(ref_gpt, converted):
+    from tts_tpu.models.xtts.gpt_core import GPT2Core, causal_mask
+
+    B, T, D = 2, 11, DIMS["model_dim"]
+    emb = np.random.RandomState(0).randn(B, T, D).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref_gpt.gpt(inputs_embeds=torch.from_numpy(emb)).last_hidden_state.numpy()
+
+    core = GPT2Core(layers=DIMS["layers"], dim=D, heads=DIMS["heads"])
+    ours, _ = core.apply(
+        {"params": converted["params"]["gpt"]}, jnp.asarray(emb), causal_mask(T)
+    )
+    np.testing.assert_allclose(np.asarray(ours), ref_out, atol=2e-4)
+
+
+def test_style_emb_parity(ref_gpt, converted):
+    """ConditioningEncoder + PerceiverResampler (reference gpt.py:353)."""
+    from tts_tpu.models.xtts.gpt import XttsGPT
+
+    B, T = 2, 37
+    mel = np.random.RandomState(1).randn(B, 80, T).astype(np.float32)
+    with torch.no_grad():
+        ref_lat = ref_gpt.get_style_emb(torch.from_numpy(mel)).numpy()  # [B, D, 32]
+
+    module = XttsGPT(
+        layers=DIMS["layers"], model_dim=DIMS["model_dim"], heads=DIMS["heads"],
+        number_text_tokens=DIMS["number_text_tokens"],
+        num_audio_tokens=DIMS["num_audio_tokens"],
+        start_audio_token=DIMS["start_audio_token"],
+        stop_audio_token=DIMS["stop_audio_token"],
+        start_text_token=DIMS["start_text_token"],
+        stop_text_token=DIMS["stop_text_token"],
+        max_text_tokens=DIMS["max_text_tokens"],
+        max_mel_tokens=DIMS["max_mel_tokens"],
+        use_perceiver_resampler=True,
+    )
+    ours = module.apply(
+        converted, jnp.asarray(mel.transpose(0, 2, 1)), method=XttsGPT.get_style_emb
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours), ref_lat.transpose(0, 2, 1), atol=2e-4
+    )
+
+
+def test_full_forward_with_converted(ref_gpt, converted):
+    """Converted checkpoint drives our full teacher-forced forward."""
+    from tts_tpu.models.xtts.gpt import XttsGPT
+
+    module = XttsGPT(
+        layers=DIMS["layers"], model_dim=DIMS["model_dim"], heads=DIMS["heads"],
+        number_text_tokens=DIMS["number_text_tokens"],
+        num_audio_tokens=DIMS["num_audio_tokens"],
+        start_audio_token=DIMS["start_audio_token"],
+        stop_audio_token=DIMS["stop_audio_token"],
+        start_text_token=DIMS["start_text_token"],
+        stop_text_token=DIMS["stop_text_token"],
+        max_text_tokens=DIMS["max_text_tokens"],
+        max_mel_tokens=DIMS["max_mel_tokens"],
+        use_perceiver_resampler=True,
+    )
+    rs = np.random.RandomState(2)
+    text = jnp.asarray(rs.randint(1, 40, (2, 9)))
+    codes = jnp.asarray(rs.randint(0, 26, (2, 13)))
+    mel = jnp.asarray(rs.randn(2, 37, 80).astype(np.float32))
+    out = module.apply(
+        converted, text, jnp.array([9, 7]), codes, jnp.array([13, 11]), cond_mels=mel
+    )
+    assert np.isfinite(np.asarray(out["mel_logits"])).all()
+    assert np.isfinite(np.asarray(out["text_logits"])).all()

@@ -25,15 +25,25 @@ class AttentionBlock(nn.Module):
     dim: int
     heads: int
 
+    @staticmethod
+    def num_groups(channels: int) -> int:
+        """Reference ``latent_encoder.py:25`` normalization() group count."""
+        groups = 32 if channels > 64 else (16 if channels > 16 else 8)
+        while channels % groups != 0:
+            groups //= 2
+        return groups
+
     @nn.compact
     def __call__(self, x):  # [B, T, D]
-        h = nn.GroupNorm(num_groups=32, name="norm")(x)
+        h = nn.GroupNorm(num_groups=self.num_groups(self.dim), name="norm")(x)
         B, T, D = h.shape
         qkv = nn.Dense(3 * D, name="qkv")(h).reshape(B, T, 3, self.heads, D // self.heads)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         scores = jnp.einsum("bthd,bshd->bhts", q, k) / math.sqrt(D // self.heads)
         out = jnp.einsum("bhts,bshd->bthd", nn.softmax(scores, -1), v).reshape(B, T, D)
-        return x + nn.Dense(D, name="proj_out")(out)
+        # reference quirk (latent_encoder.py:109): x is reassigned to norm(x)
+        # before the residual, so the skip rides the NORMALIZED input
+        return h + nn.Dense(D, name="proj_out")(out)
 
 
 class ConditioningEncoder(nn.Module):
@@ -53,8 +63,12 @@ class ConditioningEncoder(nn.Module):
 
 
 class PerceiverResampler(nn.Module):
-    """32 learned latents cross-attend to conditioning features
-    (reference ``perceiver_encoder.py:319``)."""
+    """32 learned latents cross-attend to conditioning features.
+
+    Mirrors the reference computation exactly (``perceiver_encoder.py:225``):
+    no pre-norms, queries prepended to the cross-attention context, fused
+    ``to_kv`` projection, GEGLU feed-forward with inner dim ``dim*mult*2/3``,
+    and a final RMSNorm — so converted torch checkpoints line up 1:1."""
 
     dim: int
     depth: int = 2
@@ -71,13 +85,12 @@ class PerceiverResampler(nn.Module):
         )
         x = jnp.broadcast_to(latents[None], (B, self.num_latents, self.dim))
         inner = self.dim_head * self.heads
+        ff_inner = int(self.dim * self.ff_mult * 2 / 3)
         for i in range(self.depth):
-            q_in = nn.LayerNorm(name=f"norm_q_{i}")(x)
-            kv_src = jnp.concatenate([ctx, x], axis=1)
-            kv_in = nn.LayerNorm(name=f"norm_kv_{i}")(kv_src)
-            q = nn.Dense(inner, use_bias=False, name=f"to_q_{i}")(q_in)
-            k = nn.Dense(inner, use_bias=False, name=f"to_k_{i}")(kv_in)
-            v = nn.Dense(inner, use_bias=False, name=f"to_v_{i}")(kv_in)
+            kv_src = jnp.concatenate([x, ctx], axis=1)
+            q = nn.Dense(inner, use_bias=False, name=f"to_q_{i}")(x)
+            kv = nn.Dense(2 * inner, use_bias=False, name=f"to_kv_{i}")(kv_src)
+            k, v = jnp.split(kv, 2, axis=-1)
             q = q.reshape(B, -1, self.heads, self.dim_head)
             k = k.reshape(B, -1, self.heads, self.dim_head)
             v = v.reshape(B, -1, self.heads, self.dim_head)
@@ -85,10 +98,12 @@ class PerceiverResampler(nn.Module):
             out = jnp.einsum("bhts,bshd->bthd", nn.softmax(scores, -1), v)
             out = out.reshape(B, -1, inner)
             x = x + nn.Dense(self.dim, use_bias=False, name=f"to_out_{i}")(out)
-            ff_in = nn.LayerNorm(name=f"norm_ff_{i}")(x)
-            ff = nn.Dense(self.dim * self.ff_mult, name=f"ff1_{i}")(ff_in)
-            x = x + nn.Dense(self.dim, name=f"ff2_{i}")(nn.gelu(ff))
-        return nn.LayerNorm(name="norm_out")(x)
+            ff = nn.Dense(2 * ff_inner, name=f"ff1_{i}")(x)
+            val, gate = jnp.split(ff, 2, axis=-1)
+            x = x + nn.Dense(self.dim, name=f"ff2_{i}")(nn.gelu(gate, approximate=False) * val)
+        gamma = self.param("norm_gamma", nn.initializers.ones, (self.dim,))
+        norm = jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
+        return x / norm * math.sqrt(self.dim) * gamma
 
 
 class XttsGPT(nn.Module):

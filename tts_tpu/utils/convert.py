@@ -410,3 +410,108 @@ def convert_glow_tts(state, config) -> Dict[str, Any]:
     if "emb_g.weight" in state:
         p["emb_g"] = {"embedding": state["emb_g.weight"]}
     return {"params": p}
+
+
+# ---------------------------------------------------------------------------
+# XTTS v2 GPT (reference TTS/tts/layers/xtts/gpt.py:88)
+# ---------------------------------------------------------------------------
+
+def _qkv_interleaved_dense(state, key, heads):
+    """Conditioning-encoder qkv conv1x1 → flax Dense.
+
+    The reference QKVAttention (latent_encoder.py:43) lays out the 3C output
+    channels head-major ``[H, (q,k,v), dh]``; our AttentionBlock reshapes
+    ``[.., 3, H, dh]`` — permute out-channels accordingly."""
+    w = state[f"{key}.weight"][:, :, 0]  # [3D, D]
+    b = state[f"{key}.bias"]
+    d = w.shape[1]
+    dh = d // heads
+    w = w.reshape(heads, 3, dh, d).transpose(1, 0, 2, 3).reshape(3 * d, d)
+    b = b.reshape(heads, 3, dh).transpose(1, 0, 2).reshape(3 * d)
+    return {"kernel": linear_kernel(w), "bias": b}
+
+
+def convert_conditioning_encoder(state, prefix="", heads=16, attn_blocks=6):
+    """ConditioningEncoder (reference latent_encoder.py:119)."""
+    p = {"init": _dense(state, f"{prefix}init")}
+    for i in range(attn_blocks):
+        k = f"{prefix}attn.{i}"
+        p[f"attn_{i}"] = {
+            "norm": _layernorm(state, f"{k}.norm"),
+            "qkv": _qkv_interleaved_dense(state, f"{k}.qkv", heads),
+            "proj_out": _dense(state, f"{k}.proj_out"),
+        }
+    return p
+
+
+def convert_perceiver_resampler(state, prefix="", depth=2):
+    """PerceiverResampler (reference perceiver_encoder.py:225).
+
+    Reference FeedForward is ``Sequential(Linear, GEGLU, Linear)`` →
+    torch keys ``layers.{i}.1.{0,2}``; attention projections are bias-free."""
+    p = {"latents": state[f"{prefix}latents"], "norm_gamma": state[f"{prefix}norm.gamma"]}
+    for i in range(depth):
+        a = f"{prefix}layers.{i}.0"
+        f = f"{prefix}layers.{i}.1"
+        p[f"to_q_{i}"] = {"kernel": linear_kernel(state[f"{a}.to_q.weight"])}
+        p[f"to_kv_{i}"] = {"kernel": linear_kernel(state[f"{a}.to_kv.weight"])}
+        p[f"to_out_{i}"] = {"kernel": linear_kernel(state[f"{a}.to_out.weight"])}
+        p[f"ff1_{i}"] = _dense(state, f"{f}.0")
+        p[f"ff2_{i}"] = _dense(state, f"{f}.2")
+    return p
+
+
+def convert_gpt2_core(state, prefix="", layers=30):
+    """HF GPT2Model → GPT2Core.  HF Conv1D weights are already ``[in, out]``
+    (no transpose); gate order q,k,v matches our ``jnp.split``."""
+
+    def hf_dense(key):
+        leaf = {"kernel": state[f"{key}.weight"]}
+        if f"{key}.bias" in state:
+            leaf["bias"] = state[f"{key}.bias"]
+        return leaf
+
+    p = {"ln_f": _layernorm(state, f"{prefix}ln_f")}
+    for i in range(layers):
+        k = f"{prefix}h.{i}"
+        p[f"h_{i}"] = {
+            "ln_1": _layernorm(state, f"{k}.ln_1"),
+            "ln_2": _layernorm(state, f"{k}.ln_2"),
+            "attn": {"c_attn": hf_dense(f"{k}.attn.c_attn"), "c_proj": hf_dense(f"{k}.attn.c_proj")},
+            "mlp_fc": hf_dense(f"{k}.mlp.c_fc"),
+            "mlp_proj": hf_dense(f"{k}.mlp.c_proj"),
+        }
+    return p
+
+
+def convert_xtts_gpt(
+    state,
+    layers=30,
+    heads=16,
+    cond_attn_blocks=6,
+    perceiver_depth=2,
+    use_perceiver=True,
+    prefix="gpt.",
+):
+    """Full XTTS GPT stack (reference gpt.py:88 GPT).  ``state`` is the
+    checkpoint dict; ``prefix`` is where the GPT lives (``"gpt."`` inside a
+    full XTTS checkpoint, ``""`` for a bare GPT state dict)."""
+    s = _subdict(state, prefix) if prefix else dict(state)
+    p = {
+        "conditioning_encoder": convert_conditioning_encoder(
+            s, "conditioning_encoder.", heads, cond_attn_blocks
+        ),
+        "text_embedding": {"embedding": s["text_embedding.weight"]},
+        "mel_embedding": {"embedding": s["mel_embedding.weight"]},
+        "text_pos_embedding": s["text_pos_embedding.emb.weight"],
+        "mel_pos_embedding": s["mel_pos_embedding.emb.weight"],
+        "gpt": convert_gpt2_core(s, "gpt.", layers),
+        "final_norm": _layernorm(s, "final_norm"),
+        "text_head": _dense(s, "text_head"),
+        "mel_head": _dense(s, "mel_head"),
+    }
+    if use_perceiver:
+        p["conditioning_perceiver"] = convert_perceiver_resampler(
+            s, "conditioning_perceiver.", perceiver_depth
+        )
+    return {"params": p}
