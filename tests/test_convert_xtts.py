@@ -147,3 +147,102 @@ def test_full_forward_with_converted(ref_gpt, converted):
     )
     assert np.isfinite(np.asarray(out["mel_logits"])).all()
     assert np.isfinite(np.asarray(out["text_logits"])).all()
+
+
+@pytest.fixture(scope="module")
+def ref_hifi():
+    """Reference XTTS HiFi decoder parts (needs a torchaudio stub)."""
+    import types as _types
+    import importlib.machinery as _mach
+
+    def stub(name, **attrs):
+        m = sys.modules.setdefault(name, _types.ModuleType(name))
+        if getattr(m, "__spec__", None) is None:
+            m.__spec__ = _mach.ModuleSpec(name, None)
+        for k, v in attrs.items():
+            if not hasattr(m, k):
+                setattr(m, k, v)
+        return m
+
+    ta = stub("torchaudio")
+    ta.transforms = stub("torchaudio.transforms", MelSpectrogram=object)
+    stub("coqpit", Coqpit=object)
+    lib = stub("librosa", magphase=None, pyin=None, stft=None, istft=None,
+               resample=None, load=None, to_mono=None)
+    lib.effects = stub("librosa.effects", trim=None)
+    lib.filters = stub("librosa.filters", mel=None)
+    lib.feature = stub("librosa.feature", melspectrogram=None)
+    stub("soundfile", read=None, write=None)
+    stub("anyascii", anyascii=lambda s: s)
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    for key in list(sys.modules):
+        if key == "TTS" or key.startswith("TTS."):
+            if not str(getattr(sys.modules[key], "__file__", "")).startswith("/root/reference"):
+                del sys.modules[key]
+    from TTS.tts.layers.xtts import hifigan_decoder
+
+    return hifigan_decoder
+
+
+def test_resnet_speaker_encoder_parity(ref_hifi):
+    from tts_tpu.encoder.model import ResNetSpeakerEncoder
+    from tts_tpu.utils.convert import convert_resnet_speaker_encoder
+
+    torch.manual_seed(1)
+    ref = ref_hifi.ResNetSpeakerEncoder(
+        input_dim=64, proj_dim=512, log_input=True, use_torch_spec=False
+    )
+    ref.eval()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = convert_resnet_speaker_encoder(sd)
+
+    mel = np.abs(np.random.RandomState(4).randn(2, 64, 80)).astype(np.float32) + 0.1
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(mel), l2_norm=True).numpy()
+
+    module = ResNetSpeakerEncoder(
+        input_dim=64, proj_dim=512, log_input=True, norm_type="folded"
+    )
+    ours = module.apply(
+        {"params": params}, jnp.asarray(mel.transpose(0, 2, 1)), l2_norm=True
+    )
+    np.testing.assert_allclose(np.asarray(ours), ref_out, atol=2e-4)
+
+
+def test_xtts_hifigan_parity(ref_hifi):
+    """XTTS waveform decoder variant: conds-in-each-up-layer + no-bias post."""
+    from tts_tpu.vocoder.models.hifigan_generator import HifiganGenerator
+    from tts_tpu.utils.convert import convert_hifigan_generator
+
+    torch.manual_seed(2)
+    ref = ref_hifi.HifiganGenerator(
+        64, 1, "1", [[1, 3, 5], [1, 3, 5], [1, 3, 5]], [3, 7, 11],
+        [16, 16, 4, 4], 128, [8, 8, 2, 2], inference_padding=0,
+        cond_channels=32, conv_pre_weight_norm=False,
+        conv_post_weight_norm=False, conv_post_bias=False,
+        cond_in_each_up_layer=True,
+    )
+    ref.eval()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = convert_hifigan_generator(sd)
+
+    rs = np.random.RandomState(5)
+    x = rs.randn(2, 64, 7).astype(np.float32)
+    g = rs.randn(2, 32, 1).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(x), g=torch.from_numpy(g)).numpy()
+
+    module = HifiganGenerator(
+        in_channels=64, out_channels=1, resblock_type="1",
+        resblock_dilation_sizes=((1, 3, 5),) * 3, resblock_kernel_sizes=(3, 7, 11),
+        upsample_kernel_sizes=(16, 16, 4, 4), upsample_initial_channel=128,
+        upsample_factors=(8, 8, 2, 2), inference_padding=0, cond_channels=32,
+        conv_post_bias=False, cond_in_each_up_layer=True,
+    )
+    ours = module.apply(
+        params, jnp.asarray(x.transpose(0, 2, 1)), jnp.asarray(g[:, :, 0])[:, None, :]
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours).transpose(0, 2, 1), ref_out, atol=2e-4
+    )

@@ -57,7 +57,9 @@ class SEBasicBlock(nn.Module):
     def __call__(self, x):
         residual = x
         out = nn.Conv(self.planes, (3, 3), strides=self.stride, padding=1, use_bias=False, name="conv1")(x)
-        out = nn.relu(_Norm2d(self.planes, self.norm_type, name="bn1")(out))
+        # reference order is conv → relu → bn (resnet.py:43-45 / xtts
+        # hifigan_decoder.py:373-375), not the usual conv → bn → relu
+        out = _Norm2d(self.planes, self.norm_type, name="bn1")(nn.relu(out))
         out = nn.Conv(self.planes, (3, 3), padding=1, use_bias=False, name="conv2")(out)
         out = _Norm2d(self.planes, self.norm_type, name="bn2")(out)
         out = SELayer(self.planes, name="se")(out)
@@ -93,7 +95,8 @@ class ResNetSpeakerEncoder(nn.Module):
         x = x[:, :, :, None]  # [B, T, M, 1]
 
         x = nn.Conv(self.num_filters[0], (3, 3), padding=1, name="conv1")(x)
-        x = nn.relu(_Norm2d(self.num_filters[0], self.norm_type, name="bn1")(x))
+        # conv → relu → bn, matching the reference stem (see SEBasicBlock)
+        x = _Norm2d(self.num_filters[0], self.norm_type, name="bn1")(nn.relu(x))
         for li, (n_blocks, planes) in enumerate(zip(self.layers, self.num_filters)):
             for bi in range(n_blocks):
                 stride = (2, 2) if (li > 0 and bi == 0) else (1, 1)
@@ -103,12 +106,14 @@ class ResNetSpeakerEncoder(nn.Module):
                 )(x)
 
         B, T, M, C = x.shape
-        x = x.reshape(B, T, M * C)  # flatten freq×chan per frame
+        # flatten chan×freq per frame, channel-major to match the reference's
+        # ``x.reshape(B, -1, T)`` on [B, C, M, T] (feature index = c*M + m)
+        x = jnp.swapaxes(x, 2, 3).reshape(B, T, C * M)
         # attentive statistics pooling (reference :104)
         attn_ch = 128
         w = nn.Conv(attn_ch, (1,), name="attn_conv1")(x)
         w = nn.relu(w)
-        w = _Norm2d(attn_ch, "group", name="attn_bn")(w) if self.norm_type == "group" else w
+        w = _Norm2d(attn_ch, self.norm_type, name="attn_bn")(w)
         w = nn.Conv(M * C, (1,), name="attn_conv2")(w)
         w = nn.softmax(w, axis=1)
         mu = jnp.sum(x * w, axis=1)

@@ -42,18 +42,32 @@ class HifiDecoder(nn.Module):
             cond_in_each_up_layer=self.cond_d_vector_in_each_upsampling_layer,
             name="waveform_decoder",
         )
+        # "folded" norm = eval-mode BatchNorm as elementwise affine, which is
+        # what converted reference checkpoints carry (running stats folded in)
         self.speaker_encoder = ResNetSpeakerEncoder(
-            input_dim=64, proj_dim=512, log_input=True, name="speaker_encoder"
+            input_dim=64, proj_dim=512, log_input=True, norm_type="folded",
+            name="speaker_encoder",
         )
+
+    @staticmethod
+    def _linear_interp(x: jnp.ndarray, scale: float) -> jnp.ndarray:
+        """Time-axis linear upsample matching ``F.interpolate(scale_factor=s,
+        mode="linear")``: the GIVEN scale drives the coordinate map (not the
+        in/out shape ratio, which differs for non-integer scales)."""
+        T_in = x.shape[1]
+        T_out = int(T_in * scale)
+        pos = (jnp.arange(T_out) + 0.5) / scale - 0.5
+        pos = jnp.clip(pos, 0.0, T_in - 1)
+        lo = jnp.floor(pos).astype(jnp.int32)
+        hi = jnp.minimum(lo + 1, T_in - 1)
+        w = (pos - lo)[None, :, None]
+        return x[:, lo] * (1.0 - w) + x[:, hi] * w
 
     def __call__(self, latents: jnp.ndarray, g: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         """latents [B, T_codes, D] → wav [B, T_wav, 1]."""
-        scale = self.ar_mel_length_compression / self.output_hop_length
-        T_up = int(latents.shape[1] * scale)
-        z = jax.image.resize(latents, (latents.shape[0], T_up, latents.shape[2]), "linear")
+        z = self._linear_interp(latents, self.ar_mel_length_compression / self.output_hop_length)
         if self.output_sample_rate != self.input_sample_rate:
-            T_sr = int(T_up * self.output_sample_rate / self.input_sample_rate)
-            z = jax.image.resize(z, (z.shape[0], T_sr, z.shape[2]), "linear")
+            z = self._linear_interp(z, self.output_sample_rate / self.input_sample_rate)
         return self.waveform_decoder(z, g=g)
 
     def embed_speaker(self, mel: jnp.ndarray) -> jnp.ndarray:

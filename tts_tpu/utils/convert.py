@@ -115,11 +115,15 @@ def convert_hifigan_generator(state: Dict[str, np.ndarray]) -> Dict[str, Any]:
             "kernel": convtranspose1d_kernel(state[f"ups.{i}.weight"]),
             "bias": state[f"ups.{i}.bias"],
         })
-        if f"cond_in_each_up_layer.{i}.weight" in state:
-            put(f"cond_up_{i}", {
-                "kernel": linear_kernel(state[f"cond_in_each_up_layer.{i}.weight"][:, :, 0]),
-                "bias": state[f"cond_in_each_up_layer.{i}.bias"],
-            })
+        # per-upsample cond convs: "conds.{i}" in the XTTS decoder variant
+        # (xtts/hifigan_decoder.py:261), "cond_in_each_up_layer.{i}" elsewhere
+        for cname in (f"conds.{i}", f"cond_in_each_up_layer.{i}"):
+            if f"{cname}.weight" in state:
+                put(f"cond_up_{i}", {
+                    "kernel": linear_kernel(state[f"{cname}.weight"][:, :, 0]),
+                    "bias": state[f"{cname}.bias"],
+                })
+                break
 
     n_res = len({k.split(".")[1] for k in state if k.startswith("resblocks.")})
     for r in range(n_res):
@@ -515,3 +519,75 @@ def convert_xtts_gpt(
             s, "conditioning_perceiver.", perceiver_depth
         )
     return {"params": p}
+
+
+# ---------------------------------------------------------------------------
+# ResNet speaker encoder + XTTS HiFi decoder
+# (reference TTS/encoder/models/resnet.py:59, TTS/tts/layers/xtts/hifigan_decoder.py:421,615)
+# ---------------------------------------------------------------------------
+
+def _fold_bn(state, key, eps=1e-5):
+    """Eval-mode BatchNorm → elementwise affine (``_Norm2d`` "folded")."""
+    mean, var = state[f"{key}.running_mean"], state[f"{key}.running_var"]
+    w = state.get(f"{key}.weight", np.ones_like(var))
+    b = state.get(f"{key}.bias", np.zeros_like(mean))
+    scale = w / np.sqrt(var + eps)
+    return {"scale": scale, "shift": b - mean * scale}
+
+
+def _conv2d_tm(state, key):
+    """torch Conv2d over (mel, time) → our Conv over (time, mel): swap the
+    kernel's spatial axes on top of the layout transpose."""
+    leaf = {"kernel": conv2d_kernel(state[f"{key}.weight"]).transpose(1, 0, 2, 3)}
+    if f"{key}.bias" in state:
+        leaf["bias"] = state[f"{key}.bias"]
+    return leaf
+
+
+def convert_resnet_speaker_encoder(state, prefix="", layers=(3, 4, 6, 3)):
+    """ResNetSpeakerEncoder → flax params (use with ``norm_type="folded"``)."""
+    s = _subdict(state, prefix) if prefix else dict(state)
+    p = {
+        "conv1": _conv2d_tm(s, "conv1"),
+        "bn1": _fold_bn(s, "bn1"),
+        "attn_conv1": _plain_conv(s, "attention.0"),
+        "attn_bn": _fold_bn(s, "attention.2"),
+        "attn_conv2": _plain_conv(s, "attention.3"),
+        "fc": _dense(s, "fc"),
+    }
+    for li, n_blocks in enumerate(layers):
+        for bi in range(n_blocks):
+            k = f"layer{li + 1}.{bi}"
+            blk = {
+                "conv1": _conv2d_tm(s, f"{k}.conv1"),
+                "bn1": _fold_bn(s, f"{k}.bn1"),
+                "conv2": _conv2d_tm(s, f"{k}.conv2"),
+                "bn2": _fold_bn(s, f"{k}.bn2"),
+                "se": {"fc1": _dense(s, f"{k}.se.fc.0"), "fc2": _dense(s, f"{k}.se.fc.2")},
+            }
+            if f"{k}.downsample.0.weight" in s:
+                blk["downsample_conv"] = _conv2d_tm(s, f"{k}.downsample.0")
+                blk["downsample_bn"] = _fold_bn(s, f"{k}.downsample.1")
+            p[f"layer{li + 1}_{bi}"] = blk
+    return p
+
+
+def convert_hifi_decoder(state, prefix="hifigan_decoder."):
+    """XTTS HifiDecoder (waveform decoder + speaker encoder)."""
+    s = _subdict(state, prefix) if prefix else dict(state)
+    return {
+        "params": {
+            "waveform_decoder": convert_hifigan_generator(
+                _subdict(s, "waveform_decoder.")
+            )["params"],
+            "speaker_encoder": convert_resnet_speaker_encoder(s, "speaker_encoder."),
+        }
+    }
+
+
+def convert_xtts(state, layers=30, heads=16):
+    """Full XTTS v2 checkpoint → (gpt_params, decoder_params) pair for
+    :class:`tts_tpu.models.xtts.model.Xtts`."""
+    gpt_params = convert_xtts_gpt(state, layers=layers, heads=heads, prefix="gpt.")
+    decoder_params = convert_hifi_decoder(state, prefix="hifigan_decoder.")
+    return gpt_params, decoder_params
