@@ -23,19 +23,20 @@ from .common import Conv1d
 
 
 class Prenet(nn.Module):
-    """Bottleneck MLP with always-on dropout (reference
-    ``common_layers.py`` Prenet; dropout stays active at inference — it is
-    load-bearing for Tacotron output variation)."""
+    """Bottleneck MLP (reference ``common_layers.py`` Prenet); set
+    ``dropout_at_inference`` to keep dropout active at inference (it can be
+    load-bearing for Tacotron output variation; reference default off)."""
 
     out_features: Tuple[int, ...] = (256, 256)
     prenet_type: str = "original"
     prenet_dropout: bool = True
-    dropout_at_inference: bool = True
+    dropout_at_inference: bool = False
+    use_bias: bool = True  # reference default; Tacotron2's decoder uses False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         for i, size in enumerate(self.out_features):
-            x = nn.Dense(size, use_bias=False, name=f"linear_{i}")(x)
+            x = nn.Dense(size, use_bias=self.use_bias, name=f"linear_{i}")(x)
             if self.prenet_type == "bn":
                 x = nn.LayerNorm(name=f"norm_{i}")(x)
             x = nn.relu(x)
@@ -83,8 +84,10 @@ class Tacotron2Encoder(nn.Module):
                 self.in_out_channels, 5, "relu", self.norm_type, name=f"conv_{i}"
             )(x * x_mask, train=train)
         half = self.in_out_channels // 2
-        fwd = nn.RNN(nn.OptimizedLSTMCell(half), name="lstm_fwd")(x * x_mask)
-        bwd = nn.RNN(nn.OptimizedLSTMCell(half), reverse=True, keep_order=True, name="lstm_bwd")(
+        # name the cells (not the RNN wrapper): nn.RNN doesn't adopt a cell
+        # built in the enclosing scope, so the params live under the cell name
+        fwd = nn.RNN(nn.OptimizedLSTMCell(half, name="lstm_fwd"))(x * x_mask)
+        bwd = nn.RNN(nn.OptimizedLSTMCell(half, name="lstm_bwd"), reverse=True, keep_order=True)(
             x * x_mask
         )
         return jnp.concatenate([fwd, bwd], axis=-1) * x_mask
@@ -145,6 +148,7 @@ class Tacotron2DecoderCell(nn.Module):
             (self.prenet_dim, self.prenet_dim),
             self.prenet_type,
             self.prenet_dropout,
+            use_bias=False,  # reference tacotron2.py:179 passes bias=False
             name="prenet",
         )(memory_t, train=train)
 

@@ -105,12 +105,15 @@ class Tacotron2Module(nn.Module):
         input_mask = sequence_mask(text_lengths, T_in)
         processed_inputs = self.inputs_layer(enc)
 
-        # frames grouped by r: memory at step t = frames of group t-1
+        # frames grouped by r; the prenet sees only the LAST frame of the
+        # previous group (reference Decoder._update_memory slices
+        # ``frame_channels*(r-1):`` — tacotron2.py:246)
         T_de = mel_specs.shape[1] // self.r
         frames = mel_specs[:, : T_de * self.r].reshape(B, T_de, self.r * self.out_channels)
-        go = jnp.zeros((B, 1, self.r * self.out_channels))
+        frames = frames[:, :, (self.r - 1) * self.out_channels :]
+        go = jnp.zeros((B, 1, self.out_channels))
         memories = jnp.concatenate([go, frames[:, :-1]], axis=1)  # teacher forcing
-        memories = jnp.moveaxis(memories, 0, 1)  # [T_de, B, r*C]
+        memories = jnp.moveaxis(memories, 0, 1)  # [T_de, B, C]
 
         scan_cell = nn.scan(
             lambda cell, carry, mem: cell(carry, mem, enc, processed_inputs, input_mask, train),
@@ -149,7 +152,10 @@ class Tacotron2Module(nn.Module):
             )
             stop_prob = nn.sigmoid(stop)
             new_finished = finished | (stop_prob > 0.5)
-            return (new_cell_carry, out, new_finished), (out, stop, align, finished)
+            # feed back only the last frame of the r-group (reference
+            # Decoder._update_memory)
+            prev = out[:, (self.r - 1) * self.out_channels :]
+            return (new_cell_carry, prev, new_finished), (out, stop, align, finished)
 
         scan_step = nn.scan(
             step,
@@ -159,7 +165,7 @@ class Tacotron2Module(nn.Module):
         )
         carry0 = (
             self.cell.init_carry(B, T_in, enc.shape[-1]),
-            jnp.zeros((B, self.r * self.out_channels)),
+            jnp.zeros((B, self.out_channels)),
             jnp.zeros((B,), bool),
         )
         _, (outputs, stops, aligns, finished) = scan_step(self.cell, carry0, None)

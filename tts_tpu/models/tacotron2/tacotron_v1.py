@@ -104,7 +104,10 @@ class TacotronModule(nn.Module):
 
         T_de = mel_specs.shape[1] // self.r
         frames = mel_specs[:, : T_de * self.r].reshape(B, T_de, self.r * self.decoder_output_dim)
-        go = jnp.zeros((B, 1, self.r * self.decoder_output_dim))
+        # prenet sees only the last frame of the previous group (reference
+        # Decoder._update_memory with memory_size<0)
+        frames = frames[:, :, (self.r - 1) * self.decoder_output_dim :]
+        go = jnp.zeros((B, 1, self.decoder_output_dim))
         memories = jnp.moveaxis(jnp.concatenate([go, frames[:, :-1]], 1), 0, 1)
 
         scan_cell = nn.scan(
@@ -144,7 +147,8 @@ class TacotronModule(nn.Module):
                 cell_carry, prev, enc, processed_inputs, input_mask, False
             )
             new_finished = finished | (nn.sigmoid(stop) > 0.5)
-            return (new_carry, out, new_finished), (out, stop, align, finished)
+            prev_out = out[:, (self.r - 1) * self.decoder_output_dim :]
+            return (new_carry, prev_out, new_finished), (out, stop, align, finished)
 
         scan_step = nn.scan(
             step, variable_broadcast="params",
@@ -152,7 +156,7 @@ class TacotronModule(nn.Module):
         )
         carry0 = (
             self.cell.init_carry(B, T_in, enc.shape[-1]),
-            jnp.zeros((B, self.r * self.decoder_output_dim)),
+            jnp.zeros((B, self.decoder_output_dim)),
             jnp.zeros((B,), bool),
         )
         _, (outputs, stops, aligns, finished) = scan_step(self.cell, carry0, None)

@@ -591,3 +591,86 @@ def convert_xtts(state, layers=30, heads=16):
     gpt_params = convert_xtts_gpt(state, layers=layers, heads=heads, prefix="gpt.")
     decoder_params = convert_hifi_decoder(state, prefix="hifigan_decoder.")
     return gpt_params, decoder_params
+
+
+# ---------------------------------------------------------------------------
+# Tacotron2 (reference TTS/tts/models/tacotron2.py + layers/tacotron/tacotron2.py)
+# ---------------------------------------------------------------------------
+
+def _lstm_cell(state, prefix, suffix=""):
+    """torch LSTM(Cell) gates [i,f,g,o] → flax OptimizedLSTMCell params
+    (``ii/if/ig/io`` bias-free input Dense + ``hi/hf/hg/ho`` biased hidden
+    Dense; the two torch biases sum onto the hidden side)."""
+    wi = state[f"{prefix}.weight_ih{suffix}"]
+    wh = state[f"{prefix}.weight_hh{suffix}"]
+    bi = state[f"{prefix}.bias_ih{suffix}"]
+    bh = state[f"{prefix}.bias_hh{suffix}"]
+    H = wh.shape[1]
+    p = {}
+    for gidx, g in enumerate(("i", "f", "g", "o")):
+        sl = slice(gidx * H, (gidx + 1) * H)
+        p[f"i{g}"] = {"kernel": linear_kernel(wi[sl])}
+        p[f"h{g}"] = {"kernel": linear_kernel(wh[sl]), "bias": bi[sl] + bh[sl]}
+    return p
+
+
+def _conv_bn_block(state, key):
+    """ConvBNBlock (tacotron2.py:11): conv + folded eval-mode BatchNorm."""
+    return {
+        "conv": _conv(state, f"{key}.convolution1d"),
+        **_fold_bn_scale_shift(state, f"{key}.batch_normalization"),
+    }
+
+
+def _fold_bn_scale_shift(state, key, eps=1e-5):
+    f = _fold_bn(state, key, eps)
+    return {"scale": f["scale"], "shift": f["shift"]}
+
+
+def convert_tacotron2(state, num_chars=None, r=2):
+    """Full Tacotron2 → flax params (use ``norm_type="folded"``).
+
+    BiLSTM directions map to the fwd/bwd ``nn.RNN`` pair; attention/decoder
+    LSTMCells and the location layer convert via the generic rules."""
+    state = dict(state)
+    enc = {
+        f"conv_{i}": _conv_bn_block(state, f"encoder.convolutions.{i}")
+        for i in range(3)
+    }
+    enc["lstm_fwd"] = _lstm_cell(state, "encoder.lstm", "_l0")
+    enc["lstm_bwd"] = _lstm_cell(state, "encoder.lstm", "_l0_reverse")
+
+    cell = {
+        "prenet": {
+            "linear_0": _dense(state, "decoder.prenet.linear_layers.0.linear_layer"),
+            "linear_1": _dense(state, "decoder.prenet.linear_layers.1.linear_layer"),
+        },
+        "attention_rnn": _lstm_cell(state, "decoder.attention_rnn"),
+        "query_layer": _dense(state, "decoder.attention.query_layer.linear_layer"),
+        "location_conv": {
+            "kernel": conv1d_kernel(
+                state["decoder.attention.location_layer.location_conv1d.weight"]
+            )
+        },
+        "location_dense": _dense(
+            state, "decoder.attention.location_layer.location_dense.linear_layer"
+        ),
+        "v": _dense(state, "decoder.attention.v.linear_layer"),
+        "decoder_rnn": _lstm_cell(state, "decoder.decoder_rnn"),
+        "linear_projection": _dense(state, "decoder.linear_projection.linear_layer"),
+        "stopnet": _dense(state, "decoder.stopnet.1.linear_layer"),
+    }
+    post = {
+        f"conv_{i}": _conv_bn_block(state, f"postnet.convolutions.{i}")
+        for i in range(5)
+    }
+    p = {
+        "embedding": {"embedding": state["embedding.weight"]},
+        "encoder": enc,
+        "decoder_cell": cell,
+        "inputs_layer": _dense(state, "decoder.attention.inputs_layer.linear_layer"),
+        "postnet": post,
+    }
+    if "speaker_embedding.weight" in state:
+        p["speaker_embedding"] = {"embedding": state["speaker_embedding.weight"]}
+    return {"params": p}
