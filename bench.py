@@ -26,8 +26,9 @@ def main():
 
     from tts_tpu.models.vits import Vits, VitsConfig
 
-    # batching amortizes dispatch overhead: measured 507x at B=4, 881x at B=8
-    B = int(os.environ.get("BENCH_BATCH", "8"))
+    # batching amortizes dispatch overhead: measured 507x at B=4, 881x at
+    # B=8, 925x at B=16, 897x at B=32 — 16 is the sweet spot on one v5e chip
+    B = int(os.environ.get("BENCH_BATCH", "16"))
     MAXF = int(os.environ.get("BENCH_FRAMES", "512"))
     DTYPE = os.environ.get("BENCH_DTYPE", "float32")
 
