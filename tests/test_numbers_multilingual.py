@@ -1,0 +1,61 @@
+"""Multilingual number verbalization (replaces the reference's num2words
+dependency, ``xtts/tokenizer.py:518``)."""
+
+import pytest
+
+from tts_tpu.text.numbers_multilingual import (
+    expand_abbreviations_multilingual,
+    expand_numbers_multilingual,
+    number_to_words,
+)
+
+
+@pytest.mark.parametrize(
+    "lang,n,expected",
+    [
+        ("es", 0, "cero"), ("es", 21, "veintiuno"), ("es", 31, "treinta y uno"),
+        ("es", 100, "cien"), ("es", 101, "ciento uno"), ("es", 555, "quinientos cincuenta y cinco"),
+        ("es", 1000, "mil"), ("es", 2023, "dos mil veintitrés"), ("es", 1000000, "un millón"),
+        ("fr", 17, "dix-sept"), ("fr", 21, "vingt et un"), ("fr", 71, "soixante et onze"),
+        ("fr", 80, "quatre-vingts"), ("fr", 81, "quatre-vingt-un"),
+        ("fr", 99, "quatre-vingt-dix-neuf"), ("fr", 200, "deux cents"),
+        ("fr", 201, "deux cent un"), ("fr", 1999, "mille neuf cent quatre-vingt-dix-neuf"),
+        ("de", 21, "einundzwanzig"), ("de", 35, "fünfunddreißig"),
+        ("de", 101, "einhunderteins"), ("de", 1001, "eintausendeins"),
+        ("de", 21000, "einundzwanzigtausend"), ("de", 2000000, "zwei millionen"),
+        ("it", 21, "ventuno"), ("it", 23, "ventitré"), ("it", 28, "ventotto"),
+        ("it", 103, "centotré"), ("it", 1000, "mille"), ("it", 2000, "duemila"),
+        ("it", 1000000, "un milione"),
+        ("pt", 16, "dezesseis"), ("pt", 100, "cem"), ("pt", 101, "cento e um"),
+        ("pt", 121, "cento e vinte e um"), ("pt", 2000, "dois mil"),
+        ("pt", 1000000, "um milhão"),
+    ],
+)
+def test_cardinals(lang, n, expected):
+    assert number_to_words(n, lang) == expected
+
+
+def test_decimals_and_currency():
+    assert expand_numbers_multilingual("3,5 euros", "es") == "tres coma cinco euros"
+    assert expand_numbers_multilingual("$2", "es") == "dos dólares"
+    assert expand_numbers_multilingual("$1", "en") == "$1"  # en handled elsewhere
+    assert expand_numbers_multilingual("2€", "fr") == "deux euros"
+    assert expand_numbers_multilingual("1,5", "de") == "eins komma fünf"
+
+
+def test_unsupported_language_passthrough():
+    assert expand_numbers_multilingual("我有42个", "zh") == "我有42个"
+    assert number_to_words(42, "xx") == "42"
+
+
+def test_abbreviations():
+    assert expand_abbreviations_multilingual("sr. garcía", "es") == "señor garcía"
+    assert expand_abbreviations_multilingual("mme. curie", "fr") == "madame curie"
+    assert expand_abbreviations_multilingual("dr. house", "en") == "doctor house"
+
+
+def test_tokenizer_preprocess_path():
+    from tts_tpu.models.xtts.tokenizer import multilingual_cleaners
+
+    assert multilingual_cleaners("Tengo 21 euros", "es") == "tengo veintiuno euros"
+    assert multilingual_cleaners("Il a 80 ans", "fr") == "il a quatre-vingts ans"

@@ -14,6 +14,10 @@ from typing import List, Optional
 
 from tts_tpu.text.cleaners import collapse_whitespace, lowercase
 from tts_tpu.text.english import normalize_numbers
+from tts_tpu.text.numbers_multilingual import (
+    expand_abbreviations_multilingual,
+    expand_numbers_multilingual,
+)
 
 _CHAR_LIMITS = {
     "en": 250, "de": 253, "fr": 273, "es": 239, "it": 213, "pt": 203,
@@ -37,10 +41,13 @@ def multilingual_cleaners(text: str, lang: str) -> str:
     if lang == "tr":
         text = text.replace("İ", "i").replace("Ö", "ö").replace("Ü", "ü")
     text = lowercase(text)
+    text = expand_abbreviations_multilingual(text, lang)
     for sym, replacement in _SYMBOL_MAP.get(lang, _SYMBOL_MAP["en"]).items():
         text = text.replace(sym, replacement)
     if lang == "en":
         text = normalize_numbers(text)
+    else:
+        text = expand_numbers_multilingual(text, lang)
     text = re.sub(r"[\(\)\[\]]+", "", text)
     return collapse_whitespace(text)
 

@@ -1,0 +1,314 @@
+"""Multilingual number verbalization for the XTTS text frontend.
+
+The reference delegates to the ``num2words`` package
+(``TTS/tts/layers/xtts/tokenizer.py:518`` _expand_number); that package is
+not available here, so cardinals/decimals/currency are verbalized natively
+for the Romance/Germanic XTTS languages.  English lives in
+``tts_tpu.text.english``; languages without a verbalizer fall through
+unchanged (digits are still BPE-tokenizable).
+"""
+
+from __future__ import annotations
+
+import re
+
+# ---------------------------------------------------------------------------
+# per-language cardinal verbalizers (0 .. 999,999,999)
+# ---------------------------------------------------------------------------
+
+_ES_UNITS = ["cero", "uno", "dos", "tres", "cuatro", "cinco", "seis", "siete",
+             "ocho", "nueve", "diez", "once", "doce", "trece", "catorce",
+             "quince", "dieciséis", "diecisiete", "dieciocho", "diecinueve",
+             "veinte", "veintiuno", "veintidós", "veintitrés", "veinticuatro",
+             "veinticinco", "veintiséis", "veintisiete", "veintiocho",
+             "veintinueve"]
+_ES_TENS = {30: "treinta", 40: "cuarenta", 50: "cincuenta", 60: "sesenta",
+            70: "setenta", 80: "ochenta", 90: "noventa"}
+_ES_HUNDREDS = {100: "cien", 200: "doscientos", 300: "trescientos",
+                400: "cuatrocientos", 500: "quinientos", 600: "seiscientos",
+                700: "setecientos", 800: "ochocientos", 900: "novecientos"}
+
+
+def _es_under_1000(n: int) -> str:
+    if n < 30:
+        return _ES_UNITS[n]
+    if n < 100:
+        t, u = divmod(n, 10)
+        return _ES_TENS[t * 10] + (f" y {_ES_UNITS[u]}" if u else "")
+    h, rest = divmod(n, 100)
+    head = "ciento" if h == 1 and rest else _ES_HUNDREDS[h * 100]
+    return head + (f" {_es_under_1000(rest)}" if rest else "")
+
+
+def _es_cardinal(n: int) -> str:
+    if n < 1000:
+        return _es_under_1000(n)
+    if n < 1_000_000:
+        k, rest = divmod(n, 1000)
+        head = "mil" if k == 1 else f"{_es_under_1000(k)} mil"
+        return head + (f" {_es_under_1000(rest)}" if rest else "")
+    m, rest = divmod(n, 1_000_000)
+    head = "un millón" if m == 1 else f"{_es_under_1000(m)} millones"
+    return head + (f" {_es_cardinal(rest)}" if rest else "")
+
+
+_FR_UNITS = ["zéro", "un", "deux", "trois", "quatre", "cinq", "six", "sept",
+             "huit", "neuf", "dix", "onze", "douze", "treize", "quatorze",
+             "quinze", "seize", "dix-sept", "dix-huit", "dix-neuf"]
+_FR_TENS = {20: "vingt", 30: "trente", 40: "quarante", 50: "cinquante",
+            60: "soixante"}
+
+
+def _fr_under_100(n: int) -> str:
+    if n < 20:
+        return _FR_UNITS[n]
+    if n < 70:
+        t, u = divmod(n, 10)
+        base = _FR_TENS[t * 10]
+        if u == 0:
+            return base
+        if u == 1:
+            return f"{base} et un"
+        return f"{base}-{_FR_UNITS[u]}"
+    if n < 80:  # soixante-dix .. soixante-dix-neuf
+        if n == 71:
+            return "soixante et onze"
+        return f"soixante-{_FR_UNITS[n - 60]}"
+    if n < 100:  # quatre-vingts .. quatre-vingt-dix-neuf
+        if n == 80:
+            return "quatre-vingts"
+        return f"quatre-vingt-{_FR_UNITS[n - 80] if n - 80 < 20 else ''}"
+    raise ValueError(n)
+
+
+def _fr_under_1000(n: int) -> str:
+    if n < 100:
+        return _fr_under_100(n)
+    h, rest = divmod(n, 100)
+    if h == 1:
+        head = "cent"
+    else:
+        head = f"{_FR_UNITS[h]} cent" + ("s" if rest == 0 else "")
+    return head + (f" {_fr_under_100(rest)}" if rest else "")
+
+
+def _fr_cardinal(n: int) -> str:
+    if n < 1000:
+        return _fr_under_1000(n)
+    if n < 1_000_000:
+        k, rest = divmod(n, 1000)
+        head = "mille" if k == 1 else f"{_fr_under_1000(k)} mille"
+        return head + (f" {_fr_under_1000(rest)}" if rest else "")
+    m, rest = divmod(n, 1_000_000)
+    head = "un million" if m == 1 else f"{_fr_under_1000(m)} millions"
+    return head + (f" {_fr_cardinal(rest)}" if rest else "")
+
+
+_DE_UNITS = ["null", "eins", "zwei", "drei", "vier", "fünf", "sechs",
+             "sieben", "acht", "neun", "zehn", "elf", "zwölf", "dreizehn",
+             "vierzehn", "fünfzehn", "sechzehn", "siebzehn", "achtzehn",
+             "neunzehn"]
+_DE_TENS = {20: "zwanzig", 30: "dreißig", 40: "vierzig", 50: "fünfzig",
+            60: "sechzig", 70: "siebzig", 80: "achtzig", 90: "neunzig"}
+
+
+def _de_under_100(n: int, final: bool = True) -> str:
+    if n < 20:
+        if n == 1 and not final:
+            return "ein"
+        return _DE_UNITS[n]
+    t, u = divmod(n, 10)
+    if u == 0:
+        return _DE_TENS[t * 10]
+    unit = "ein" if u == 1 else _DE_UNITS[u]
+    return f"{unit}und{_DE_TENS[t * 10]}"
+
+
+def _de_under_1000(n: int, final: bool = True) -> str:
+    if n < 100:
+        return _de_under_100(n, final)
+    h, rest = divmod(n, 100)
+    head = ("ein" if h == 1 else _DE_UNITS[h]) + "hundert"
+    return head + (_de_under_100(rest, final) if rest else "")
+
+
+def _de_cardinal(n: int) -> str:
+    if n < 1000:
+        return _de_under_1000(n)
+    if n < 1_000_000:
+        k, rest = divmod(n, 1000)
+        head = ("ein" if k == 1 else _de_under_1000(k, final=False)) + "tausend"
+        return head + (_de_under_1000(rest) if rest else "")
+    m, rest = divmod(n, 1_000_000)
+    head = "eine million" if m == 1 else f"{_de_under_1000(m, final=False)} millionen"
+    return head + (f" {_de_cardinal(rest)}" if rest else "")
+
+
+_IT_UNITS = ["zero", "uno", "due", "tre", "quattro", "cinque", "sei", "sette",
+             "otto", "nove", "dieci", "undici", "dodici", "tredici",
+             "quattordici", "quindici", "sedici", "diciassette", "diciotto",
+             "diciannove"]
+_IT_TENS = {20: "venti", 30: "trenta", 40: "quaranta", 50: "cinquanta",
+            60: "sessanta", 70: "settanta", 80: "ottanta", 90: "novanta"}
+
+
+def _it_under_100(n: int) -> str:
+    if n < 20:
+        return _IT_UNITS[n]
+    t, u = divmod(n, 10)
+    base = _IT_TENS[t * 10]
+    if u == 0:
+        return base
+    if u in (1, 8):  # vowel elision: ventuno, ventotto
+        base = base[:-1]
+    return base + _IT_UNITS[u]  # accent fix ("ventitré") in _it_fix_tre
+
+
+def _it_fix_tre(word: str) -> str:
+    return re.sub(r"tre$", "tré", word) if word.endswith("tre") and len(word) > 3 else word
+
+
+def _it_under_1000(n: int) -> str:
+    if n < 100:
+        return _it_fix_tre(_it_under_100(n))
+    h, rest = divmod(n, 100)
+    head = "cento" if h == 1 else f"{_IT_UNITS[h]}cento"
+    # accent applies to the whole compound ("centotré"), so fix after joining
+    return _it_fix_tre(head + (_it_under_100(rest) if rest else ""))
+
+
+def _it_cardinal(n: int) -> str:
+    if n < 1000:
+        return _it_under_1000(n)
+    if n < 1_000_000:
+        k, rest = divmod(n, 1000)
+        head = "mille" if k == 1 else f"{_it_under_1000(k)}mila"
+        return head + (_it_under_1000(rest) if rest else "")
+    m, rest = divmod(n, 1_000_000)
+    head = "un milione" if m == 1 else f"{_it_under_1000(m)} milioni"
+    return head + (f" {_it_cardinal(rest)}" if rest else "")
+
+
+_PT_UNITS = ["zero", "um", "dois", "três", "quatro", "cinco", "seis", "sete",
+             "oito", "nove", "dez", "onze", "doze", "treze", "catorze",
+             "quinze", "dezesseis", "dezessete", "dezoito", "dezenove"]
+_PT_TENS = {20: "vinte", 30: "trinta", 40: "quarenta", 50: "cinquenta",
+            60: "sessenta", 70: "setenta", 80: "oitenta", 90: "noventa"}
+_PT_HUNDREDS = {100: "cem", 200: "duzentos", 300: "trezentos",
+                400: "quatrocentos", 500: "quinhentos", 600: "seiscentos",
+                700: "setecentos", 800: "oitocentos", 900: "novecentos"}
+
+
+def _pt_under_1000(n: int) -> str:
+    if n < 20:
+        return _PT_UNITS[n]
+    if n < 100:
+        t, u = divmod(n, 10)
+        return _PT_TENS[t * 10] + (f" e {_PT_UNITS[u]}" if u else "")
+    h, rest = divmod(n, 100)
+    head = "cento" if h == 1 and rest else _PT_HUNDREDS[h * 100]
+    return head + (f" e {_pt_under_1000(rest)}" if rest else "")
+
+
+def _pt_cardinal(n: int) -> str:
+    if n < 1000:
+        return _pt_under_1000(n)
+    if n < 1_000_000:
+        k, rest = divmod(n, 1000)
+        head = "mil" if k == 1 else f"{_pt_under_1000(k)} mil"
+        joiner = " e " if rest and (rest < 100 or rest % 100 == 0) else " "
+        return head + (joiner + _pt_under_1000(rest) if rest else "")
+    m, rest = divmod(n, 1_000_000)
+    head = "um milhão" if m == 1 else f"{_pt_under_1000(m)} milhões"
+    return head + (f" {_pt_cardinal(rest)}" if rest else "")
+
+
+_CARDINALS = {
+    "es": _es_cardinal,
+    "fr": _fr_cardinal,
+    "de": _de_cardinal,
+    "it": _it_cardinal,
+    "pt": _pt_cardinal,
+}
+
+_DECIMAL_WORD = {"es": "coma", "fr": "virgule", "de": "komma", "it": "virgola",
+                 "pt": "vírgula", "en": "point"}
+
+_CURRENCY_WORDS = {
+    # symbol -> (lang -> (singular, plural))
+    "$": {"en": ("dollar", "dollars"), "es": ("dólar", "dólares"),
+          "fr": ("dollar", "dollars"), "de": ("dollar", "dollar"),
+          "it": ("dollaro", "dollari"), "pt": ("dólar", "dólares")},
+    "€": {"en": ("euro", "euros"), "es": ("euro", "euros"),
+          "fr": ("euro", "euros"), "de": ("euro", "euro"),
+          "it": ("euro", "euro"), "pt": ("euro", "euros")},
+    "£": {"en": ("pound", "pounds"), "es": ("libra", "libras"),
+          "fr": ("livre", "livres"), "de": ("pfund", "pfund"),
+          "it": ("sterlina", "sterline"), "pt": ("libra", "libras")},
+}
+
+
+def number_to_words(n: int, lang: str) -> str:
+    """Cardinal for ``lang``; returns the digit string untouched when the
+    language has no verbalizer (still tokenizable)."""
+    fn = _CARDINALS.get(lang)
+    if fn is None or n >= 1_000_000_000:
+        return str(n)
+    return fn(n)
+
+
+def expand_numbers_multilingual(text: str, lang: str) -> str:
+    """Currency, decimals, then plain cardinals (mirrors the behavior of
+    reference ``expand_numbers_multilingual``, tokenizer.py:522)."""
+    if lang not in _CARDINALS:
+        return text
+
+    def _currency_words(sym: str, n: int):
+        words = _CURRENCY_WORDS.get(sym, {}).get(lang)
+        if not words:
+            return None
+        return f"{number_to_words(n, lang)} {words[0] if n == 1 else words[1]}"
+
+    def _cur_pre(m):  # "$5"
+        return _currency_words(m.group(1), int(m.group(2))) or m.group(0)
+
+    def _cur_post(m):  # "5€"
+        return _currency_words(m.group(2), int(m.group(1))) or m.group(0)
+
+    text = re.sub(r"([$€£])(\d+)", _cur_pre, text)
+    text = re.sub(r"(\d+)\s*([$€£])", _cur_post, text)
+
+    def _decimal(m):
+        whole, frac = m.group(1), m.group(2)
+        digits = " ".join(number_to_words(int(d), lang) for d in frac)
+        return f"{number_to_words(int(whole), lang)} {_DECIMAL_WORD[lang]} {digits}"
+
+    text = re.sub(r"(\d+),(\d+)", _decimal, text)
+    text = re.sub(r"\d+", lambda m: number_to_words(int(m.group(0)), lang), text)
+    return text
+
+
+_ABBREVIATIONS = {
+    "es": {"sr": "señor", "sra": "señora", "dr": "doctor", "dra": "doctora",
+           "srta": "señorita", "av": "avenida", "ud": "usted"},
+    "fr": {"m": "monsieur", "mme": "madame", "mlle": "mademoiselle",
+           "dr": "docteur", "st": "saint", "av": "avenue"},
+    "de": {"dr": "doktor", "prof": "professor", "st": "sankt",
+           "hr": "herr", "fr": "frau", "nr": "nummer"},
+    "it": {"sig": "signore", "dott": "dottore", "prof": "professore",
+           "av": "avvocato", "ing": "ingegnere"},
+    "pt": {"sr": "senhor", "sra": "senhora", "dr": "doutor", "dra": "doutora",
+           "av": "avenida", "prof": "professor"},
+    "en": {"dr": "doctor", "mr": "mister", "mrs": "misess", "st": "saint",
+           "co": "company", "jr": "junior"},
+}
+
+
+def expand_abbreviations_multilingual(text: str, lang: str) -> str:
+    """(reference ``tokenizer.py:235``; tables rebuilt, same contract)"""
+    table = _ABBREVIATIONS.get(lang)
+    if not table:
+        return text
+    for abbr, full in table.items():
+        text = re.sub(rf"\b{abbr}\.", full, text, flags=re.IGNORECASE)
+    return text
