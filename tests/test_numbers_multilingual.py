@@ -59,3 +59,18 @@ def test_tokenizer_preprocess_path():
 
     assert multilingual_cleaners("Tengo 21 euros", "es") == "tengo veintiuno euros"
     assert multilingual_cleaners("Il a 80 ans", "fr") == "il a quatre-vingts ans"
+
+
+def test_chinese_cardinals():
+    from tts_tpu.text.numbers_multilingual import expand_numbers_zh, zh_number_to_words
+
+    assert zh_number_to_words(42) == "四十二"
+    assert zh_number_to_words(101) == "一百零一"
+    assert zh_number_to_words(2000) == "两千"
+    assert zh_number_to_words(20005) == "两万零五"
+    assert zh_number_to_words(12345) == "一万两千三百四十五"
+    assert expand_numbers_zh("我有42个苹果和3.5元") == "我有四十二个苹果和三点五元"
+
+    from tts_tpu.models.xtts.tokenizer import multilingual_cleaners
+
+    assert multilingual_cleaners("我有42个", "zh") == "我有四十二个"

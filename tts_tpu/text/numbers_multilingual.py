@@ -312,3 +312,65 @@ def expand_abbreviations_multilingual(text: str, lang: str) -> str:
     for abbr, full in table.items():
         text = re.sub(rf"\b{abbr}\.", full, text, flags=re.IGNORECASE)
     return text
+
+
+# ---------------------------------------------------------------------------
+# Chinese (reference delegates to zh_num2words TextNorm, tokenizer.py:524)
+# ---------------------------------------------------------------------------
+
+_ZH_DIGITS = "零一二三四五六七八九"
+_ZH_UNITS = ["", "十", "百", "千"]
+
+
+def _zh_under_10000(n: int) -> str:
+    if n == 0:
+        return "零"
+    out, zero_pending = [], False
+    for pos in range(3, -1, -1):
+        d = (n // 10 ** pos) % 10
+        if d == 0:
+            if out:
+                zero_pending = True
+            continue
+        if zero_pending:
+            out.append("零")
+            zero_pending = False
+        # 两 before 百/千 (common reading); bare 二 elsewhere
+        digit = "两" if (d == 2 and pos >= 2) else _ZH_DIGITS[d]
+        out.append(digit + _ZH_UNITS[pos])
+    word = "".join(out)
+    return word[1:] if word.startswith("一十") else word  # 12 → 十二
+
+
+def zh_number_to_words(n: int) -> str:
+    """Cardinal in hanzi for 0 .. 10^12-1 (groups of 万/亿)."""
+    if n < 10000:
+        return _zh_under_10000(n)
+    parts = []
+    yi, rest = divmod(n, 10 ** 8)
+    wan, low = divmod(rest, 10000)
+    group = lambda g: "两" if g == 2 else _zh_under_10000(g)  # 两万 / 两亿
+    if yi:
+        # 亿-group recurses: 万亿 and beyond (e.g. 123万亿 → 一百二十三万...亿)
+        parts.append((group(yi) if yi < 10000 else zh_number_to_words(yi)) + "亿")
+    if wan:
+        if yi and wan < 1000:
+            parts.append("零")
+        parts.append(group(wan) + "万")
+    if low:
+        if low < 1000:
+            parts.append("零")
+        parts.append(_zh_under_10000(low))
+    return "".join(parts)
+
+
+def expand_numbers_zh(text: str) -> str:
+    """Digits → hanzi; decimals read digit-by-digit after 点."""
+
+    def _dec(m):
+        whole = zh_number_to_words(int(m.group(1)))
+        frac = "".join(_ZH_DIGITS[int(d)] for d in m.group(2))
+        return f"{whole}点{frac}"
+
+    text = re.sub(r"(\d+)\.(\d+)", _dec, text)
+    return re.sub(r"\d+", lambda m: zh_number_to_words(int(m.group(0))), text)
