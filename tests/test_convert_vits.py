@@ -182,3 +182,48 @@ def test_glow_decoder_parity(ref_vits):
     np.testing.assert_allclose(np.asarray(fwd_j), fwd_t.numpy().transpose(0, 2, 1), atol=3e-4)
     np.testing.assert_allclose(np.asarray(rev_j), rev_t.numpy().transpose(0, 2, 1), atol=3e-4)
     np.testing.assert_allclose(float(jnp.sum(logdet_j)), float(logdet_t.sum()), atol=1e-3)
+
+
+def test_fairseq_rehash_mapping():
+    """fairseq MMS key layout → coqui layout (reference fairseq.py:4)."""
+    import numpy as np
+
+    from tts_tpu.utils.convert import rehash_fairseq_vits
+
+    src = {
+        "enc_p.emb.weight": 0, "dec.conv_pre.weight": 1, "enc_q.pre.weight": 2,
+        "flow.flows.0.pre.weight": 3, "flow.flows.2.pre.weight": 4,
+        "flow.flows.4.pre.weight": 5, "flow.flows.6.pre.weight": 6,
+        "dp.flows.0.m": 7, "dp.flows.0.logs": 8, "dp.flows.1.pre.weight": 9,
+        "dp.flows.7.pre.weight": 10, "dp.post_flows.0.m": 11,
+        "dp.post_flows.5.pre.weight": 12, "dp.pre.weight": 13,
+        "emb_g.weight": 14,
+    }
+    out = rehash_fairseq_vits(src)
+    assert out["text_encoder.emb.weight"] == 0
+    assert out["waveform_decoder.conv_pre.weight"] == 1
+    assert out["posterior_encoder.pre.weight"] == 2
+    assert out["flow.flows.0.pre.weight"] == 3
+    assert out["flow.flows.1.pre.weight"] == 4
+    assert out["flow.flows.3.pre.weight"] == 6
+    assert out["duration_predictor.flows.0.translation"] == 7
+    assert out["duration_predictor.flows.0.log_scale"] == 8
+    assert out["duration_predictor.flows.1.pre.weight"] == 9
+    assert out["duration_predictor.flows.4.pre.weight"] == 10
+    assert out["duration_predictor.post_flows.0.translation"] == 11
+    assert out["duration_predictor.post_flows.3.pre.weight"] == 12
+    assert out["duration_predictor.pre.weight"] == 13
+    assert out["emb_g.weight"] == 14
+    assert len(out) == len(src)
+
+
+def test_fairseq_vocab(tmp_path):
+    from tts_tpu.text.characters import FairseqVocab
+
+    vf = tmp_path / "vocab.txt"
+    vf.write_text("_\na\nb\nc\n \n", encoding="utf-8")
+    v = FairseqVocab(str(vf))
+    assert v.num_chars == 5
+    assert v.blank == "_"
+    assert v.pad == " "
+    assert v.char_to_id("b") == 2

@@ -313,3 +313,17 @@ class Graphemes(BaseCharacters):
             return Graphemes(**_chars_kwargs(config.characters)), config
         characters = Graphemes()
         return characters, replace(config, characters=characters.to_config())
+
+
+class FairseqVocab(BaseVocabulary):
+    """Vocabulary from a fairseq MMS ``vocab.txt`` (one symbol per line;
+    line 0 is the blank token, pad is space — reference ``vits.py:1982``)."""
+
+    def __init__(self, vocab_file: str):
+        with open(vocab_file, encoding="utf-8") as f:
+            symbols = [line.rstrip("\n") for line in f]
+        super().__init__(
+            vocab={s: i for i, s in enumerate(symbols)},
+            pad=" ",
+            blank=symbols[0] if symbols else None,
+        )

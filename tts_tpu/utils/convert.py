@@ -674,3 +674,53 @@ def convert_tacotron2(state, num_chars=None, r=2):
     if "speaker_embedding.weight" in state:
         p["speaker_embedding"] = {"embedding": state["speaker_embedding.weight"]}
     return {"params": p}
+
+
+# ---------------------------------------------------------------------------
+# fairseq MMS VITS (reference TTS/tts/utils/fairseq.py:4 + vits.py:1727)
+# ---------------------------------------------------------------------------
+
+# fairseq name → coqui name, applied longest-prefix-first.  fairseq keeps the
+# trivial flip flows at odd indices, so the affine flows 0/2/4/6 renumber to
+# 0..3; the SDP flow lists (0,1,3,5,7) renumber to 0..4 with the first flow's
+# m/logs becoming translation/log_scale.
+_FAIRSEQ_RENAMES = [
+    ("dp.flows.0.m", "duration_predictor.flows.0.translation"),
+    ("dp.flows.0.logs", "duration_predictor.flows.0.log_scale"),
+    ("dp.flows.1.", "duration_predictor.flows.1."),
+    ("dp.flows.3.", "duration_predictor.flows.2."),
+    ("dp.flows.5.", "duration_predictor.flows.3."),
+    ("dp.flows.7.", "duration_predictor.flows.4."),
+    ("dp.post_flows.0.m", "duration_predictor.post_flows.0.translation"),
+    ("dp.post_flows.0.logs", "duration_predictor.post_flows.0.log_scale"),
+    ("dp.post_flows.1.", "duration_predictor.post_flows.1."),
+    ("dp.post_flows.3.", "duration_predictor.post_flows.2."),
+    ("dp.post_flows.5.", "duration_predictor.post_flows.3."),
+    ("dp.post_flows.7.", "duration_predictor.post_flows.4."),
+    ("dp.", "duration_predictor."),
+    ("flow.flows.2.", "flow.flows.1."),
+    ("flow.flows.4.", "flow.flows.2."),
+    ("flow.flows.6.", "flow.flows.3."),
+    ("enc_p.", "text_encoder."),
+    ("enc_q.", "posterior_encoder."),
+    ("dec.", "waveform_decoder."),
+]
+
+
+def rehash_fairseq_vits(state):
+    """Rename a fairseq MMS VITS state dict to the coqui-VITS layout that
+    :func:`convert_vits_generator` consumes."""
+    out = {}
+    for k, v in state.items():
+        for old, new in _FAIRSEQ_RENAMES:
+            if k.startswith(old):
+                k = new + k[len(old):]
+                break
+        out[k] = v
+    return out
+
+
+def convert_fairseq_vits(state, args):
+    """fairseq MMS VITS checkpoint (``G_100000.pth`` "model" dict) → flax
+    params for :class:`tts_tpu.models.vits.model.VitsModule`."""
+    return convert_vits_generator(rehash_fairseq_vits(state), args)
