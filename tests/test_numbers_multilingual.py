@@ -74,3 +74,19 @@ def test_chinese_cardinals():
     from tts_tpu.models.xtts.tokenizer import multilingual_cleaners
 
     assert multilingual_cleaners("我有42个", "zh") == "我有四十二个"
+
+
+@pytest.mark.parametrize(
+    "lang,n,expected",
+    [
+        ("ru", 21, "двадцать один"), ("ru", 1000, "одна тысяча"),
+        ("ru", 2000, "две тысячи"), ("ru", 5000, "пять тысяч"),
+        ("ru", 11000, "одиннадцать тысяч"), ("ru", 21000, "двадцать одна тысяча"),
+        ("ru", 2000000, "два миллиона"),
+        ("nl", 21, "eenentwintig"), ("nl", 22, "tweeëntwintig"),
+        ("nl", 33, "drieëndertig"), ("nl", 2100, "tweeduizend honderd"),
+        ("nl", 1000000, "een miljoen"),
+    ],
+)
+def test_ru_nl_cardinals(lang, n, expected):
+    assert number_to_words(n, lang) == expected

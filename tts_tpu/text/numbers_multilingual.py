@@ -267,7 +267,11 @@ def expand_numbers_multilingual(text: str, lang: str) -> str:
         words = _CURRENCY_WORDS.get(sym, {}).get(lang)
         if not words:
             return None
-        return f"{number_to_words(n, lang)} {words[0] if n == 1 else words[1]}"
+        if len(words) == 3:  # slavic one/few/many declension
+            unit = _ru_plural(n, *words)
+        else:
+            unit = words[0] if n == 1 else words[1]
+        return f"{number_to_words(n, lang)} {unit}"
 
     def _cur_pre(m):  # "$5"
         return _currency_words(m.group(1), int(m.group(2))) or m.group(0)
@@ -374,3 +378,114 @@ def expand_numbers_zh(text: str) -> str:
 
     text = re.sub(r"(\d+)\.(\d+)", _dec, text)
     return re.sub(r"\d+", lambda m: zh_number_to_words(int(m.group(0))), text)
+
+
+# ---------------------------------------------------------------------------
+# Russian (nominative cardinals; thousands take the feminine forms)
+# ---------------------------------------------------------------------------
+
+_RU_UNITS = ["ноль", "один", "два", "три", "четыре", "пять", "шесть", "семь",
+             "восемь", "девять", "десять", "одиннадцать", "двенадцать",
+             "тринадцать", "четырнадцать", "пятнадцать", "шестнадцать",
+             "семнадцать", "восемнадцать", "девятнадцать"]
+_RU_TENS = {20: "двадцать", 30: "тридцать", 40: "сорок", 50: "пятьдесят",
+            60: "шестьдесят", 70: "семьдесят", 80: "восемьдесят",
+            90: "девяносто"}
+_RU_HUNDREDS = {100: "сто", 200: "двести", 300: "триста", 400: "четыреста",
+                500: "пятьсот", 600: "шестьсот", 700: "семьсот",
+                800: "восемьсот", 900: "девятьсот"}
+
+
+def _ru_under_1000(n: int, feminine: bool = False) -> str:
+    parts = []
+    h, rest = divmod(n, 100)
+    if h:
+        parts.append(_RU_HUNDREDS[h * 100])
+    if rest >= 20:
+        t, u = divmod(rest, 10)
+        parts.append(_RU_TENS[t * 10])
+        rest = u
+    if rest:
+        if feminine and rest == 1:
+            parts.append("одна")
+        elif feminine and rest == 2:
+            parts.append("две")
+        else:
+            parts.append(_RU_UNITS[rest])
+    return " ".join(parts) if parts else _RU_UNITS[0]
+
+
+def _ru_plural(n: int, one: str, few: str, many: str) -> str:
+    if n % 100 in (11, 12, 13, 14):
+        return many
+    if n % 10 == 1:
+        return one
+    if n % 10 in (2, 3, 4):
+        return few
+    return many
+
+
+def _ru_cardinal(n: int) -> str:
+    if n < 1000:
+        return _ru_under_1000(n)
+    if n < 1_000_000:
+        k, rest = divmod(n, 1000)
+        head = f"{_ru_under_1000(k, feminine=True)} " + _ru_plural(
+            k, "тысяча", "тысячи", "тысяч")
+        return head + (f" {_ru_under_1000(rest)}" if rest else "")
+    m, rest = divmod(n, 1_000_000)
+    head = f"{_ru_under_1000(m)} " + _ru_plural(m, "миллион", "миллиона", "миллионов")
+    return head + (f" {_ru_cardinal(rest)}" if rest else "")
+
+
+# ---------------------------------------------------------------------------
+# Dutch (German-style agglutination with "en"/"ën" joints)
+# ---------------------------------------------------------------------------
+
+_NL_UNITS = ["nul", "een", "twee", "drie", "vier", "vijf", "zes", "zeven",
+             "acht", "negen", "tien", "elf", "twaalf", "dertien", "veertien",
+             "vijftien", "zestien", "zeventien", "achttien", "negentien"]
+_NL_TENS = {20: "twintig", 30: "dertig", 40: "veertig", 50: "vijftig",
+            60: "zestig", 70: "zeventig", 80: "tachtig", 90: "negentig"}
+
+
+def _nl_under_100(n: int) -> str:
+    if n < 20:
+        return _NL_UNITS[n]
+    t, u = divmod(n, 10)
+    if u == 0:
+        return _NL_TENS[t * 10]
+    joint = "ën" if _NL_UNITS[u].endswith("e") else "en"  # tweeëntwintig
+    return f"{_NL_UNITS[u]}{joint}{_NL_TENS[t * 10]}"
+
+
+def _nl_under_1000(n: int) -> str:
+    if n < 100:
+        return _nl_under_100(n)
+    h, rest = divmod(n, 100)
+    head = "honderd" if h == 1 else f"{_NL_UNITS[h]}honderd"
+    return head + (_nl_under_100(rest) if rest else "")
+
+
+def _nl_cardinal(n: int) -> str:
+    if n < 1000:
+        return _nl_under_1000(n)
+    if n < 1_000_000:
+        k, rest = divmod(n, 1000)
+        head = "duizend" if k == 1 else f"{_nl_under_1000(k)}duizend"
+        return head + (f" {_nl_under_1000(rest)}" if rest else "")
+    m, rest = divmod(n, 1_000_000)
+    head = "een miljoen" if m == 1 else f"{_nl_under_1000(m)} miljoen"
+    return head + (f" {_nl_cardinal(rest)}" if rest else "")
+
+
+_CARDINALS["ru"] = _ru_cardinal
+_CARDINALS["nl"] = _nl_cardinal
+_DECIMAL_WORD["ru"] = "запятая"
+_DECIMAL_WORD["nl"] = "komma"
+_CURRENCY_WORDS["$"]["ru"] = ("доллар", "доллара", "долларов")
+_CURRENCY_WORDS["$"]["nl"] = ("dollar", "dollar")
+_CURRENCY_WORDS["€"]["ru"] = ("евро", "евро", "евро")
+_CURRENCY_WORDS["€"]["nl"] = ("euro", "euro")
+_CURRENCY_WORDS["£"]["ru"] = ("фунт", "фунта", "фунтов")
+_CURRENCY_WORDS["£"]["nl"] = ("pond", "pond")
