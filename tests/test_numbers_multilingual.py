@@ -90,3 +90,20 @@ def test_chinese_cardinals():
 )
 def test_ru_nl_cardinals(lang, n, expected):
     assert number_to_words(n, lang) == expected
+
+
+@pytest.mark.parametrize(
+    "lang,n,expected",
+    [
+        ("tr", 42, "kırk iki"), ("tr", 100, "yüz"), ("tr", 250, "iki yüz elli"),
+        ("tr", 1000, "bin"), ("tr", 2023, "iki bin yirmi üç"),
+        ("pl", 21, "dwadzieścia jeden"), ("pl", 2000, "dwa tysiące"),
+        ("pl", 5000, "pięć tysięcy"), ("pl", 12000, "dwanaście tysięcy"),
+        ("pl", 22000, "dwadzieścia dwa tysiące"),
+        ("hu", 12, "tizenkettő"), ("hu", 21, "huszonegy"),
+        ("hu", 200, "kétszáz"), ("hu", 365, "háromszázhatvanöt"),
+        ("hu", 2023, "kétezer-huszonhárom"), ("hu", 22000, "huszonkétezer"),
+    ],
+)
+def test_tr_pl_hu_cardinals(lang, n, expected):
+    assert number_to_words(n, lang) == expected

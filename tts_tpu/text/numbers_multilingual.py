@@ -489,3 +489,153 @@ _CURRENCY_WORDS["€"]["ru"] = ("евро", "евро", "евро")
 _CURRENCY_WORDS["€"]["nl"] = ("euro", "euro")
 _CURRENCY_WORDS["£"]["ru"] = ("фунт", "фунта", "фунтов")
 _CURRENCY_WORDS["£"]["nl"] = ("pond", "pond")
+
+
+# ---------------------------------------------------------------------------
+# Turkish, Polish, Hungarian (the remaining regular XTTS languages;
+# Arabic/Czech/ja/ko stay digit-passthrough pending proper morphology)
+# ---------------------------------------------------------------------------
+
+_TR_UNITS = ["sıfır", "bir", "iki", "üç", "dört", "beş", "altı", "yedi",
+             "sekiz", "dokuz"]
+_TR_TENS = {10: "on", 20: "yirmi", 30: "otuz", 40: "kırk", 50: "elli",
+            60: "altmış", 70: "yetmiş", 80: "seksen", 90: "doksan"}
+
+
+def _tr_under_1000(n: int) -> str:
+    if n == 0:
+        return _TR_UNITS[0]
+    parts = []
+    h, rest = divmod(n, 100)
+    if h:
+        parts.append(("" if h == 1 else _TR_UNITS[h] + " ") + "yüz")
+    t, u = divmod(rest, 10)
+    if t:
+        parts.append(_TR_TENS[t * 10])
+    if u:
+        parts.append(_TR_UNITS[u])
+    return " ".join(parts)
+
+
+def _tr_cardinal(n: int) -> str:
+    if n < 1000:
+        return _tr_under_1000(n)
+    if n < 1_000_000:
+        k, rest = divmod(n, 1000)
+        head = ("" if k == 1 else _tr_under_1000(k) + " ") + "bin"
+        return head + (f" {_tr_under_1000(rest)}" if rest else "")
+    m, rest = divmod(n, 1_000_000)
+    head = f"{_tr_under_1000(m)} milyon"
+    return head + (f" {_tr_cardinal(rest)}" if rest else "")
+
+
+_PL_UNITS = ["zero", "jeden", "dwa", "trzy", "cztery", "pięć", "sześć",
+             "siedem", "osiem", "dziewięć", "dziesięć", "jedenaście",
+             "dwanaście", "trzynaście", "czternaście", "piętnaście",
+             "szesnaście", "siedemnaście", "osiemnaście", "dziewiętnaście"]
+_PL_TENS = {20: "dwadzieścia", 30: "trzydzieści", 40: "czterdzieści",
+            50: "pięćdziesiąt", 60: "sześćdziesiąt", 70: "siedemdziesiąt",
+            80: "osiemdziesiąt", 90: "dziewięćdziesiąt"}
+_PL_HUNDREDS = {100: "sto", 200: "dwieście", 300: "trzysta", 400: "czterysta",
+                500: "pięćset", 600: "sześćset", 700: "siedemset",
+                800: "osiemset", 900: "dziewięćset"}
+
+
+def _pl_under_1000(n: int) -> str:
+    parts = []
+    h, rest = divmod(n, 100)
+    if h:
+        parts.append(_PL_HUNDREDS[h * 100])
+    if rest >= 20:
+        t, u = divmod(rest, 10)
+        parts.append(_PL_TENS[t * 10])
+        rest = u
+    if rest:
+        parts.append(_PL_UNITS[rest])
+    return " ".join(parts) if parts else _PL_UNITS[0]
+
+
+def _pl_plural(n: int, one: str, few: str, many: str) -> str:
+    if n == 1:
+        return one
+    if n % 10 in (2, 3, 4) and n % 100 not in (12, 13, 14):
+        return few
+    return many
+
+
+def _pl_cardinal(n: int) -> str:
+    if n < 1000:
+        return _pl_under_1000(n)
+    if n < 1_000_000:
+        k, rest = divmod(n, 1000)
+        unit = _pl_plural(k, "tysiąc", "tysiące", "tysięcy")
+        head = unit if k == 1 else f"{_pl_under_1000(k)} {unit}"
+        return head + (f" {_pl_under_1000(rest)}" if rest else "")
+    m, rest = divmod(n, 1_000_000)
+    unit = _pl_plural(m, "milion", "miliony", "milionów")
+    head = unit if m == 1 else f"{_pl_under_1000(m)} {unit}"
+    return head + (f" {_pl_cardinal(rest)}" if rest else "")
+
+
+_HU_UNITS = ["nulla", "egy", "kettő", "három", "négy", "öt", "hat", "hét",
+             "nyolc", "kilenc"]
+_HU_TENS = {10: "tíz", 20: "húsz", 30: "harminc", 40: "negyven", 50: "ötven",
+            60: "hatvan", 70: "hetven", 80: "nyolcvan", 90: "kilencven"}
+# tíz/húsz shorten before an attached unit: tizenkettő, huszonegy
+_HU_TENS_JOINED = {10: "tizen", 20: "huszon", 30: "harminc", 40: "negyven",
+                   50: "ötven", 60: "hatvan", 70: "hetven", 80: "nyolcvan",
+                   90: "kilencven"}
+
+
+def _hu_under_1000(n: int) -> str:
+    if n == 0:
+        return _HU_UNITS[0]
+    parts = []
+    h, rest = divmod(n, 100)
+    if h:
+        parts.append(("" if h == 1 else re.sub(r"kettő$", "két", _HU_UNITS[h])) + "száz")
+    if rest:
+        t, u = divmod(rest, 10)
+        if t and u:
+            parts.append(_HU_TENS_JOINED[t * 10] + _HU_UNITS[u])
+        elif t:
+            parts.append(_HU_TENS[t * 10])
+        else:
+            parts.append(_HU_UNITS[u])
+    return "".join(parts)
+
+
+def _hu_attr(n: int) -> str:
+    """Attributive form before száz/ezer/millió: word-final kettő → két."""
+    return re.sub(r"kettő$", "két", _hu_under_1000(n))
+
+
+def _hu_cardinal(n: int) -> str:
+    if n < 1000:
+        return _hu_under_1000(n)
+    if n < 1_000_000:
+        k, rest = divmod(n, 1000)
+        head = ("" if k == 1 else _hu_attr(k)) + "ezer"
+        # compounds over 2000 are hyphenated in Hungarian orthography
+        return head + (("-" + _hu_under_1000(rest)) if rest and n > 2000 else
+                       _hu_under_1000(rest) if rest else "")
+    m, rest = divmod(n, 1_000_000)
+    head = ("egy" if m == 1 else _hu_attr(m)) + "millió"
+    return head + (("-" + _hu_cardinal(rest)) if rest else "")
+
+
+_CARDINALS["tr"] = _tr_cardinal
+_CARDINALS["pl"] = _pl_cardinal
+_CARDINALS["hu"] = _hu_cardinal
+_DECIMAL_WORD["tr"] = "virgül"
+_DECIMAL_WORD["pl"] = "przecinek"
+_DECIMAL_WORD["hu"] = "egész"
+_CURRENCY_WORDS["$"]["tr"] = ("dolar", "dolar")
+_CURRENCY_WORDS["$"]["pl"] = ("dolar", "dolary", "dolarów")
+_CURRENCY_WORDS["$"]["hu"] = ("dollár", "dollár")
+_CURRENCY_WORDS["€"]["tr"] = ("avro", "avro")
+_CURRENCY_WORDS["€"]["pl"] = ("euro", "euro", "euro")
+_CURRENCY_WORDS["€"]["hu"] = ("euró", "euró")
+_CURRENCY_WORDS["£"]["tr"] = ("sterlin", "sterlin")
+_CURRENCY_WORDS["£"]["pl"] = ("funt", "funty", "funtów")
+_CURRENCY_WORDS["£"]["hu"] = ("font", "font")
