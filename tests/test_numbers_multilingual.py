@@ -107,3 +107,19 @@ def test_ru_nl_cardinals(lang, n, expected):
 )
 def test_tr_pl_hu_cardinals(lang, n, expected):
     assert number_to_words(n, lang) == expected
+
+
+def test_cs_ko_cardinals():
+    from tts_tpu.text.numbers_multilingual import _ko_cardinal, expand_numbers_ko
+
+    assert number_to_words(200, "cs") == "dvě stě"
+    assert number_to_words(2000, "cs") == "dva tisíce"
+    assert number_to_words(5000, "cs") == "pět tisíc"
+    assert _ko_cardinal(16) == "십육"
+    assert _ko_cardinal(12345) == "만이천삼백사십오"
+    assert expand_numbers_ko("42개") == "사십이개"
+
+    from tts_tpu.models.xtts.tokenizer import multilingual_cleaners
+
+    assert multilingual_cleaners("42개", "ko") == "사십이개"
+    assert multilingual_cleaners("Mám 200 korun", "cs") == "mám dvě stě korun"

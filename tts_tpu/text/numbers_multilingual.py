@@ -639,3 +639,110 @@ _CURRENCY_WORDS["€"]["hu"] = ("euró", "euró")
 _CURRENCY_WORDS["£"]["tr"] = ("sterlin", "sterlin")
 _CURRENCY_WORDS["£"]["pl"] = ("funt", "funty", "funtów")
 _CURRENCY_WORDS["£"]["hu"] = ("font", "font")
+
+
+# ---------------------------------------------------------------------------
+# Czech (Slavic declension like Polish; dvě stě / tři sta / pět set hundreds)
+# ---------------------------------------------------------------------------
+
+_CS_UNITS = ["nula", "jedna", "dva", "tři", "čtyři", "pět", "šest", "sedm",
+             "osm", "devět", "deset", "jedenáct", "dvanáct", "třináct",
+             "čtrnáct", "patnáct", "šestnáct", "sedmnáct", "osmnáct",
+             "devatenáct"]
+_CS_TENS = {20: "dvacet", 30: "třicet", 40: "čtyřicet", 50: "padesát",
+            60: "šedesát", 70: "sedmdesát", 80: "osmdesát", 90: "devadesát"}
+
+
+def _cs_hundreds(h: int) -> str:
+    if h == 1:
+        return "sto"
+    if h == 2:
+        return "dvě stě"
+    if h in (3, 4):
+        return f"{_CS_UNITS[h]} sta"
+    return f"{_CS_UNITS[h]} set"
+
+
+def _cs_under_1000(n: int) -> str:
+    parts = []
+    h, rest = divmod(n, 100)
+    if h:
+        parts.append(_cs_hundreds(h))
+    if rest >= 20:
+        t, u = divmod(rest, 10)
+        parts.append(_CS_TENS[t * 10])
+        rest = u
+    if rest:
+        parts.append(_CS_UNITS[rest])
+    return " ".join(parts) if parts else _CS_UNITS[0]
+
+
+def _cs_cardinal(n: int) -> str:
+    if n < 1000:
+        return _cs_under_1000(n)
+    if n < 1_000_000:
+        k, rest = divmod(n, 1000)
+        unit = _pl_plural(k, "tisíc", "tisíce", "tisíc")
+        head = unit if k == 1 else f"{_cs_under_1000(k)} {unit}"
+        return head + (f" {_cs_under_1000(rest)}" if rest else "")
+    m, rest = divmod(n, 1_000_000)
+    unit = _pl_plural(m, "milion", "miliony", "milionů")
+    head = f"{_cs_under_1000(m)} {unit}" if m > 1 else "jeden milion"
+    return head + (f" {_cs_cardinal(rest)}" if rest else "")
+
+
+# ---------------------------------------------------------------------------
+# Korean — Sino-Korean cardinals in hangul (만-based grouping like Chinese)
+# ---------------------------------------------------------------------------
+
+_KO_DIGITS = ["", "일", "이", "삼", "사", "오", "육", "칠", "팔", "구"]
+_KO_SMALL = ["", "십", "백", "천"]
+
+
+def _ko_under_10000(n: int) -> str:
+    if n == 0:
+        return "영"
+    out = []
+    for pos in range(3, -1, -1):
+        d = (n // 10 ** pos) % 10
+        if d == 0:
+            continue
+        # 일 is dropped before 십/백/천 (16 = 십육, not 일십육)
+        digit = "" if (d == 1 and pos > 0) else _KO_DIGITS[d]
+        out.append(digit + _KO_SMALL[pos])
+    return "".join(out)
+
+
+def _ko_cardinal(n: int) -> str:
+    if n < 10000:
+        return _ko_under_10000(n)
+    parts = []
+    eok, rest = divmod(n, 10 ** 8)
+    man, low = divmod(rest, 10000)
+    if eok:
+        parts.append((_ko_under_10000(eok) if eok < 10000 else _ko_cardinal(eok)) + "억")
+    if man:
+        # 일만 keeps its 일 only at the very front by convention; "만" alone
+        parts.append(("만" if man == 1 and not eok else _ko_under_10000(man) + "만"))
+    if low:
+        parts.append(_ko_under_10000(low))
+    return "".join(parts)
+
+
+_CARDINALS["cs"] = _cs_cardinal
+_DECIMAL_WORD["cs"] = "celá"
+_CURRENCY_WORDS["$"]["cs"] = ("dolar", "dolary", "dolarů")
+_CURRENCY_WORDS["€"]["cs"] = ("euro", "eura", "eur")
+_CURRENCY_WORDS["£"]["cs"] = ("libra", "libry", "liber")
+
+
+def expand_numbers_ko(text: str) -> str:
+    """Digits → Sino-Korean hangul; decimals digit-by-digit after 점."""
+
+    def _dec(m):
+        whole = _ko_cardinal(int(m.group(1)))
+        frac = "".join(_KO_DIGITS[int(d)] if d != "0" else "영" for d in m.group(2))
+        return f"{whole}점{frac}"
+
+    text = re.sub(r"(\d+)\.(\d+)", _dec, text)
+    return re.sub(r"\d+", lambda m: _ko_cardinal(int(m.group(0))), text)
