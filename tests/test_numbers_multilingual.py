@@ -123,3 +123,16 @@ def test_cs_ko_cardinals():
 
     assert multilingual_cleaners("42개", "ko") == "사십이개"
     assert multilingual_cleaners("Mám 200 korun", "cs") == "mám dvě stě korun"
+
+
+def test_arabic():
+    from tts_tpu.text.numbers_multilingual import normalize_arabic_indic_digits
+
+    assert number_to_words(25, "ar") == "خمسة وعشرون"
+    assert number_to_words(345, "ar") == "ثلاثمئة وخمسة وأربعون"
+    assert number_to_words(3000, "ar") == "ثلاثة آلاف"
+    assert normalize_arabic_indic_digits("٤٢") == "42"
+
+    from tts_tpu.models.xtts.tokenizer import multilingual_cleaners
+
+    assert multilingual_cleaners("لدي ٤٢ تفاحة", "ar") == "لدي اثنان وأربعون تفاحة"

@@ -19,6 +19,7 @@ from tts_tpu.text.numbers_multilingual import (
     expand_numbers_multilingual,
     expand_numbers_ko,
     expand_numbers_zh,
+    normalize_arabic_indic_digits,
 )
 
 _CHAR_LIMITS = {
@@ -40,6 +41,8 @@ _SYMBOL_MAP = {
 def multilingual_cleaners(text: str, lang: str) -> str:
     """(reference ``xtts/tokenizer.py`` multilingual_cleaners)"""
     text = text.replace('"', "")
+    if lang == "ar":
+        text = normalize_arabic_indic_digits(text)
     if lang == "tr":
         text = text.replace("İ", "i").replace("Ö", "ö").replace("Ü", "ü")
     text = lowercase(text)

@@ -746,3 +746,77 @@ def expand_numbers_ko(text: str) -> str:
 
     text = re.sub(r"(\d+)\.(\d+)", _dec, text)
     return re.sub(r"\d+", lambda m: _ko_cardinal(int(m.group(0))), text)
+
+
+# ---------------------------------------------------------------------------
+# Arabic — basic MSA cardinals (masculine agreement) + Arabic-Indic digits
+# ---------------------------------------------------------------------------
+
+_AR_INDIC = str.maketrans("٠١٢٣٤٥٦٧٨٩", "0123456789")
+_AR_UNITS = ["صفر", "واحد", "اثنان", "ثلاثة", "أربعة", "خمسة", "ستة",
+             "سبعة", "ثمانية", "تسعة", "عشرة"]
+_AR_TEENS = {11: "أحد عشر", 12: "اثنا عشر"}
+_AR_TENS = {20: "عشرون", 30: "ثلاثون", 40: "أربعون", 50: "خمسون",
+            60: "ستون", 70: "سبعون", 80: "ثمانون", 90: "تسعون"}
+_AR_HUNDREDS = {1: "مئة", 2: "مئتان", 3: "ثلاثمئة", 4: "أربعمئة",
+                5: "خمسمئة", 6: "ستمئة", 7: "سبعمئة", 8: "ثمانمئة",
+                9: "تسعمئة"}
+
+
+def _ar_under_100(n: int) -> str:
+    if n <= 10:
+        return _AR_UNITS[n]
+    if n in _AR_TEENS:
+        return _AR_TEENS[n]
+    if n < 20:
+        return f"{_AR_UNITS[n - 10]} عشر"
+    t, u = divmod(n, 10)
+    tens = _AR_TENS[t * 10]
+    # units precede tens joined by و: خمسة وعشرون
+    return f"{_AR_UNITS[u]} و{tens}" if u else tens
+
+
+def _ar_under_1000(n: int) -> str:
+    if n < 100:
+        return _ar_under_100(n)
+    h, rest = divmod(n, 100)
+    head = _AR_HUNDREDS[h]
+    return f"{head} و{_ar_under_100(rest)}" if rest else head
+
+
+def _ar_cardinal(n: int) -> str:
+    if n < 1000:
+        return _ar_under_1000(n)
+    if n < 1_000_000:
+        k, rest = divmod(n, 1000)
+        if k == 1:
+            head = "ألف"
+        elif k == 2:
+            head = "ألفان"
+        elif k <= 10:
+            head = f"{_AR_UNITS[k]} آلاف"
+        else:
+            head = f"{_ar_under_1000(k)} ألف"
+        return f"{head} و{_ar_under_1000(rest)}" if rest else head
+    m, rest = divmod(n, 1_000_000)
+    if m == 1:
+        head = "مليون"
+    elif m == 2:
+        head = "مليونان"
+    elif m <= 10:
+        head = f"{_AR_UNITS[m]} ملايين"
+    else:
+        head = f"{_ar_under_1000(m)} مليون"
+    return f"{head} و{_ar_cardinal(rest)}" if rest else head
+
+
+_CARDINALS["ar"] = _ar_cardinal
+_DECIMAL_WORD["ar"] = "فاصلة"
+_CURRENCY_WORDS["$"]["ar"] = ("دولار", "دولارات")
+_CURRENCY_WORDS["€"]["ar"] = ("يورو", "يورو")
+_CURRENCY_WORDS["£"]["ar"] = ("جنيه", "جنيهات")
+
+
+def normalize_arabic_indic_digits(text: str) -> str:
+    """٠١٢٣٤٥٦٧٨٩ → 0123456789 (run before number expansion)."""
+    return text.translate(_AR_INDIC)
