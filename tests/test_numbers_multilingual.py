@@ -136,3 +136,16 @@ def test_arabic():
     from tts_tpu.models.xtts.tokenizer import multilingual_cleaners
 
     assert multilingual_cleaners("لدي ٤٢ تفاحة", "ar") == "لدي اثنان وأربعون تفاحة"
+
+
+def test_japanese():
+    from tts_tpu.text.numbers_multilingual import ja_number_to_words
+
+    assert ja_number_to_words(16) == "十六"
+    assert ja_number_to_words(1000) == "千"
+    assert ja_number_to_words(10000) == "一万"
+    assert ja_number_to_words(12345) == "一万二千三百四十五"
+
+    from tts_tpu.models.xtts.tokenizer import multilingual_cleaners
+
+    assert multilingual_cleaners("私は42個", "ja") == "私は四十二個"

@@ -17,6 +17,7 @@ from tts_tpu.text.english import normalize_numbers
 from tts_tpu.text.numbers_multilingual import (
     expand_abbreviations_multilingual,
     expand_numbers_multilingual,
+    expand_numbers_ja,
     expand_numbers_ko,
     expand_numbers_zh,
     normalize_arabic_indic_digits,
@@ -55,6 +56,8 @@ def multilingual_cleaners(text: str, lang: str) -> str:
         text = expand_numbers_zh(text)
     elif lang == "ko":
         text = expand_numbers_ko(text)
+    elif lang == "ja":
+        text = expand_numbers_ja(text)
     else:
         text = expand_numbers_multilingual(text, lang)
     text = re.sub(r"[\(\)\[\]]+", "", text)

@@ -820,3 +820,53 @@ _CURRENCY_WORDS["£"]["ar"] = ("جنيه", "جنيهات")
 def normalize_arabic_indic_digits(text: str) -> str:
     """٠١٢٣٤٥٦٧٨٩ → 0123456789 (run before number expansion)."""
     return text.translate(_AR_INDIC)
+
+
+# ---------------------------------------------------------------------------
+# Japanese — kanji numerals (万-grouping; no 两, and 千/百 drop the leading 一
+# below 10000 but 万/億 groups keep it: 一万)
+# ---------------------------------------------------------------------------
+
+_JA_DIGITS = "〇一二三四五六七八九"
+_JA_SMALL = ["", "十", "百", "千"]
+
+
+def _ja_under_10000(n: int, keep_ichi: bool = False) -> str:
+    if n == 0:
+        return "〇"
+    out = []
+    for pos in range(3, -1, -1):
+        d = (n // 10 ** pos) % 10
+        if d == 0:
+            continue
+        drop_one = d == 1 and pos > 0 and not (keep_ichi and pos == 3)
+        out.append(("" if drop_one else _JA_DIGITS[d]) + _JA_SMALL[pos])
+    return "".join(out)
+
+
+def ja_number_to_words(n: int) -> str:
+    if n < 10000:
+        return _ja_under_10000(n)
+    parts = []
+    oku, rest = divmod(n, 10 ** 8)
+    man, low = divmod(rest, 10000)
+    if oku:
+        head = ja_number_to_words(oku) if oku >= 10000 else _ja_under_10000(oku, keep_ichi=True)
+        parts.append(("一" if oku == 1 else head) + "億")
+    if man:
+        parts.append(("一" if man == 1 else _ja_under_10000(man, keep_ichi=True)) + "万")
+    if low:
+        parts.append(_ja_under_10000(low))
+    return "".join(parts)
+
+
+def expand_numbers_ja(text: str) -> str:
+    """Digits → kanji numerals; decimals digit-by-digit after 点."""
+
+    def _dec(m):
+        whole = ja_number_to_words(int(m.group(1)))
+        frac = "".join(_JA_DIGITS[int(d)] for d in m.group(2))
+        return f"{whole}点{frac}"
+
+    text = re.sub(r"(\d+)\.(\d+)", _dec, text)
+    return re.sub(r"\d+", lambda m: ja_number_to_words(int(m.group(0))), text)
