@@ -1,0 +1,112 @@
+"""User-surface dispatch tests: XTTS voice cloning through Synthesizer/API
+(reference ``synthesizer.py:385-395`` hasattr-synthesize dispatch +
+``api.py:237`` speaker_wav forwarding), which round 1 dropped on the floor.
+"""
+
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+
+def _tiny_xtts_config():
+    from tts_tpu.models.xtts.config import XttsArgs, XttsConfig
+
+    args = XttsArgs(
+        gpt_layers=1,
+        gpt_n_model_channels=64,
+        gpt_n_heads=4,
+        gpt_number_text_tokens=80,
+        gpt_num_audio_tokens=18,
+        gpt_start_audio_token=16,
+        gpt_stop_audio_token=17,
+        gpt_max_audio_tokens=32,
+        gpt_max_text_tokens=64,
+        gpt_start_text_token=1,
+        gpt_stop_text_token=0,
+        decoder_input_dim=64,
+    )
+    return XttsConfig(model_args=args)
+
+
+def _make_vocab(path):
+    from tokenizers import Tokenizer
+    from tokenizers.models import BPE
+
+    chars = sorted(set("abcdefghijklmnopqrstuvwxyz[]enspace().,!?' -"))
+    vocab = {c: i for i, c in enumerate(chars)}
+    vocab["[UNK]"] = len(vocab)
+    tok = Tokenizer(BPE(vocab=vocab, merges=[], unk_token="[UNK]"))
+    tok.save(str(path))
+
+
+@pytest.fixture(scope="module")
+def xtts_dir(tmp_path_factory):
+    """A converted-XTTS model dir: config.json + vocab.json + msgpack."""
+    import jax
+
+    from tts_tpu.models.xtts.model import Xtts
+    from tts_tpu.utils.io import save_checkpoint
+
+    d = tmp_path_factory.mktemp("xtts_dir")
+    config = _tiny_xtts_config()
+    model = Xtts(config)
+    gpt_params, decoder_params = model.init_params(jax.random.PRNGKey(0))
+    payload = {"gpt": gpt_params, "decoder": decoder_params, "mel_stats": np.zeros((0,))}
+    save_checkpoint(str(d / "model_flax.msgpack"), payload, config=config)
+    with open(d / "config.json", "w") as f:
+        json.dump(config.to_dict(), f, default=str)
+    _make_vocab(d / "vocab.json")
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def ref_wav(tmp_path_factory):
+    from tts_tpu.audio.numpy_transforms import save_wav
+
+    path = tmp_path_factory.mktemp("refs") / "speaker.wav"
+    rng = np.random.RandomState(0)
+    t = np.arange(22050, dtype=np.float32) / 22050.0
+    wav = 0.3 * np.sin(2 * np.pi * 220 * t) + 0.05 * rng.randn(22050).astype(np.float32)
+    save_wav(wav=wav, path=str(path), sample_rate=22050)
+    return str(path)
+
+
+def test_xtts_cloning_through_synthesizer(xtts_dir, ref_wav):
+    """speaker_wav reaches XTTS via the synthesize() dispatch."""
+    from tts_tpu.utils.synthesizer import Synthesizer
+
+    synth = Synthesizer(model_dir=xtts_dir)
+    assert synth.tts_config.model == "xtts"
+    wav = synth.tts("hi there.", language_name="en", speaker_wav=[ref_wav],
+                    split_sentences=False)
+    wav = np.asarray(wav, np.float32)
+    assert wav.ndim == 1 and len(wav) > 0
+    assert np.all(np.isfinite(wav))
+
+
+def test_xtts_cloning_through_api(xtts_dir, ref_wav, tmp_path):
+    """TTS api: model dir + speaker_wav + tts_to_file."""
+    from tts_tpu.api import TTS
+
+    tts = TTS()
+    tts.synthesizer = __import__("tts_tpu.utils.synthesizer", fromlist=["Synthesizer"]).Synthesizer(
+        model_dir=xtts_dir
+    )
+    out = tmp_path / "cloned.wav"
+    tts.tts_to_file("hello world.", language="en", speaker_wav=ref_wav,
+                    file_path=str(out), split_sentences=False)
+    assert out.is_file() and out.stat().st_size > 44
+
+
+def test_speaker_wav_required_error(xtts_dir):
+    """Friendly error when neither speaker_wav nor speaker_id is given."""
+    from tts_tpu.utils.synthesizer import Synthesizer
+
+    synth = Synthesizer(model_dir=xtts_dir)
+    with pytest.raises(ValueError, match="speaker_wav"):
+        synth.tts("hello.", language_name="en", split_sentences=False)

@@ -8,6 +8,7 @@ Example:
 
 from __future__ import annotations
 
+import os
 from typing import List, Optional
 
 from tts_tpu.utils.synthesizer import Synthesizer
@@ -26,9 +27,13 @@ class TTS:
         progress_bar: bool = True,
     ):
         self.synthesizer: Optional[Synthesizer] = None
+        self.voice_converter: Optional[Synthesizer] = None
         self.model_name = model_name
         if model_name:
-            self.load_tts_model_by_name(model_name)
+            if "voice_conversion" in model_name:
+                self.load_vc_model_by_name(model_name)
+            else:
+                self.load_tts_model_by_name(model_name)
         elif model_path:
             self.load_tts_model_by_path(
                 model_path, config_path, vocoder_path=vocoder_path, vocoder_config=vocoder_config_path
@@ -48,6 +53,23 @@ class TTS:
             return []
         return self.synthesizer.tts_model.speaker_manager.speaker_names
 
+    @property
+    def is_multi_lingual(self) -> bool:
+        if self.synthesizer is None or self.synthesizer.tts_model is None:
+            return False
+        if "xtts" in (self.model_name or "") or self.synthesizer.tts_config.model == "xtts":
+            return True
+        lm = getattr(self.synthesizer.tts_model, "language_manager", None)
+        return bool(lm and len(getattr(lm, "name_to_id", {}) or {}) > 1)
+
+    @property
+    def languages(self) -> List[str]:
+        if self.synthesizer is None or not self.is_multi_lingual:
+            return []
+        if self.synthesizer.tts_config.model == "xtts":
+            return list(getattr(self.synthesizer.tts_config.model_args, "languages", []) or [])
+        return list(self.synthesizer.tts_model.language_manager.name_to_id)
+
     @staticmethod
     def list_models() -> List[str]:
         from tts_tpu.utils.manage import ModelManager
@@ -59,6 +81,10 @@ class TTS:
 
         manager = ModelManager()
         model_path, config_path, model_item = manager.download_model(model_name)
+        if config_path is None and os.path.isdir(model_path):
+            # multi-file model dir (XTTS): Synthesizer loads it whole
+            self.synthesizer = Synthesizer(model_dir=model_path)
+            return
         vocoder_name = model_item.get("default_vocoder")
         vocoder_path = vocoder_config = None
         if vocoder_name:
@@ -75,6 +101,18 @@ class TTS:
             tts_config_path=config_path or "",
             vocoder_checkpoint=vocoder_path or "",
             vocoder_config=vocoder_config or "",
+        )
+
+    def load_vc_model_by_name(self, model_name: str) -> None:
+        """(reference ``api.py:150 load_vc_model_by_name``)"""
+        from tts_tpu.utils.manage import ModelManager
+
+        model_path, config_path, _ = ModelManager().download_model(model_name)
+        self.load_vc_model_by_path(model_path, config_path)
+
+    def load_vc_model_by_path(self, model_path: str, config_path: Optional[str] = None) -> None:
+        self.voice_converter = Synthesizer(
+            vc_checkpoint=model_path, vc_config=config_path or ""
         )
 
     # ------------------------------------------------------------------
@@ -116,4 +154,59 @@ class TTS:
             split_sentences=split_sentences, **kwargs,
         )
         self.synthesizer.save_wav(wav, file_path, pipe_out=pipe_out)
+        return file_path
+
+    # ------------------------------------------------------------------
+    def voice_conversion(self, source_wav: str, target_wav: str):
+        """Convert the voice in ``source_wav`` to the voice of ``target_wav``
+        (reference ``api.py:345``)."""
+        converter = self.voice_converter or self.synthesizer
+        if converter is None:
+            raise RuntimeError("No model loaded.")
+        return converter.voice_conversion(source_wav=source_wav, target_wav=target_wav)
+
+    def voice_conversion_to_file(
+        self, source_wav: str, target_wav: str, file_path: str = "output.wav"
+    ) -> str:
+        """(reference ``api.py:363``)"""
+        wav = self.voice_conversion(source_wav=source_wav, target_wav=target_wav)
+        (self.voice_converter or self.synthesizer).save_wav(wav, file_path)
+        return file_path
+
+    def tts_with_vc(
+        self,
+        text: str,
+        language: Optional[str] = None,
+        speaker_wav: Optional[str] = None,
+        speaker: Optional[str] = None,
+        split_sentences: bool = True,
+    ):
+        """Synthesize, then convert the result to the ``speaker_wav`` voice
+        with FreeVC (reference ``api.py:381``)."""
+        import tempfile
+
+        with tempfile.NamedTemporaryFile(suffix=".wav", delete=False) as fp:
+            self.tts_to_file(
+                text=text, speaker=speaker, language=language,
+                file_path=fp.name, split_sentences=split_sentences,
+            )
+            if self.voice_converter is None:
+                self.load_vc_model_by_name("voice_conversion_models/multilingual/vctk/freevc24")
+            return self.voice_converter.voice_conversion(source_wav=fp.name, target_wav=speaker_wav)
+
+    def tts_with_vc_to_file(
+        self,
+        text: str,
+        language: Optional[str] = None,
+        speaker_wav: Optional[str] = None,
+        file_path: str = "output.wav",
+        speaker: Optional[str] = None,
+        split_sentences: bool = True,
+    ) -> str:
+        """(reference ``api.py:422``)"""
+        wav = self.tts_with_vc(
+            text=text, language=language, speaker_wav=speaker_wav,
+            speaker=speaker, split_sentences=split_sentences,
+        )
+        self.voice_converter.save_wav(wav, file_path)
         return file_path

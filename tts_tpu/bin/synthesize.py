@@ -36,6 +36,14 @@ def make_parser() -> argparse.ArgumentParser:
     parser.add_argument("--speaker_wav", nargs="+", default=None)
     parser.add_argument("--list_speaker_idxs", action="store_true")
     parser.add_argument("--list_language_idxs", action="store_true")
+    # same-model voice transfer (reference synthesize.py:370-382)
+    parser.add_argument("--reference_wav", type=str, default=None,
+                        help="transfer this wav's content to --speaker_idx's voice")
+    parser.add_argument("--reference_speaker_idx", type=str, default=None)
+    parser.add_argument("--style_wav", type=str, default=None, help="GST style reference")
+    # voice conversion (reference synthesize.py:383-397)
+    parser.add_argument("--source_wav", type=str, default=None, help="VC source wav")
+    parser.add_argument("--target_wav", type=str, default=None, help="VC target-voice wav")
     return parser
 
 
@@ -62,6 +70,27 @@ def main():
     if args.list_speaker_idxs:
         print(tts.speakers)
         return
+    if args.list_language_idxs:
+        print(tts.languages)
+        return
+
+    if args.source_wav is not None and args.target_wav is not None:
+        tts.voice_conversion_to_file(
+            source_wav=args.source_wav, target_wav=args.target_wav, file_path=args.out_path
+        )
+        print(f" > Saving output to {args.out_path}")
+        return
+
+    if args.reference_wav is not None:
+        wav = tts.synthesizer.tts(
+            reference_wav=args.reference_wav,
+            speaker_name=args.speaker_idx,
+            reference_speaker_name=args.reference_speaker_idx,
+        )
+        tts.synthesizer.save_wav(wav, args.out_path)
+        print(f" > Saving output to {args.out_path}")
+        return
+
     if args.text is None:
         print(" [!] Provide --text", file=sys.stderr)
         sys.exit(1)
@@ -72,6 +101,7 @@ def main():
         speaker=args.speaker_idx,
         language=args.language_idx,
         speaker_wav=args.speaker_wav,
+        style_wav=args.style_wav,
         file_path=args.out_path,
         pipe_out=pipe_out,
     )

@@ -105,7 +105,9 @@ class VitsModule(nn.Module):
             upsample_kernel_sizes=tuple(a.upsample_kernel_sizes_decoder),
             upsample_initial_channel=a.upsample_initial_channel_decoder,
             upsample_factors=tuple(a.upsample_rates_decoder),
+            inference_padding=0,
             cond_channels=self.embedded_speaker_dim,
+            conv_post_bias=False,
             name="waveform_decoder",
         )
 

@@ -89,10 +89,86 @@ class Xtts:
         self.mel_stats: Optional[jnp.ndarray] = None
         self.gpt_params = None
         self.decoder_params = None
+        self.speaker_manager: Dict[str, Dict[str, jnp.ndarray]] = {}
 
     @classmethod
     def init_from_config(cls, config: XttsConfig, samples=None):
         return cls(config)
+
+    # ------------------------------------------------------------------
+    def load_checkpoint(self, config: XttsConfig, checkpoint_dir: str, **kwargs):
+        """Load an XTTS model directory (reference ``xtts.py:731``):
+        ``vocab.json`` (BPE), ``model.pth``/``model_flax.msgpack`` (weights;
+        torch checkpoints are converted once and cached beside the original),
+        optional ``speakers_xtts.pth`` (named speaker latents)."""
+        import os
+
+        vocab = os.path.join(checkpoint_dir, "vocab.json")
+        if os.path.isfile(vocab):
+            self.tokenizer = VoiceBpeTokenizer(vocab_file=vocab)
+            # reference reads the special-token ids from the vocab
+            # (xtts.py:221-224) — rebuild the GPT module if they differ
+            start = self.tokenizer.tokenizer.token_to_id("[START]")
+            stop = self.tokenizer.tokenizer.token_to_id("[STOP]")
+            if start is not None and stop is not None and (
+                start != self.gpt.start_text_token or stop != self.gpt.stop_text_token
+            ):
+                self.args.gpt_start_text_token = start
+                self.args.gpt_stop_text_token = stop
+                self.gpt = self.gpt.clone(start_text_token=start, stop_text_token=stop)
+
+        flax_path = os.path.join(checkpoint_dir, "model_flax.msgpack")
+        torch_path = os.path.join(checkpoint_dir, "model.pth")
+        if not os.path.isfile(flax_path) and os.path.isfile(torch_path):
+            self._convert_and_cache(torch_path, flax_path)
+        if os.path.isfile(flax_path):
+            from tts_tpu.utils.io import load_checkpoint as load_msgpack
+
+            params, _, _ = load_msgpack(flax_path)
+            self.gpt_params = params["gpt"]
+            self.decoder_params = params["decoder"]
+            if "mel_stats" in params and params["mel_stats"] is not None:
+                ms = np.asarray(params["mel_stats"])
+                if ms.size:
+                    self.mel_stats = jnp.asarray(ms)
+        else:
+            raise FileNotFoundError(
+                f"No model weights found in {checkpoint_dir} "
+                "(need model_flax.msgpack or model.pth)."
+            )
+
+        spk_file = os.path.join(checkpoint_dir, "speakers_xtts.pth")
+        if os.path.isfile(spk_file):
+            self._load_speaker_file(spk_file)
+
+    def _convert_and_cache(self, torch_path: str, flax_path: str) -> None:
+        from tts_tpu.utils.convert import convert_xtts, load_torch_checkpoint
+        from tts_tpu.utils.io import save_checkpoint
+
+        print(f" > Converting XTTS torch checkpoint {torch_path} → {flax_path}")
+        state = load_torch_checkpoint(torch_path)
+        mel_stats = state.pop("mel_stats", None)
+        gpt_params, decoder_params = convert_xtts(
+            state, layers=self.args.gpt_layers, heads=self.args.gpt_n_heads
+        )
+        payload = {
+            "gpt": gpt_params,
+            "decoder": decoder_params,
+            "mel_stats": np.asarray(mel_stats) if mel_stats is not None else np.zeros((0,)),
+        }
+        save_checkpoint(flax_path, payload, config=self.config, meta={"format": "xtts"})
+
+    def _load_speaker_file(self, path: str) -> None:
+        import torch
+
+        table = torch.load(path, map_location="cpu", weights_only=True)
+        for name, entry in table.items():
+            self.speaker_manager[name] = {
+                "gpt_cond_latent": jnp.asarray(np.asarray(entry["gpt_cond_latent"])),
+                "speaker_embedding": jnp.asarray(
+                    np.asarray(entry["speaker_embedding"]).reshape(1, -1)
+                ),
+            }
 
     # ------------------------------------------------------------------
     def init_params(self, rng, t_text: int = 16, t_codes: int = 24, t_cond: int = 64):
@@ -308,15 +384,39 @@ class Xtts:
             if bool(np.asarray(state["done"])[0]):
                 break
 
-    def synthesize(self, text: str, config, speaker_wav, language: str, **kwargs):
+    def synthesize(
+        self,
+        text: str,
+        config,
+        speaker_wav=None,
+        language: str = "en",
+        speaker_id: Optional[str] = None,
+        voice_dirs=None,
+        **kwargs,
+    ):
         """(reference ``xtts.py:382``)"""
-        gpt_cond_latent, speaker_embedding = self.get_conditioning_latents(
-            speaker_wav,
-            gpt_cond_len=config.gpt_cond_len,
-            gpt_cond_chunk_len=config.gpt_cond_chunk_len,
-            max_ref_length=config.max_ref_len,
-            sound_norm_refs=config.sound_norm_refs,
-        )
+        if speaker_wav is None and speaker_id is not None:
+            if speaker_id not in self.speaker_manager:
+                raise ValueError(
+                    f" [!] Unknown XTTS speaker {speaker_id!r}; known: "
+                    f"{sorted(self.speaker_manager)[:16]}…"
+                )
+            entry = self.speaker_manager[speaker_id]
+            gpt_cond_latent = entry["gpt_cond_latent"]
+            speaker_embedding = entry["speaker_embedding"]
+        elif speaker_wav is None:
+            raise ValueError(
+                " [!] XTTS needs a `speaker_wav` reference clip (or a known "
+                "`speaker_id` from speakers_xtts.pth) for voice cloning."
+            )
+        else:
+            gpt_cond_latent, speaker_embedding = self.get_conditioning_latents(
+                speaker_wav,
+                gpt_cond_len=config.gpt_cond_len,
+                gpt_cond_chunk_len=config.gpt_cond_chunk_len,
+                max_ref_length=config.max_ref_len,
+                sound_norm_refs=config.sound_norm_refs,
+            )
         return self.inference(
             text,
             language,

@@ -327,3 +327,53 @@ class FairseqVocab(BaseVocabulary):
             pad=" ",
             blank=symbols[0] if symbols else None,
         )
+
+
+class VitsCharacters(BaseCharacters):
+    """VITS-compatible vocab: ``[pad] + punctuations + characters + [blank]``
+    (reference ``vits.py:1934`` — pretrained-checkpoint embedding indices
+    depend on this exact order)."""
+
+    def __init__(
+        self,
+        graphemes: str = _characters,
+        punctuations: str = _punctuations,
+        pad: str = _pad,
+        ipa_characters: str = _phonemes,
+    ) -> None:
+        if ipa_characters is not None:
+            graphemes += ipa_characters
+        super().__init__(graphemes, punctuations, pad, None, None, "<BLNK>", is_unique=False, is_sorted=True)
+
+    def _create_vocab(self):
+        self._vocab = [self._pad] + list(self._punctuations) + list(self._characters) + [self._blank]
+        self._char_to_id = {char: idx for idx, char in enumerate(self._vocab)}
+        self._id_to_char = {idx: char for idx, char in enumerate(self._vocab)}
+
+    @staticmethod
+    def init_from_config(config):
+        if config.characters is not None:
+            cc = config.characters
+            return (
+                VitsCharacters(
+                    graphemes=cc.characters,
+                    ipa_characters=cc.phonemes,
+                    punctuations=cc.punctuations,
+                    pad=cc.pad,
+                ),
+                config,
+            )
+        characters = VitsCharacters()
+        return characters, replace(config, characters=characters.to_config())
+
+    def to_config(self) -> CharactersConfig:
+        return CharactersConfig(
+            characters=self._characters,
+            punctuations=self._punctuations,
+            pad=self._pad,
+            eos=None,
+            bos=None,
+            blank=self._blank,
+            is_unique=False,
+            is_sorted=True,
+        )

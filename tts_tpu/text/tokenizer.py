@@ -109,6 +109,9 @@ class TTSTokenizer:
                 import importlib
 
                 mod_name, cls_name = config.characters.characters_class.rsplit(".", 1)
+                if mod_name.startswith("TTS."):
+                    # zoo configs name reference classes; ours live here
+                    mod_name = "tts_tpu.text.characters"
                 CharactersClass = getattr(importlib.import_module(mod_name), cls_name)
                 characters, new_config = CharactersClass.init_from_config(config)
             elif config.use_phonemes:

@@ -22,6 +22,8 @@ _DEFAULT_MODELS_FILE = os.path.join(os.path.dirname(os.path.dirname(__file__)), 
 
 
 def get_user_data_dir(appname: str = "tts_tpu") -> str:
+    if os.environ.get("TTS_HOME"):
+        return os.path.join(os.environ["TTS_HOME"], appname)
     base = os.environ.get("XDG_DATA_HOME", os.path.join(os.path.expanduser("~"), ".local", "share"))
     return os.path.join(base, appname)
 
@@ -32,7 +34,7 @@ class ModelManager:
     def __init__(self, models_file: Optional[str] = None, output_prefix: Optional[str] = None, progress_bar: bool = False):
         self.progress_bar = progress_bar
         self.output_prefix = output_prefix or get_user_data_dir()
-        self.models_file = models_file or _DEFAULT_MODELS_FILE
+        self.models_file = models_file or os.environ.get("TTS_TPU_MODELS_FILE") or _DEFAULT_MODELS_FILE
         with open(self.models_file, "r", encoding="utf-8") as f:
             self.models_dict = json.load(f)
 
@@ -75,11 +77,15 @@ class ModelManager:
         return model_item, model_full_name, output_path
 
     def download_model(self, model_name: str) -> Tuple[str, Optional[str], Dict]:
-        """Resolve (and download if missing) a zoo model
-        (reference ``manage.py:371``).
+        """Resolve (and download if missing) a zoo model, converting torch
+        checkpoints to flax msgpack on first use (reference ``manage.py:371``
+        + the per-architecture converters in ``tts_tpu.utils.convert``).
 
-        Returns (model_path, config_path, model_item).
+        Returns (model_path, config_path, model_item).  ``model_path`` is a
+        directory for multi-file models (XTTS/Bark/Tortoise/fairseq).
         """
+        if "fairseq" in model_name:
+            return self.download_fairseq_model(model_name)
         model_item, _, output_path = self._set_model_item(model_name)
         if not os.path.exists(output_path):
             os.makedirs(output_path, exist_ok=True)
@@ -91,29 +97,101 @@ class ModelManager:
             for url in urls:
                 self._download_file(url, output_path)
         model_path, config_path = self._find_files(output_path)
+        if config_path is not None:
+            self._update_paths(output_path, config_path)
+        if os.path.isfile(model_path) and not model_path.endswith((".msgpack", ".flax")):
+            from tts_tpu.utils.zoo_convert import ensure_flax_checkpoint
+
+            model_path, config_path = ensure_flax_checkpoint(model_path, config_path)
         return model_path, config_path, model_item
 
-    @staticmethod
-    def _find_files(output_path: str) -> Tuple[str, Optional[str]]:
+    def download_fairseq_model(self, model_name: str) -> Tuple[str, Optional[str], Dict]:
+        """``tts_models/<lang>/fairseq/vits`` → the ~1100-language MMS zoo
+        (reference ``manage.py:241``)."""
+        lang = model_name.split("/")[1]
+        output_path = os.path.join(self.output_prefix, f"tts_models--{lang}--fairseq--vits")
+        if not os.path.exists(output_path):
+            os.makedirs(output_path, exist_ok=True)
+            url = f"https://dl.fbaipublicfiles.com/mms/tts/{lang}.tar.gz"
+            self._download_file(url, output_path)
+        # dir holds G_100000.pth + vocab.txt + config.json (fairseq layout)
+        return output_path, None, {"model_type": "tts_models", "fairseq": True}
+
+    _MODEL_FILE_NAMES = (
+        "model_file.pth",
+        "model_file.pth.tar",
+        "model.pth",
+        "checkpoint.pth",
+        "best_model.pth",
+        "G_100000.pth",  # fairseq MMS
+    )
+    # multi-file models are loaded from the directory itself
+    _DIR_MARKERS = ("vocab.json", "vocab.txt", "dvae.pth", "tokenizer.json")
+
+    @classmethod
+    def _find_files(cls, output_path: str) -> Tuple[str, Optional[str]]:
+        files = sorted(os.listdir(output_path))
+        config_file = os.path.join(output_path, "config.json") if "config.json" in files else None
+        if any(m in files for m in cls._DIR_MARKERS):
+            return output_path, None if "vocab.json" in files or "vocab.txt" in files else config_file
         model_file = None
-        config_file = None
-        for f in sorted(os.listdir(output_path)):
-            full = os.path.join(output_path, f)
-            if f in ("model_file.pth", "model_file.pth.tar", "model.pth", "checkpoint.pth") or f.endswith(
-                (".msgpack", ".flax")
-            ):
-                model_file = full
-            elif f == "config.json":
-                config_file = full
+        for f in files:
+            if f.endswith((".msgpack", ".flax")) and "flax" in f:
+                model_file = os.path.join(output_path, f)
         if model_file is None:
-            # fall back to the largest file
-            files = [os.path.join(output_path, f) for f in os.listdir(output_path)]
-            files = [f for f in files if os.path.isfile(f)]
-            if files:
-                model_file = max(files, key=os.path.getsize)
+            for f in files:
+                if f in cls._MODEL_FILE_NAMES:
+                    model_file = os.path.join(output_path, f)
+                    break
+        if model_file is None:
+            # fall back to the largest checkpoint-looking file
+            cands = [
+                os.path.join(output_path, f)
+                for f in files
+                if f.endswith((".pth", ".pth.tar", ".pt", ".ckpt", ".msgpack"))
+                and not f.startswith(("speakers", "language", "dvae", "mel_stats"))
+            ]
+            cands = [f for f in cands if os.path.isfile(f)]
+            if cands:
+                model_file = max(cands, key=os.path.getsize)
         if model_file is None:
             raise ValueError(f" [!] Model file not found in {output_path}")
         return model_file, config_file
+
+    @staticmethod
+    def _update_paths(output_path: str, config_path: str) -> None:
+        """Rewrite aux-file paths inside a downloaded config to the local
+        download dir (reference ``manage.py:463 _update_paths``)."""
+        import json as _json
+
+        local = {
+            "speakers_file": "speakers.json",
+            "speakers.pth": "speakers.pth",
+            "language_ids_file": "language_ids.json",
+            "d_vector_file": "speakers.json",
+        }
+        with open(config_path, "r", encoding="utf-8") as f:
+            cfg = _json.load(f)
+
+        def _set(d, key, fname):
+            path = os.path.join(output_path, fname)
+            if key in d and d[key] and os.path.isfile(path):
+                d[key] = path
+
+        changed = False
+        for d in (cfg, cfg.get("model_args") or {}):
+            before = dict(d)
+            _set(d, "speakers_file", "speakers.json")
+            if not os.path.isfile(os.path.join(output_path, "speakers.json")):
+                _set(d, "speakers_file", "speakers.pth")
+            _set(d, "language_ids_file", "language_ids.json")
+            _set(d, "d_vector_file", "speakers.json")
+            if not os.path.isfile(os.path.join(output_path, "speakers.json")):
+                _set(d, "d_vector_file", "speakers.pth")
+            changed = changed or before != d
+        if changed:
+            with open(config_path, "w", encoding="utf-8") as f:
+                _json.dump(cfg, f, indent=2)
 
     def _download_file(self, url: str, output_path: str) -> None:
         """HTTP fetch + archive extraction (reference ``manage.py:528``)."""

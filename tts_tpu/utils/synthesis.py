@@ -26,6 +26,8 @@ def synthesis(
     speaker_id: Optional[int] = None,
     d_vector: Optional[np.ndarray] = None,
     language_id: Optional[int] = None,
+    style_wav=None,
+    style_text=None,
     max_frames: Optional[int] = None,
 ) -> Dict[str, Any]:
     """Tokenize → run model → collect outputs (reference ``synthesis.py:116``).
@@ -43,6 +45,10 @@ def synthesis(
         aux_input["d_vectors"] = jnp.asarray(np.asarray(d_vector, np.float32)[None])
     if language_id is not None:
         aux_input["language_ids"] = jnp.asarray([language_id], jnp.int32)
+    if style_wav is not None:
+        aux_input["style_wav"] = style_wav
+    if style_text is not None:
+        aux_input["style_text"] = style_text
 
     budget = max_frames or _frame_budget(len(token_ids))
     outputs = model.inference(params, x, x_lengths, aux_input=aux_input or None, max_frames=budget)

@@ -1,0 +1,112 @@
+"""Zoo checkpoint conversion: torch ``.pth`` → flax msgpack, dispatched by
+the model name in the downloaded ``config.json``.
+
+This is the glue that makes ``tts --model_name <zoo entry> --text ...``
+work end-to-end (reference flow ``TTS/utils/manage.py:371`` +
+``synthesize.py:144``): ``ModelManager.download_model`` calls
+:func:`ensure_flax_checkpoint` on first use; the converted checkpoint is
+cached beside the torch original as ``<name>_flax.msgpack``.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Dict, Optional, Tuple
+
+import numpy as np
+
+__all__ = ["ensure_flax_checkpoint", "convert_zoo_checkpoint", "CONVERTERS"]
+
+
+def _strip_prefix(state: Dict[str, np.ndarray], prefix: str) -> Dict[str, np.ndarray]:
+    if any(k.startswith(prefix) for k in state):
+        return {k[len(prefix):]: v for k, v in state.items() if k.startswith(prefix)}
+    return state
+
+
+# ---------------------------------------------------------------------------
+# per-model converters: (torch state dict, loaded config) -> flax params tree
+# ---------------------------------------------------------------------------
+
+
+def _convert_vits(state, config):
+    from tts_tpu.utils.convert import convert_vits_generator
+
+    state = {k: v for k, v in state.items() if "speaker_encoder" not in k}
+    return convert_vits_generator(state, config.model_args)
+
+
+def _convert_glow_tts(state, config):
+    from tts_tpu.utils.convert import convert_glow_tts
+
+    return convert_glow_tts(state, config)
+
+
+def _convert_tacotron2(state, config):
+    from tts_tpu.utils.convert import convert_tacotron2
+
+    return convert_tacotron2(state, r=getattr(config, "r", 2))
+
+
+def _convert_hifigan(state, config):
+    from tts_tpu.utils.convert import convert_hifigan_generator
+
+    return convert_hifigan_generator(_strip_prefix(state, "model_g."))
+
+
+CONVERTERS: Dict[str, Callable] = {
+    "vits": _convert_vits,
+    "glow_tts": _convert_glow_tts,
+    "tacotron2": _convert_tacotron2,
+    "hifigan": _convert_hifigan,
+}
+
+
+def register_zoo_converter(model_name: str, fn: Callable) -> None:
+    CONVERTERS[model_name.lower()] = fn
+
+
+def convert_zoo_checkpoint(model_path: str, config_path: str, out_path: str) -> str:
+    """Convert one torch checkpoint to a flax msgpack with the config
+    embedded.  Raises ``KeyError`` if no converter covers the model."""
+    from tts_tpu.config import _process_model_name, load_config, read_json_with_comments
+    from tts_tpu.utils.convert import load_torch_checkpoint
+    from tts_tpu.utils.io import save_checkpoint
+
+    config = load_config(config_path)
+    config_dict = read_json_with_comments(config_path)
+    name = _process_model_name(config_dict).lower()
+    if name not in CONVERTERS:
+        raise KeyError(
+            f"No torch→flax converter for model {name!r} yet "
+            f"(have: {sorted(CONVERTERS)})."
+        )
+    state = load_torch_checkpoint(model_path)
+    params = CONVERTERS[name](state, config)
+    save_checkpoint(out_path, params, config=config, meta={"converted_from": os.path.basename(model_path)})
+    return out_path
+
+
+def ensure_flax_checkpoint(
+    model_path: str, config_path: Optional[str]
+) -> Tuple[str, Optional[str]]:
+    """If ``model_path`` is a torch checkpoint, convert (once) and return the
+    cached msgpack path instead.  msgpack/dir paths pass through untouched."""
+    if model_path.endswith((".msgpack", ".flax")) or os.path.isdir(model_path):
+        return model_path, config_path
+    if not model_path.endswith((".pth", ".pth.tar", ".pt", ".ckpt")):
+        return model_path, config_path
+    base = model_path
+    for suffix in (".pth.tar", ".pth", ".pt", ".ckpt"):
+        if base.endswith(suffix):
+            base = base[: -len(suffix)]
+            break
+    out_path = base + "_flax.msgpack"
+    if not os.path.isfile(out_path):
+        if config_path is None:
+            raise ValueError(
+                f"Cannot convert {model_path}: no config.json found beside it."
+            )
+        print(f" > Converting {model_path} → {out_path}")
+        convert_zoo_checkpoint(model_path, config_path, out_path)
+    return out_path, config_path

@@ -133,6 +133,68 @@ class FreeVC:
         self.config = config
         self.args = config.model_args
         self.module = FreeVCModule(args=self.args)
+        self.params = None
+        # wav [B, T] @16 kHz → SSL content features [B, T', ssl_dim]
+        # (WavLM; see tts_tpu.vc.modules.wavlm)
+        self.content_extractor = None
+        self.speaker_encoder = None  # external d-vector model when use_spk
+
+    def set_params(self, params):
+        self.params = params
+
+    def voice_conversion_from_files(self, source_wav: str, target_wav) -> "np.ndarray":
+        """Raw file paths → converted waveform (reference
+        ``freevc.py voice_conversion`` driven from ``synthesizer.py:250``)."""
+        import numpy as np
+
+        from tts_tpu.audio.numpy_transforms import load_wav
+
+        if self.params is None:
+            raise RuntimeError("FreeVC params not set (set_params).")
+        if self.content_extractor is None:
+            self._init_default_content_extractor()
+        src = load_wav(filename=source_wav, sample_rate=self.config.audio.input_sample_rate, resample=True)
+        tgt_path = target_wav[0] if isinstance(target_wav, (list, tuple)) else target_wav
+        tgt = load_wav(filename=tgt_path, sample_rate=self.config.audio.input_sample_rate, resample=True)
+
+        c = self.content_extractor(jnp.asarray(src)[None])  # [1, T', ssl]
+        c_lengths = jnp.asarray([c.shape[1]], jnp.int32)
+        g = self._embed_target_speaker(np.asarray(tgt))
+        wav = self.voice_conversion(self.params, c, c_lengths, g)
+        return np.asarray(wav, np.float32).reshape(-1)
+
+    def _init_default_content_extractor(self) -> None:
+        from tts_tpu.vc.modules.wavlm import load_wavlm
+
+        self.content_extractor = load_wavlm()
+
+    def _embed_target_speaker(self, wav_16k) -> jnp.ndarray:
+        """Target wav → speaker embedding: external encoder when ``use_spk``
+        (reference pretrained LSTM encoder), else the in-model ``enc_spk``."""
+        import numpy as np
+
+        if self.args.use_spk and self.speaker_encoder is not None:
+            return jnp.asarray(
+                np.asarray(self.speaker_encoder.embed_utterance(wav_16k)).reshape(1, -1)
+            )
+        from tts_tpu.audio import jax_transforms as jt
+
+        a = self.config.audio
+        mel = jt.wav_to_mel(
+            jnp.asarray(wav_16k)[None],
+            n_fft=a.filter_length,
+            num_mels=a.n_mel_channels,
+            sample_rate=a.input_sample_rate,
+            hop_length=a.hop_length,
+            win_length=a.win_length,
+            fmin=a.mel_fmin,
+            fmax=a.mel_fmax,
+            center=False,
+        )
+        feats = jnp.swapaxes(mel, 1, 2)
+        return self.module.apply(
+            self.params, feats, method=lambda m, f: m.enc_spk(f)
+        )
 
     @classmethod
     def init_from_config(cls, config: FreeVCConfig, samples=None):
