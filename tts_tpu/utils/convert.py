@@ -724,3 +724,199 @@ def convert_fairseq_vits(state, args):
     """fairseq MMS VITS checkpoint (``G_100000.pth`` "model" dict) → flax
     params for :class:`tts_tpu.models.vits.model.VitsModule`."""
     return convert_vits_generator(rehash_fairseq_vits(state), args)
+
+
+# ---------------------------------------------------------------------------
+# MelGAN family (reference TTS/vocoder/models/melgan_generator.py:9)
+# ---------------------------------------------------------------------------
+
+def _convtranspose(state, key):
+    leaf = {"kernel": convtranspose1d_kernel(state[f"{key}.weight"])}
+    if f"{key}.bias" in state:
+        leaf["bias"] = state[f"{key}.bias"]
+    return leaf
+
+
+def convert_melgan_generator(state, num_upsample_stages, num_res_blocks=3):
+    """Reference MelganGenerator Sequential → flax params.
+
+    Sequential layout: [pad, conv_pre, (lrelu, convT, resstack)*N, lrelu,
+    pad, conv_post, tanh] → conv indices 1, 3+3i, and 2+3N+2."""
+    state = fold_weight_norm(state)
+    p = {"conv_pre": _plain_conv(state, "layers.1")}
+    for i in range(num_upsample_stages):
+        up = 3 + 3 * i
+        p[f"ups_{i}"] = _convtranspose(state, f"layers.{up}")
+        stack = {}
+        for j in range(num_res_blocks):
+            stack[f"block{j}_conv1"] = _plain_conv(state, f"layers.{up + 1}.blocks.{j}.2")
+            stack[f"block{j}_conv2"] = _plain_conv(state, f"layers.{up + 1}.blocks.{j}.4")
+            stack[f"shortcut{j}"] = _plain_conv(state, f"layers.{up + 1}.shortcuts.{j}")
+        p[f"res_{i}"] = stack
+    final = 2 + 3 * num_upsample_stages + 2
+    p["conv_post"] = _plain_conv(state, f"layers.{final}")
+    return {"params": p}
+
+
+# ---------------------------------------------------------------------------
+# ParallelWaveGAN (reference TTS/vocoder/models/parallel_wavegan_generator.py:12)
+# ---------------------------------------------------------------------------
+
+def _shared_tap(w):
+    """Reference Conv2d(1, 1, (1, k)) smoothing weight [1,1,1,k] → (k,1,1)."""
+    return np.asarray(w).reshape(-1)[:, None, None]
+
+
+def convert_parallel_wavegan_generator(state, num_res_blocks=30, num_upsample_stages=4):
+    state = fold_weight_norm(state)
+    p = {
+        "first_conv": _dense(state, "first_conv"),
+        "last_conv_1": _dense(state, "last_conv_layers.1"),
+        "last_conv_2": _dense(state, "last_conv_layers.3"),
+        "upsample_net": {
+            "conv_in": _plain_conv(state, "upsample_net.conv_in"),
+        },
+    }
+    for i in range(num_upsample_stages):
+        p["upsample_net"][f"up_{i}"] = _shared_tap(
+            state[f"upsample_net.upsample.up_layers.{2 * i + 1}.weight"]
+        )
+    for i in range(num_res_blocks):
+        k = f"conv_layers.{i}"
+        p[f"res_{i}"] = {
+            "conv": _plain_conv(state, f"{k}.conv"),
+            "conv1x1_aux": _dense(state, f"{k}.conv1x1_aux"),
+            "conv1x1_out": _dense(state, f"{k}.conv1x1_out"),
+            "conv1x1_skip": _dense(state, f"{k}.conv1x1_skip"),
+        }
+    return {"params": p}
+
+
+# ---------------------------------------------------------------------------
+# UnivNet (reference TTS/vocoder/models/univnet_generator.py:13)
+# ---------------------------------------------------------------------------
+
+def convert_univnet_generator(state, num_blocks=3, kpnet_res_blocks=3):
+    state = fold_weight_norm(state)
+    p = {
+        "first_conv": _plain_conv(state, "first_conv"),
+        "last_conv": _plain_conv(state, "last_conv_layers.0"),
+    }
+    for i in range(num_blocks):
+        k = f"lvc_blocks.{i}"
+        blk = {
+            "conv_0": _plain_conv(state, f"{k}.convs.0"),
+            "conv_1": _plain_conv(state, f"{k}.convs.1"),
+            "upsample": _convtranspose(state, f"{k}.upsample"),
+            "kernel_predictor": {
+                "input_conv": _plain_conv(state, f"{k}.kernel_predictor.input_conv.0"),
+                "kernel_conv": _plain_conv(state, f"{k}.kernel_predictor.kernel_conv"),
+                "bias_conv": _plain_conv(state, f"{k}.kernel_predictor.bias_conv"),
+            },
+        }
+        for r in range(kpnet_res_blocks):
+            blk["kernel_predictor"][f"res_{r}a"] = _plain_conv(
+                state, f"{k}.kernel_predictor.residual_conv.{5 * r + 1}"
+            )
+            blk["kernel_predictor"][f"res_{r}b"] = _plain_conv(
+                state, f"{k}.kernel_predictor.residual_conv.{5 * r + 3}"
+            )
+        p[f"lvc_{i}"] = blk
+    return {"params": p}
+
+
+# ---------------------------------------------------------------------------
+# WaveGrad (reference TTS/vocoder/models/wavegrad.py:36)
+# ---------------------------------------------------------------------------
+
+def convert_wavegrad(state, num_dblocks=4, num_ublocks=5):
+    state = fold_weight_norm(state)
+    p = {
+        "y_conv": _plain_conv(state, "y_conv"),
+        "x_conv": _plain_conv(state, "x_conv"),
+        "out_conv": _plain_conv(state, "out_conv"),
+    }
+    for i in range(num_dblocks):
+        k = f"dblocks.{i}"
+        if f"{k}.res_block.weight" not in state:
+            break
+        p[f"dblock_{i}"] = {
+            "res_block": _dense(state, f"{k}.res_block"),
+            **{f"main_{j}": _plain_conv(state, f"{k}.main_block.{j}") for j in range(3)},
+        }
+    i = 0
+    while f"film.{i}.input_conv.weight" in state:
+        p[f"film_{i}"] = {
+            "input_conv": _plain_conv(state, f"film.{i}.input_conv"),
+            "output_conv": _plain_conv(state, f"film.{i}.output_conv"),
+        }
+        i += 1
+    for i in range(num_ublocks):
+        k = f"ublocks.{i}"
+        if f"{k}.res_block.weight" not in state:
+            break
+        p[f"ublock_{i}"] = {
+            "res_block": _dense(state, f"{k}.res_block"),
+            **{f"main_{j}": _plain_conv(state, f"{k}.main_block.{j}") for j in range(2)},
+            **{f"out_{j}": _plain_conv(state, f"{k}.out_block.{j}") for j in range(2)},
+        }
+    return {"params": p}
+
+
+# ---------------------------------------------------------------------------
+# WaveRNN (reference TTS/vocoder/models/wavernn.py:193)
+# ---------------------------------------------------------------------------
+
+def _gru_cell(state, prefix):
+    """torch GRU gates [r,z,n] → flax GRUCell ir/iz/in (biased) + hr/hz
+    (bias-free) + hn (biased): r/z hidden biases fold into the input side;
+    the n-gate hidden bias stays separate (it is scaled by r)."""
+    wi, wh = state[f"{prefix}.weight_ih_l0"], state[f"{prefix}.weight_hh_l0"]
+    bi, bh = state[f"{prefix}.bias_ih_l0"], state[f"{prefix}.bias_hh_l0"]
+    H = wh.shape[1]
+    p = {}
+    for gidx, g in enumerate(("r", "z", "n")):
+        sl = slice(gidx * H, (gidx + 1) * H)
+        p[f"i{g}"] = {"kernel": linear_kernel(wi[sl]), "bias": bi[sl] + (bh[sl] if g != "n" else 0)}
+        hk = {"kernel": linear_kernel(wh[sl])}
+        if g == "n":
+            hk["bias"] = bh[sl]
+        p[f"h{g}"] = hk
+    return p
+
+
+def convert_wavernn(state, num_res_blocks=10, num_upsample_stages=3):
+    """Full reference Wavernn → flax params (use ``norm_type="folded"``)."""
+    state = fold_weight_norm(state)
+    resnet = {
+        "conv_in": {"kernel": conv1d_kernel(state["upsample.resnet.conv_in.weight"])},
+        "conv_out": _plain_conv(state, "upsample.resnet.conv_out"),
+    }
+    bn = _fold_bn(state, "upsample.resnet.batch_norm")
+    resnet["norm_in_scale"], resnet["norm_in_shift"] = bn["scale"], bn["shift"]
+    for i in range(num_res_blocks):
+        k = f"upsample.resnet.layers.{i}"
+        if f"{k}.conv1.weight" not in state:
+            break
+        resnet[f"res{i}_conv1"] = {"kernel": conv1d_kernel(state[f"{k}.conv1.weight"])}
+        resnet[f"res{i}_conv2"] = {"kernel": conv1d_kernel(state[f"{k}.conv2.weight"])}
+        b1 = _fold_bn(state, f"{k}.batch_norm1")
+        b2 = _fold_bn(state, f"{k}.batch_norm2")
+        resnet[f"res{i}_norm1_scale"], resnet[f"res{i}_norm1_shift"] = b1["scale"], b1["shift"]
+        resnet[f"res{i}_norm2_scale"], resnet[f"res{i}_norm2_shift"] = b2["scale"], b2["shift"]
+    upsample = {"resnet": resnet}
+    for i in range(num_upsample_stages):
+        key = f"upsample.up_layers.{2 * i + 1}.weight"
+        if key not in state:
+            break
+        upsample[f"up_{i}"] = _shared_tap(state[key])
+    p = {
+        "upsample": upsample,
+        "I": _dense(state, "I"),
+        "rnn1": _gru_cell(state, "rnn1"),
+        "rnn2": _gru_cell(state, "rnn2"),
+        "fc1": _dense(state, "fc1"),
+        "fc2": _dense(state, "fc2"),
+        "fc3": _dense(state, "fc3"),
+    }
+    return {"params": p}

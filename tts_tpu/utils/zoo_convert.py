@@ -54,11 +54,67 @@ def _convert_hifigan(state, config):
     return convert_hifigan_generator(_strip_prefix(state, "model_g."))
 
 
+def _convert_melgan(state, config):
+    from tts_tpu.utils.convert import convert_melgan_generator
+
+    gp = config.generator_model_params
+    return convert_melgan_generator(
+        _strip_prefix(state, "model_g."),
+        num_upsample_stages=len(gp["upsample_factors"]),
+        num_res_blocks=gp.get("num_res_blocks", 3),
+    )
+
+
+def _convert_parallel_wavegan(state, config):
+    from tts_tpu.utils.convert import convert_parallel_wavegan_generator
+
+    gp = config.generator_model_params
+    return convert_parallel_wavegan_generator(
+        _strip_prefix(state, "model_g."),
+        num_res_blocks=gp.get("num_res_blocks", 30),
+        num_upsample_stages=len(gp.get("upsample_factors", [4, 4, 4, 4])),
+    )
+
+
+def _convert_univnet(state, config):
+    from tts_tpu.utils.convert import convert_univnet_generator
+
+    gp = getattr(config, "generator_model_params", None) or getattr(config, "model_params", {}) or {}
+    return convert_univnet_generator(
+        _strip_prefix(state, "model_g."),
+        num_blocks=len(gp.get("upsample_factors", [8, 8, 4])),
+    )
+
+
+def _convert_wavegrad(state, config):
+    from tts_tpu.utils.convert import convert_wavegrad
+
+    return convert_wavegrad(state)
+
+
+def _convert_wavernn(state, config):
+    from tts_tpu.utils.convert import convert_wavernn
+
+    ma = getattr(config, "model_args", {}) or {}
+    return convert_wavernn(
+        state,
+        num_res_blocks=ma.get("num_res_blocks", 10),
+        num_upsample_stages=len(ma.get("upsample_factors", [4, 8, 8])),
+    )
+
+
 CONVERTERS: Dict[str, Callable] = {
     "vits": _convert_vits,
     "glow_tts": _convert_glow_tts,
     "tacotron2": _convert_tacotron2,
     "hifigan": _convert_hifigan,
+    "melgan": _convert_melgan,
+    "fullband_melgan": _convert_melgan,
+    "multiband_melgan": _convert_melgan,
+    "parallel_wavegan": _convert_parallel_wavegan,
+    "univnet": _convert_univnet,
+    "wavegrad": _convert_wavegrad,
+    "wavernn": _convert_wavernn,
 }
 
 

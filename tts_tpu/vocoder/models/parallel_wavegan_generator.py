@@ -53,18 +53,32 @@ def _repeat_upsample(c: jnp.ndarray, factor: int) -> jnp.ndarray:
 
 
 class ConvUpsample(nn.Module):
-    """Nearest upsample + smoothing convs (reference ``layers/upsample.py``)."""
+    """conv_in (1×1, bias-free) + per-stage nearest-repeat followed by one
+    smoothing tap SHARED across channels — weight-compatible with the
+    reference's ``Conv2d(1, 1, (1, 2f+1))`` over the stretched (C, T) plane
+    (reference ``layers/upsample.py`` ConvUpsample/UpsampleNetwork)."""
 
     upsample_factors: Sequence[int]
+    aux_context_window: int = 0
 
     @nn.compact
     def __call__(self, c):
+        k_in = 2 * self.aux_context_window + 1
+        c = nn.Conv(
+            c.shape[-1], (k_in,), padding="VALID", use_bias=False, name="conv_in"
+        )(c)
         for i, f in enumerate(self.upsample_factors):
             c = _repeat_upsample(c, f)
             k = 2 * f + 1
-            c = nn.Conv(
-                c.shape[-1], (k,), padding=[(f, f)], use_bias=False, name=f"conv_{i}"
-            )(c)
+            tap = self.param(
+                f"up_{i}", nn.initializers.constant(1.0 / k), (k, 1, 1)
+            )
+            C = c.shape[-1]
+            kern = jnp.broadcast_to(tap, (k, 1, C))
+            c = jax.lax.conv_general_dilated(
+                c, kern, (1,), [(f, f)],
+                dimension_numbers=("NWC", "WIO", "NWC"), feature_group_count=C,
+            )
         return c
 
 

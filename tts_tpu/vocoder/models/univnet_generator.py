@@ -162,6 +162,6 @@ class UnivnetGenerator(nn.Module):
                 kpnet_dropout=self.dropout,
                 name=f"lvc_{n}",
             )(h, c, train=train)
-        h = nn.leaky_relu(h, 0.2)
+        h = nn.leaky_relu(h, 0.1)  # reference LRELU_SLOPE (univnet_generator.py:10)
         h = nn.Conv(self.out_channels, (7,), padding=[(3, 3)], name="last_conv")(h)
         return jnp.tanh(h)

@@ -18,24 +18,35 @@ import numpy as np
 
 
 class MelResNet(nn.Module):
-    """(reference ``wavernn.py:48``)"""
+    """(reference ``wavernn.py:48``).
+
+    ``norm_type='layer'`` for training; ``'folded'`` = eval-mode BatchNorm as
+    an elementwise affine, matching converted reference checkpoints."""
 
     num_res_blocks: int
     compute_dims: int
     res_out_dims: int
     pad: int
+    norm_type: str = "layer"
+
+    def _norm(self, x, name):
+        if self.norm_type == "folded":
+            scale = self.param(f"{name}_scale", nn.initializers.ones, (x.shape[-1],))
+            shift = self.param(f"{name}_shift", nn.initializers.zeros, (x.shape[-1],))
+            return x * scale + shift
+        return nn.LayerNorm(name=name)(x)
 
     @nn.compact
     def __call__(self, x):  # [B, T, M]
         k = self.pad * 2 + 1
         x = nn.Conv(self.compute_dims, (k,), padding="VALID", use_bias=False, name="conv_in")(x)
-        x = nn.relu(nn.LayerNorm(name="norm_in")(x))
+        x = nn.relu(self._norm(x, "norm_in"))
         for i in range(self.num_res_blocks):
             res = x
             h = nn.Conv(self.compute_dims, (1,), use_bias=False, name=f"res{i}_conv1")(x)
-            h = nn.relu(nn.LayerNorm(name=f"res{i}_norm1")(h))
+            h = nn.relu(self._norm(h, f"res{i}_norm1"))
             h = nn.Conv(self.compute_dims, (1,), use_bias=False, name=f"res{i}_conv2")(h)
-            h = nn.LayerNorm(name=f"res{i}_norm2")(h)
+            h = self._norm(h, f"res{i}_norm2")
             x = h + res
         return nn.Conv(self.res_out_dims, (1,), name="conv_out")(x)
 
@@ -50,6 +61,7 @@ class UpsampleNetwork(nn.Module):
     res_out_dims: int
     pad: int
     use_aux_net: bool = True
+    norm_type: str = "layer"
 
     @nn.compact
     def __call__(self, m):  # [B, T_mel, M]
@@ -59,15 +71,22 @@ class UpsampleNetwork(nn.Module):
         if self.use_aux_net:
             aux = MelResNet(
                 self.num_res_blocks, self.compute_dims, self.res_out_dims, self.pad,
-                name="resnet",
+                norm_type=self.norm_type, name="resnet",
             )(m)
             aux = jnp.repeat(aux, total_scale, axis=1)
         x = m
         for i, scale in enumerate(self.upsample_factors):
             x = jnp.repeat(x, scale, axis=1)
             k = 2 * scale + 1
-            x = nn.Conv(x.shape[-1], (k,), padding=[(scale, scale)], use_bias=False,
-                        name=f"smooth_{i}")(x)
+            # one smoothing tap SHARED across channels — weight-compatible
+            # with the reference's Conv2d(1, 1, (1, k)) over (C, T)
+            tap = self.param(f"up_{i}", nn.initializers.constant(1.0 / k), (k, 1, 1))
+            C = x.shape[-1]
+            kern = jnp.broadcast_to(tap, (k, 1, C))
+            x = jax.lax.conv_general_dilated(
+                x, kern, (1,), [(scale, scale)],
+                dimension_numbers=("NWC", "WIO", "NWC"), feature_group_count=C,
+            )
         x = x[:, indent:-indent] if indent > 0 else x
         return x, aux
 
@@ -86,6 +105,7 @@ class Wavernn(nn.Module):
     mulaw: bool = True
     use_aux_net: bool = True
     upsample_factors: Sequence[int] = (4, 8, 8)
+    norm_type: str = "layer"
 
     @property
     def n_classes(self) -> int:
@@ -102,7 +122,7 @@ class Wavernn(nn.Module):
         self.upsample = UpsampleNetwork(
             self.feat_dims, tuple(self.upsample_factors), self.compute_dims,
             self.num_res_blocks, self.res_out_dims, self.pad, self.use_aux_net,
-            name="upsample",
+            norm_type=self.norm_type, name="upsample",
         )
         in_dims = self.feat_dims + 1 + (self.aux_dims if self.use_aux_net else 0)
         self.I = nn.Dense(self.rnn_dims, name="I")

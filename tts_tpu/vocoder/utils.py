@@ -51,6 +51,8 @@ def make_generator_from_config(config):
         params.setdefault("feat_dims", num_mels)
         params.setdefault("mode", getattr(config, "mode", "mold"))
         params.setdefault("mulaw", getattr(config, "mulaw", True))
+        # converted reference checkpoints carry folded eval-mode BatchNorms
+        params.setdefault("norm_type", "folded")
     # keep only fields the flax module declares (zoo configs may carry extras
     # like use_weight_norm that are meaningless after conversion)
     import dataclasses
