@@ -1,0 +1,110 @@
+"""Shared import-stubs so REFERENCE torch modules (/root/reference) load in
+this sandbox (no librosa/coqpit/trainer installed).  PUBLIC UNTRUSTED CODE is
+only *executed* to produce ground-truth tensors for converter parity tests.
+"""
+
+import sys
+import types
+
+import numpy as np
+
+
+def _stub(name, **attrs):
+    if name in sys.modules:
+        mod = sys.modules[name]
+    else:
+        mod = types.ModuleType(name)
+        mod.__path__ = []  # behave as a package for submodule imports
+        sys.modules[name] = mod
+    for k, v in attrs.items():
+        setattr(mod, k, v)
+    return mod
+
+
+def install_reference_stubs():
+    import torch
+
+    if not hasattr(np, "cumproduct"):
+        np.cumproduct = np.cumprod  # removed in numpy 2
+
+    class _Sampler:
+        def __init__(self, *a, **k):
+            pass
+
+    class _Coqpit:
+        def __contains__(self, k):
+            return hasattr(self, k)
+
+        def has(self, k):
+            return hasattr(self, k)
+
+        def __iter__(self):
+            import dataclasses
+
+            if dataclasses.is_dataclass(self):
+                return iter(f.name for f in dataclasses.fields(self))
+            return iter(vars(self))
+
+        def __getitem__(self, k):
+            return getattr(self, k)
+
+    _stub("coqpit", Coqpit=_Coqpit, check_argument=lambda *a, **k: None, MISSING="???")
+    _stub(
+        "trainer",
+        TrainerModel=torch.nn.Module,
+        TrainerConfig=type("TrainerConfig", (sys.modules["coqpit"].Coqpit,), {}),
+        TrainerArgs=object,
+        Trainer=object,
+        get_optimizer=None,
+        get_scheduler=None,
+    )
+    _stub("trainer.torch", DistributedSampler=_Sampler, DistributedSamplerWrapper=_Sampler)
+    _stub("trainer.trainer_utils", get_optimizer=None, get_scheduler=None)
+    _stub("trainer.trainer", Trainer=object, TrainerArgs=object)
+    _stub("trainer.io", load_fsspec=None, save_fsspec=None)
+    _stub("trainer.logging", logger=None)
+    _stub("trainer.logging.tensorboard_logger", TensorboardLogger=None)
+    _stub("trainer.logging.console_logger", ConsoleLogger=None)
+    lib = _stub("librosa", magphase=None, pyin=None, stft=None, istft=None,
+                resample=None, load=None, to_mono=None)
+    lib.effects = _stub("librosa.effects", trim=None)
+    lib.filters = _stub("librosa.filters", mel=None)
+    lib.feature = _stub("librosa.feature", melspectrogram=None)
+    lib.util = _stub("librosa.util", normalize=None)
+    _stub("soundfile", read=None, write=None)
+    _stub("anyascii", anyascii=lambda s: s)
+    _stub("umap", UMAP=None)
+    _stub("pysbd", Segmenter=object)
+    _stub("fsspec", open=open)
+    _stub("matplotlib", use=lambda *a, **k: None)
+    _stub("matplotlib.pyplot")
+    _stub("matplotlib.colors", LogNorm=object)
+    _stub("inflect", engine=lambda: None)
+    _stub("bangla")
+    _stub("bnnumerizer", numerize=lambda s: s)
+    _stub("bnunicodenormalizer", Normalizer=object)
+    _stub("gruut", sentences=None, get_supported_languages=lambda: ["en-us"])
+    _stub("gruut_ipa", IPA=object)
+    _stub("jamo", h2j=None, j2hcj=None, hangul_to_jamo=None)
+    _stub("g2pkk", G2p=object)
+    _stub("pypinyin", lazy_pinyin=None, Style=object)
+    _stub("hangul_romanize", Transliter=object)
+    _stub("hangul_romanize.core", Transliter=object)
+    _stub("hangul_romanize.rule", academic=None)
+    _stub("num2words", num2words=lambda *a, **k: "")
+    _stub("mutagen", File=lambda *a, **k: None)
+    _stub("mutagen.wave", WAVE=None)
+    ta = _stub("torchaudio")
+    ta.transforms = _stub("torchaudio.transforms", MelSpectrogram=object, Resample=object)
+
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    # purge any bare TTS stubs another test registered
+    for key in list(sys.modules):
+        if key == "TTS" or key.startswith("TTS."):
+            if not str(getattr(sys.modules[key], "__file__", "")).startswith("/root/reference"):
+                del sys.modules[key]
+
+
+def np_state(mod):
+    return {k: v.numpy() for k, v in mod.state_dict().items()}

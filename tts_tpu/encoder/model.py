@@ -139,8 +139,14 @@ class LSTMSpeakerEncoder(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, l2_norm: bool = True) -> jnp.ndarray:
         """x: ``[B, T, input_dim]`` mels → ``[B, proj_dim]``."""
+        # instance norm over time per mel bin (reference lstm.py:60,92)
+        mean = jnp.mean(x, axis=1, keepdims=True)
+        var = jnp.var(x, axis=1, keepdims=True)
+        x = (x - mean) / jnp.sqrt(var + 1e-5)
         for i in range(self.num_lstm_layers):
-            x = nn.RNN(nn.OptimizedLSTMCell(self.lstm_dim), name=f"lstm_{i}")(x)
+            # name the CELL (naming the nn.RNN wrapper leaves params as
+            # OptimizedLSTMCell_N in this scope)
+            x = nn.RNN(nn.OptimizedLSTMCell(self.lstm_dim, name=f"lstm_{i}"))(x)
             x = nn.Dense(self.proj_dim, use_bias=False, name=f"proj_{i}")(x)
         d = x[:, -1]  # last frame
         if l2_norm:

@@ -41,8 +41,15 @@ class FFTransformerLayer(nn.Module):
         # the reference adds the attention output twice, once dropped and once
         # raw (generic/transformer.py:25-26); reproduced for checkpoint parity
         x = nn.LayerNorm(name="norm1")(x + y_dropped + y)
+        # zero PAD rows before the conv so padding can't bleed into valid
+        # frames (the reference runs on unpadded T; its convs see zero-pad)
+        if key_padding_mask is not None:
+            x = jnp.where(key_padding_mask[:, :, None], 0.0, x)
         y = Conv1d(self.hidden_channels_ffn, self.kernel_size_fft, name="conv1")(x)
-        y = Conv1d(self.in_out_channels, self.kernel_size_fft, name="conv2")(nn.relu(y))
+        y = nn.relu(y)
+        if key_padding_mask is not None:
+            y = jnp.where(key_padding_mask[:, :, None], 0.0, y)
+        y = Conv1d(self.in_out_channels, self.kernel_size_fft, name="conv2")(y)
         y = nn.Dropout(self.dropout_p, deterministic=not train)(y)
         return nn.LayerNorm(name="norm2")(x + y)
 
@@ -122,18 +129,20 @@ class PositionalEncoding(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask=None):
+        # reference quirk (pos_encoding.py:29): div_term is 10000^(2i/C) and
+        # MULTIPLIES the position — not the Vaswani 10000^(-2i/C) — and the
+        # input is pre-scaled by sqrt(C); reproduced for checkpoint parity
         T = x.shape[1]
-        position = np.arange(self.max_len)[:, None]
-        div_term = np.exp(np.arange(0, self.channels, 2) * -(math.log(10000.0) / self.channels))
+        position = np.arange(self.max_len)[:, None].astype(np.float64)
+        div_term = np.power(10000.0, np.arange(0, self.channels, 2, dtype=np.float64) / self.channels)
         pe = np.zeros((self.max_len, self.channels), np.float32)
         pe[:, 0::2] = np.sin(position * div_term)
         pe[:, 1::2] = np.cos(position * div_term)[:, : self.channels // 2]
         pe_t = jnp.asarray(pe[None, :T])
+        if mask is not None:
+            pe_t = pe_t * mask
+        x = x * math.sqrt(self.channels)
         if self.use_scale:
             scale = self.param("scale", nn.initializers.ones, (1,))
-            x = x + scale * pe_t
-        else:
-            x = x + pe_t
-        if mask is not None:
-            x = x * mask
-        return x
+            return x + scale * pe_t
+        return x + pe_t

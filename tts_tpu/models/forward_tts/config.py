@@ -34,7 +34,7 @@ class ForwardTTSArgs(Config):
     duration_predictor_kernel_size: int = 3
     duration_predictor_dropout_p: float = 0.1
     positional_encoding: bool = True
-    positional_encoding_use_scale: bool = True
+    positional_encoding_use_scale: bool = False  # reference typo 'poisitonal...' means scale is never used
     length_scale: float = 1.0
     encoder_type: str = "fftransformer"
     encoder_params: dict = field(

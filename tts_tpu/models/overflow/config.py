@@ -11,6 +11,10 @@ from tts_tpu.config.shared import BaseTTSConfig
 
 @dataclass
 class NeuralhmmTTSConfig(BaseTTSConfig):
+    norm_type: str = "layer"
+    # dataset mel statistics (reference mean/std buffers, overflow.py:110)
+    mel_statistics_mean: float = 0.0
+    mel_statistics_std: float = 1.0
     model: str = "neuralhmm_tts"
 
     num_chars: Optional[int] = None

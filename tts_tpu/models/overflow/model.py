@@ -39,6 +39,7 @@ class OverflowEncoder(nn.Module):
     state_per_phone: int
     in_out_channels: int = 512
     n_convolutions: int = 3
+    norm_type: str = "layer"
 
     @nn.compact
     def __call__(self, x, x_lengths, train: bool = False):
@@ -46,14 +47,16 @@ class OverflowEncoder(nn.Module):
         x_mask = sequence_mask(x_lengths, x.shape[1])[:, :, None].astype(jnp.float32)
         h = emb
         for i in range(self.n_convolutions):
-            h = ConvBNBlock(self.in_out_channels, 5, "relu", name=f"conv_{i}")(
+            h = ConvBNBlock(self.in_out_channels, 5, "relu", self.norm_type, name=f"conv_{i}")(
                 h * x_mask, train=train
             )
         half = self.in_out_channels // 2
-        fwd = nn.RNN(nn.OptimizedLSTMCell(half * self.state_per_phone), name="lstm_fwd")(h * x_mask)
+        # name the CELLS (an nn.RNN name= tags only the wrapper; params would
+        # land as OptimizedLSTMCell_N otherwise)
+        fwd = nn.RNN(nn.OptimizedLSTMCell(half * self.state_per_phone, name="lstm_fwd"))(h * x_mask)
         bwd = nn.RNN(
-            nn.OptimizedLSTMCell(half * self.state_per_phone), reverse=True, keep_order=True,
-            name="lstm_bwd",
+            nn.OptimizedLSTMCell(half * self.state_per_phone, name="lstm_bwd"),
+            reverse=True, keep_order=True,
         )(h * x_mask)
         o = jnp.concatenate([fwd, bwd], -1)  # [B, T, state_per_phone * C]
         B, T, _ = o.shape
@@ -268,6 +271,7 @@ class NeuralhmmTTSModule(nn.Module):
             state_per_phone=c.state_per_phone,
             in_out_channels=c.encoder_in_out_features,
             n_convolutions=c.encoder_n_convolutions,
+            norm_type=getattr(c, "norm_type", "layer"),
             name="encoder",
         )
         self.neural_hmm = NeuralHMMCore(
@@ -297,6 +301,8 @@ class NeuralhmmTTSModule(nn.Module):
             )
 
     def __call__(self, text, text_lengths, mels, mel_lengths, train: bool = False):
+        c = self.config
+        mels = (mels - c.mel_statistics_mean) / c.mel_statistics_std
         enc, state_lengths = self.encoder(text, text_lengths, train=train)
         z = mels
         logdet = 0.0
@@ -330,6 +336,7 @@ class NeuralhmmTTSModule(nn.Module):
         if self.use_post_flow:
             y_mask = sequence_mask(mel_lens, mels.shape[1])[:, :, None].astype(jnp.float32)
             mels, _, _ = self.decoder(mels, y_mask, reverse=True, train=False)
+        mels = mels * c.mel_statistics_std + c.mel_statistics_mean
         return {"model_outputs": mels, "y_lengths": mel_lens}
 
 

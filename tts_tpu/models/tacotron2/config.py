@@ -11,6 +11,8 @@ from tts_tpu.config.shared import BaseTTSConfig
 
 @dataclass
 class TacotronConfig(BaseTTSConfig):
+    # "layer" for training; "folded" = eval BatchNorm affine (converted ckpts)
+    norm_type: str = "layer"
     model: str = "tacotron"
     use_gst: bool = False
     gst: Optional[dict] = None

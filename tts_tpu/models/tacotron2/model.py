@@ -257,6 +257,7 @@ class Tacotron2:
             use_forward_attn=config.use_forward_attn,
             trans_agent=config.transition_agent,
             attn_win=config.attention_win,
+            norm_type=getattr(config, "norm_type", "layer"),
         )
 
     @classmethod

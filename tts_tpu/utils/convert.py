@@ -920,3 +920,167 @@ def convert_wavernn(state, num_res_blocks=10, num_upsample_stages=3):
         "fc3": _dense(state, "fc3"),
     }
     return {"params": p}
+
+
+# ---------------------------------------------------------------------------
+# ForwardTTS — FastPitch / FastSpeech(2) (reference TTS/tts/models/forward_tts.py:172)
+# ---------------------------------------------------------------------------
+
+def _mha(state, prefix, heads):
+    """torch nn.MultiheadAttention → flax MultiHeadDotProductAttention."""
+    w = state[f"{prefix}.in_proj_weight"]  # [3D, D] rows q,k,v
+    b = state[f"{prefix}.in_proj_bias"]
+    D = w.shape[1]
+    dh = D // heads
+
+    def leaf(wi, bi):
+        return {"kernel": wi.T.reshape(D, heads, dh), "bias": bi.reshape(heads, dh)}
+
+    out_w = state[f"{prefix}.out_proj.weight"]  # [D, D]
+    return {
+        "query": leaf(w[:D], b[:D]),
+        "key": leaf(w[D : 2 * D], b[D : 2 * D]),
+        "value": leaf(w[2 * D :], b[2 * D :]),
+        "out": {"kernel": out_w.T.reshape(heads, dh, D), "bias": state[f"{prefix}.out_proj.bias"]},
+    }
+
+
+def _fft_block(state, prefix, num_layers, heads):
+    """Reference FFTransformerBlock ``fft_layers.{i}`` → our ``fft_{i}``."""
+    p = {}
+    for i in range(num_layers):
+        k = f"{prefix}fft_layers.{i}"
+        p[f"fft_{i}"] = {
+            "self_attn": _mha(state, f"{k}.self_attn", heads),
+            "conv1": _conv(state, f"{k}.conv1"),
+            "conv2": _conv(state, f"{k}.conv2"),
+            "norm1": _layernorm(state, f"{k}.norm1"),
+            "norm2": _layernorm(state, f"{k}.norm2"),
+        }
+    return p
+
+
+def _variance_predictor(state, prefix):
+    """DurationPredictor-style conv/LN/conv/LN/proj stack (forward_tts)."""
+    return {
+        "conv_1": _conv(state, f"{prefix}conv_1"),
+        "norm_1": {"LayerNorm_0": _layernorm(state, f"{prefix}norm_1")},
+        "conv_2": _conv(state, f"{prefix}conv_2"),
+        "norm_2": {"LayerNorm_0": _layernorm(state, f"{prefix}norm_2")},
+        "proj": _plain_conv(state, f"{prefix}proj"),
+    }
+
+
+def convert_forward_tts(state, args):
+    """Full reference ForwardTTS state dict → flax params.
+
+    ``args`` is our ForwardTTSArgs (layer counts/heads drive the maps).
+    Supports the fftransformer encoder/decoder types (FastPitch/FastSpeech
+    family); conv-BN types (speedy_speech) are not yet weight-compatible.
+    """
+    enc_p = getattr(args, "encoder_params", {}) or {}
+    dec_p = getattr(args, "decoder_params", {}) or {}
+    enc_layers = enc_p.get("num_layers", 6)
+    enc_heads = enc_p.get("num_heads", 1)
+    dec_layers = dec_p.get("num_layers", 6)
+    dec_heads = dec_p.get("num_heads", 1)
+
+    p = {
+        "emb": {"embedding": state["emb.weight"]},
+        "encoder": _fft_block(state, "encoder.encoder.", enc_layers, enc_heads),
+        "decoder": _fft_block(
+            state, "decoder.decoder.transformer_block.", dec_layers, dec_heads
+        ),
+        "proj": _dense(state, "decoder.decoder.postnet"),
+        "duration_predictor": _variance_predictor(state, "duration_predictor."),
+    }
+    if "pos_encoder.scale" in state:
+        p["pos_encoder"] = {"scale": state["pos_encoder.scale"].reshape(-1)}
+    if "pitch_predictor.conv_1.weight" in state:
+        p["pitch_predictor"] = _variance_predictor(state, "pitch_predictor.")
+        p["pitch_emb"] = _conv(state, "pitch_emb")
+    if "energy_predictor.conv_1.weight" in state:
+        p["energy_predictor"] = _variance_predictor(state, "energy_predictor.")
+        p["energy_emb"] = _conv(state, "energy_emb")
+    if "aligner.key_layer.0.weight" in state:
+        p["aligner"] = {
+            "key_conv1": _conv(state, "aligner.key_layer.0"),
+            "key_conv2": _conv(state, "aligner.key_layer.2"),
+            "query_conv1": _conv(state, "aligner.query_layer.0"),
+            "query_conv2": _conv(state, "aligner.query_layer.2"),
+            "query_conv3": _conv(state, "aligner.query_layer.4"),
+        }
+    if "emb_g.weight" in state:
+        p["emb_g"] = {"embedding": state["emb_g.weight"]}
+    return {"params": p}
+
+
+# ---------------------------------------------------------------------------
+# Overflow / NeuralHMM (reference TTS/tts/models/overflow.py:24, neuralhmm_tts.py:23)
+# ---------------------------------------------------------------------------
+
+def convert_overflow(state, config):
+    """Reference Overflow/NeuralhmmTTS state dict → flax params
+    (use with ``config.norm_type='folded'``)."""
+    state = dict(state)
+    enc = {
+        "emb": {"embedding": state["encoder.emb.weight"]},
+        "lstm_fwd": _lstm_cell(state, "encoder.lstm", "_l0"),
+        "lstm_bwd": _lstm_cell(state, "encoder.lstm", "_l0_reverse"),
+    }
+    for i in range(getattr(config, "encoder_n_convolutions", 3)):
+        enc[f"conv_{i}"] = _conv_bn_block(state, f"encoder.convolutions.{i}")
+
+    n_layers = len(getattr(config, "outputnet_size", [1024, 1024]))
+    out_net = {
+        "proj": _dense(state, "neural_hmm.output_net.parametermodel.last_layer"),
+    }
+    for i in range(n_layers):
+        out_net[f"layer_{i}"] = _dense(
+            state, f"neural_hmm.output_net.parametermodel.layers.{i}.linear_layer"
+        )
+    prenet = {}
+    for i in range(getattr(config, "prenet_n_layers", 1)):
+        w = state[f"neural_hmm.prenet.linear_layers.{i}.linear_layer.weight"]
+        prenet[f"linear_{i}"] = {
+            "kernel": linear_kernel(w),
+            "bias": np.zeros((w.shape[0],), w.dtype),  # reference prenet is bias-free
+        }
+    p = {
+        "encoder": enc,
+        "neural_hmm": {
+            "prenet": prenet,
+            "memory_rnn": _lstm_cell(state, "neural_hmm.memory_rnn", ""),
+            "output_net": out_net,
+        },
+    }
+    if "decoder.glow_decoder.flows.0.logs" in state:
+        p["decoder"] = convert_glow_decoder(
+            state, "decoder.glow_decoder.",
+            getattr(config, "num_flow_blocks_dec", 12),
+            getattr(config, "num_block_layers", 4),
+        )
+    return {"params": p}
+
+
+# ---------------------------------------------------------------------------
+# Speaker encoders (reference TTS/encoder/models/{lstm,resnet}.py)
+# ---------------------------------------------------------------------------
+
+def convert_lstm_speaker_encoder(state, num_layers=3):
+    """Reference LSTMSpeakerEncoder (LSTMWithProjection stack) → flax params
+    for :class:`tts_tpu.encoder.model.LSTMSpeakerEncoder`."""
+    p = {}
+    for i in range(num_layers):
+        p[f"lstm_{i}"] = _lstm_cell(state, f"layers.{i}.lstm", "_l0")
+        p[f"proj_{i}"] = {"kernel": linear_kernel(state[f"layers.{i}.linear.weight"])}
+    return {"params": p}
+
+
+def convert_speaker_encoder(state, config):
+    """Dispatch on config.model_params.model_name (lstm | resnet)."""
+    mp = dict(getattr(config, "model_params", {}) or {})
+    name = mp.get("model_name", "resnet")
+    if name == "lstm":
+        return convert_lstm_speaker_encoder(state, mp.get("num_lstm_layers", 3))
+    return {"params": convert_resnet_speaker_encoder(state)}

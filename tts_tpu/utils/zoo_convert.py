@@ -45,7 +45,24 @@ def _convert_glow_tts(state, config):
 def _convert_tacotron2(state, config):
     from tts_tpu.utils.convert import convert_tacotron2
 
+    config.norm_type = "folded"
     return convert_tacotron2(state, r=getattr(config, "r", 2))
+
+
+def _convert_forward_tts(state, config):
+    from tts_tpu.utils.convert import convert_forward_tts
+
+    return convert_forward_tts(state, config.model_args)
+
+
+def _convert_overflow(state, config):
+    from tts_tpu.utils.convert import convert_overflow
+
+    config.norm_type = "folded"
+    if "mean" in state:
+        config.mel_statistics_mean = float(state["mean"])
+        config.mel_statistics_std = float(state["std"])
+    return convert_overflow(state, config)
 
 
 def _convert_hifigan(state, config):
@@ -92,6 +109,12 @@ def _convert_wavegrad(state, config):
     return convert_wavegrad(state)
 
 
+def _convert_speaker_encoder(state, config):
+    from tts_tpu.utils.convert import convert_speaker_encoder
+
+    return convert_speaker_encoder(state, config)
+
+
 def _convert_wavernn(state, config):
     from tts_tpu.utils.convert import convert_wavernn
 
@@ -107,6 +130,12 @@ CONVERTERS: Dict[str, Callable] = {
     "vits": _convert_vits,
     "glow_tts": _convert_glow_tts,
     "tacotron2": _convert_tacotron2,
+    "overflow": _convert_overflow,
+    "neuralhmm_tts": _convert_overflow,
+    "fast_pitch": _convert_forward_tts,
+    "fast_speech": _convert_forward_tts,
+    "fastspeech2": _convert_forward_tts,
+    "forward_tts": _convert_forward_tts,
     "hifigan": _convert_hifigan,
     "melgan": _convert_melgan,
     "fullband_melgan": _convert_melgan,
@@ -115,6 +144,8 @@ CONVERTERS: Dict[str, Callable] = {
     "univnet": _convert_univnet,
     "wavegrad": _convert_wavegrad,
     "wavernn": _convert_wavernn,
+    "speaker_encoder": _convert_speaker_encoder,
+    "emotion_encoder": _convert_speaker_encoder,
 }
 
 
