@@ -27,6 +27,60 @@ def _pad_to(x: np.ndarray, length: int, axis: int = 0, mode="constant") -> np.nd
     return np.pad(x, pad, mode=mode)
 
 
+def audio_length_samples(path: str, target_sr: Optional[int] = None) -> float:
+    """Audio length in samples, decoded from the container header only
+    (no full decode; fixes the reference-era ``filesize/2`` estimate that
+    was wrong for flac/mp3).  Returns samples at the file's native rate,
+    rescaled to ``target_sr`` when given."""
+    n, sr = None, None
+    try:
+        ext = os.path.splitext(path)[1].lower()
+        if ext == ".wav":
+            import wave
+
+            with wave.open(path, "rb") as w:
+                n, sr = w.getnframes(), w.getframerate()
+        elif ext == ".flac":
+            with open(path, "rb") as f:
+                if f.read(4) == b"fLaC":
+                    # STREAMINFO is the mandatory first metadata block
+                    f.read(4)  # block header
+                    info = f.read(34)
+                    sr = (info[10] << 12) | (info[11] << 4) | (info[12] >> 4)
+                    n = ((info[13] & 0x0F) << 32) | int.from_bytes(info[14:18], "big")
+        elif ext == ".mp3":
+            size = os.path.getsize(path)
+            with open(path, "rb") as f:
+                head = f.read(65536)
+            # skip ID3v2 tag if present
+            off = 0
+            if head[:3] == b"ID3":
+                off = 10 + int.from_bytes(bytes(b & 0x7F for b in head[6:10]), "big")
+            i = head.find(b"\xff", off)
+            while i >= 0 and i + 4 <= len(head):
+                b1, b2 = head[i + 1], head[i + 2]
+                if (b1 & 0xE0) == 0xE0 and (b1 & 0x18) != 0x08 and (b2 >> 4) not in (0, 15):
+                    ver = (b1 >> 3) & 3  # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+                    br_idx, sr_idx = b2 >> 4, (b2 >> 2) & 3
+                    sr_tab = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000), 0: (11025, 12000, 8000)}
+                    br_v1 = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+                    br_v2 = (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+                    if sr_idx < 3 and ver in sr_tab:
+                        sr = sr_tab[ver][sr_idx]
+                        kbps = (br_v1 if ver == 3 else br_v2)[br_idx]
+                        if kbps:
+                            n = size * 8.0 / (kbps * 1000.0) * sr  # CBR estimate
+                        break
+                i = head.find(b"\xff", i + 1)
+    except (OSError, EOFError, ValueError):
+        pass
+    if n is None or not sr:
+        return os.path.getsize(path) / 2  # legacy 16-bit-PCM estimate
+    if target_sr and sr and target_sr != sr:
+        return float(n) * target_sr / sr
+    return float(n)
+
+
 def round_up(x: int, multiple: int) -> int:
     return ((x + multiple - 1) // multiple) * multiple
 
@@ -119,8 +173,9 @@ class TTSDataset:
     def preprocess_samples(self) -> None:
         """Drop samples outside the length limits (reference ``dataset.py:353``)."""
         kept = []
+        target_sr = getattr(self.ap, "sample_rate", None)
         for s in self.samples:
-            audio_len = os.path.getsize(s["audio_file"]) / 2  # 16-bit ≈ samples
+            audio_len = audio_length_samples(s["audio_file"], target_sr)
             text_len = len(self._token_ids(s))
             if (
                 self.min_text_len <= text_len <= self.max_text_len
@@ -178,7 +233,10 @@ class TTSDataset:
 
     # ------------------------------------------------------------------
     def lengths(self) -> List[int]:
-        return [int(s.get("audio_length", os.path.getsize(s["audio_file"]) / 2)) for s in self.samples]
+        return [
+            int(s.get("audio_length", audio_length_samples(s["audio_file"])))
+            for s in self.samples
+        ]
 
     def batches(
         self,
@@ -186,6 +244,9 @@ class TTSDataset:
         shuffle: bool = True,
         seed: int = 0,
         drop_last: bool = False,
+        weights: Optional[np.ndarray] = None,
+        num_workers: int = 0,
+        prefetch: int = 2,
     ) -> Iterator[dict]:
         """Yield padded batches, bucketed by length for static shapes.
 
@@ -193,18 +254,53 @@ class TTSDataset:
         batches (like the reference's length-sorted batching +
         ``batch_group_size`` shuffle), and each batch is padded up to
         ``pad_to_multiple_*`` boundaries.
+
+        ``weights`` resamples indices proportionally per epoch (the
+        reference's WeightedRandomSampler path, ``vits.py:1548``).
+        ``num_workers > 0`` loads/collates batches on a thread pool with a
+        bounded ``prefetch`` queue so host DSP overlaps device compute
+        (replaces the reference's multi-worker DataLoader).
         """
-        order = np.argsort([s.get("audio_length", 0) for s in self.samples])
+        rng = np.random.RandomState(seed)
+        if weights is not None:
+            w = np.asarray(weights, np.float64)
+            w = w / w.sum()
+            picked = rng.choice(len(self.samples), size=len(self.samples), p=w)
+            lengths = np.asarray([self.samples[i].get("audio_length", 0) for i in picked])
+            order = picked[np.argsort(lengths)]
+        else:
+            order = np.argsort([s.get("audio_length", 0) for s in self.samples])
         batches = [
             order[i : i + batch_size] for i in range(0, len(order), batch_size)
         ]
         if drop_last and len(batches) and len(batches[-1]) < batch_size:
             batches = batches[:-1]
         if shuffle:
-            rng = np.random.RandomState(seed)
             rng.shuffle(batches)
-        for batch_idxs in batches:
-            yield self.collate([self[int(i)] for i in batch_idxs])
+        if num_workers and num_workers > 0 and len(batches) > 1:
+            yield from self._prefetched(batches, num_workers, prefetch)
+        else:
+            for batch_idxs in batches:
+                yield self.collate([self[int(i)] for i in batch_idxs])
+
+    def _prefetched(self, batches, num_workers: int, prefetch: int) -> Iterator[dict]:
+        """Assemble batches on a bounded thread pool (pipeline depth
+        ``prefetch``): the consumer pops batch k while workers build k+1…"""
+        from concurrent.futures import ThreadPoolExecutor
+
+        def build(batch_idxs):
+            return self.collate([self[int(i)] for i in batch_idxs])
+
+        with ThreadPoolExecutor(max_workers=num_workers) as pool:
+            depth = max(1, prefetch)
+            pending = [pool.submit(build, b) for b in batches[:depth]]
+            next_submit = depth
+            while pending:
+                fut = pending.pop(0)
+                if next_submit < len(batches):
+                    pending.append(pool.submit(build, batches[next_submit]))
+                    next_submit += 1
+                yield fut.result()
 
     def collate(self, items: List[dict]) -> dict:
         """Pad a list of items into one static-shape numpy batch."""

@@ -276,11 +276,11 @@ class DelightfulTTS:
             rngs=rngs,
         )
 
-    def train_step(self, params, batch, rngs=None):
+    def train_step(self, params, batch, rngs=None, train: bool = True):
         """Acoustic losses (GAN vocoder training runs via the GAN wrapper on
         mel segments; reference trains both jointly — composed in the
         Trainer with the fused step in a follow-up)."""
-        outputs = self.forward(params, batch, train=True, rngs=rngs)
+        outputs = self.forward(params, batch, train=train, rngs=rngs)
         c = self.config
         mel, mel_lens, text_lens = batch["mel_input"], batch["mel_lengths"], batch["text_lengths"]
         l_mel = L.l1_loss_masked(outputs["model_outputs"], mel, mel_lens)

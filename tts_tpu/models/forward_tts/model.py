@@ -346,7 +346,7 @@ class ForwardTTS:
             method=self.module.inference,
         )
 
-    def train_step(self, params, batch, rngs=None):
-        outputs = self.forward(params, batch, train=True, rngs=rngs)
+    def train_step(self, params, batch, rngs=None, train: bool = True):
+        outputs = self.forward(params, batch, train=train, rngs=rngs)
         losses = forward_tts_loss(self.config, outputs, batch)
         return losses["loss"], {**losses, "outputs": outputs}

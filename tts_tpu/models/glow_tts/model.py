@@ -357,7 +357,7 @@ class GlowTTS:
             method=self.module.inference,
         )
 
-    def train_step(self, params, batch, rngs=None):
-        outputs = self.forward(params, batch, train=True, rngs=rngs)
+    def train_step(self, params, batch, rngs=None, train: bool = True):
+        outputs = self.forward(params, batch, train=train, rngs=rngs)
         losses = glow_tts_loss(outputs, batch["text_lengths"], outputs["y_lengths"])
         return losses["loss"], {**losses, "outputs": outputs}

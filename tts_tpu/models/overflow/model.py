@@ -385,8 +385,8 @@ class _HMMBase:
             rngs={"dropout": jax.random.PRNGKey(0)},
         )
 
-    def train_step(self, params, batch, rngs=None):
-        out = self.forward(params, batch, train=True, rngs=rngs)
+    def train_step(self, params, batch, rngs=None, train: bool = True):
+        out = self.forward(params, batch, train=train, rngs=rngs)
         return out["loss"], {"loss": out["loss"], "outputs": out}
 
 

@@ -304,7 +304,7 @@ class Tacotron2:
             rngs={"dropout": jax.random.PRNGKey(0)},
         )
 
-    def train_step(self, params, batch, rngs=None):
-        outputs = self.forward(params, batch, train=True, rngs=rngs)
+    def train_step(self, params, batch, rngs=None, train: bool = True):
+        outputs = self.forward(params, batch, train=train, rngs=rngs)
         losses = tacotron_loss(self.config, outputs, batch)
         return losses["loss"], {**losses, "outputs": outputs}

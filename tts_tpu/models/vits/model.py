@@ -351,8 +351,17 @@ class Vits:
         from .train import create_train_state, make_train_step
 
         state = create_train_state(self, config, rng)
-        step_fn, optimizers = make_train_step(self, config)
+        step_fn, eval_fn, optimizers = make_train_step(self, config)
+        self._eval_step_fn = eval_fn
         return step_fn, optimizers, state
+
+    def make_eval_step(self, config):
+        """Trainer hook: deterministic no-grad eval (see ``vits/train.py``)."""
+        if getattr(self, "_eval_step_fn", None) is None:
+            from .train import make_train_step
+
+            _, self._eval_step_fn, _ = make_train_step(self, config)
+        return self._eval_step_fn
 
     @staticmethod
     def format_batch(batch):

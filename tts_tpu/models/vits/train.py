@@ -20,6 +20,7 @@ import jax.numpy as jnp
 from tts_tpu.audio import jax_transforms as jt
 from tts_tpu.ops import segment
 from tts_tpu.trainer.optim import build_lr_schedule, build_optimizer
+from tts_tpu.trainer.precision import is_mixed_precision, mp_value_and_grad
 from tts_tpu.trainer.state import TrainState
 
 from .model import (
@@ -37,9 +38,10 @@ def make_optimizers(config) -> Dict[str, Any]:
         config.lr_scheduler_disc, config.lr_disc, config.lr_scheduler_disc_params
     )
     clip = config.grad_clip if isinstance(config.grad_clip, (int, float)) else config.grad_clip[0]
+    accum = int(getattr(config, "grad_accum_steps", 1) or 1)
     return {
-        "gen": build_optimizer(config.optimizer, gen_sched, config.optimizer_params, clip),
-        "disc": build_optimizer(config.optimizer, disc_sched, config.optimizer_params, clip),
+        "gen": build_optimizer(config.optimizer, gen_sched, config.optimizer_params, clip, accum),
+        "disc": build_optimizer(config.optimizer, disc_sched, config.optimizer_params, clip, accum),
     }
 
 
@@ -93,7 +95,11 @@ def make_train_step(model: Vits, config):
         )
         mel_fake = jt.wav_to_mel(wav_fake[..., 0], **mel_kw)
         mel_real = jt.wav_to_mel(wav_real[..., 0], **mel_kw)
-        loss_mel = jnp.mean(jnp.abs(mel_fake - mel_real)) * config.mel_loss_alpha
+        # fp32 loss reduction (reference AMP keeps loss islands fp32, vits.py:1273)
+        loss_mel = (
+            jnp.mean(jnp.abs(mel_fake.astype(jnp.float32) - mel_real.astype(jnp.float32)))
+            * config.mel_loss_alpha
+        )
         loss_kl = (
             kl_loss(out["z_p"], out["logs_q"], out["m_p"], out["logs_p"], z_mask=out["y_mask"])
             * config.kl_loss_alpha
@@ -116,20 +122,34 @@ def make_train_step(model: Vits, config):
         }
         return total, metrics
 
+    mixed = is_mixed_precision(config)
+
     def train_step(state: TrainState, batch, rng) -> Tuple[TrainState, Dict]:
         r_noise, r_seg, r_drop = jax.random.split(jax.random.fold_in(rng, state.step), 3)
         rngs = {"noise": r_noise, "segments": r_seg, "dropout": r_drop}
-        grad_fn = jax.grad(loss_fn, argnums=(0, 1), has_aux=True)
-        (gen_grads, disc_grads), metrics = grad_fn(
+        grad_fn = mp_value_and_grad(loss_fn, argnums=(0, 1), has_aux=True, enabled=mixed)
+        (_, metrics), (gen_grads, disc_grads) = grad_fn(
             state.params["gen"], state.params["disc"], batch, rngs
         )
         state = state.apply_updates(optimizers, {"gen": gen_grads, "disc": disc_grads})
         return state, metrics
 
-    return train_step, optimizers
+    def eval_step(state: TrainState, batch) -> Dict:
+        """Deterministic no-grad loss (fixed rngs; posterior sampling noise
+        is part of the VITS objective so it stays on, just seeded)."""
+        fixed = jax.random.PRNGKey(0)
+        rngs = {
+            "noise": fixed,
+            "segments": jax.random.fold_in(fixed, 1),
+            "dropout": jax.random.fold_in(fixed, 2),
+        }
+        _, metrics = loss_fn(state.params["gen"], state.params["disc"], batch, rngs)
+        return metrics
+
+    return train_step, eval_step, optimizers
 
 
 def create_train_state(model: Vits, config, rng) -> TrainState:
     gen_params, disc_params = model.init_params(rng)
-    _, optimizers = make_train_step(model, config)
+    optimizers = make_optimizers(config)
     return TrainState.create({"gen": gen_params, "disc": disc_params}, optimizers)

@@ -13,6 +13,7 @@ import jax
 import jax.numpy as jnp
 
 from tts_tpu.trainer.optim import build_lr_schedule, build_optimizer
+from tts_tpu.trainer.precision import is_mixed_precision, mp_value_and_grad
 from tts_tpu.trainer.state import TrainState
 
 from .dvae import DiscreteVAE
@@ -85,16 +86,33 @@ class GPTTrainer:
             getattr(config, "optimizer", "adamw"), sched,
             getattr(config, "optimizer_params", {}) or {},
             getattr(config, "grad_clip", 0.0),
+            grad_accum=int(getattr(config, "grad_accum_steps", 1) or 1),
         )
         optimizers = {"gpt": tx}
         state = TrainState.create({"gpt": params["gpt"]}, optimizers)
         dvae_params = params["dvae"]
+        self._dvae_params = dvae_params
+        mixed = is_mixed_precision(config)
 
         def train_step(state: TrainState, batch, rng_):
-            (loss, metrics), grads = jax.value_and_grad(
-                lambda p: self.loss_fn(p, dvae_params, batch), has_aux=True
-            )(state.params["gpt"])
+            (loss, metrics), grads = mp_value_and_grad(
+                lambda p, b: self.loss_fn(p, dvae_params, b), has_aux=True, enabled=mixed
+            )(state.params["gpt"], batch)
             state = state.apply_updates(optimizers, {"gpt": grads})
             return state, metrics
 
         return train_step, optimizers, state
+
+    def make_eval_step(self, config):
+        """Deterministic no-grad text/mel-CE over a batch."""
+        if getattr(self, "_dvae_params", None) is None:
+            import jax as _jax
+
+            self.make_train_step(config, _jax.random.PRNGKey(0))
+        dvae_params = self._dvae_params
+
+        def eval_step(state: TrainState, batch):
+            _, metrics = self.loss_fn(state.params["gpt"], dvae_params, batch, train=False)
+            return metrics
+
+        return eval_step

@@ -56,8 +56,15 @@ def build_optimizer(
     lr,
     params: Optional[dict] = None,
     grad_clip: float = 0.0,
+    grad_accum: int = 1,
 ) -> optax.GradientTransformation:
-    """Build an optax chain for a reference optimizer name."""
+    """Build an optax chain for a reference optimizer name.
+
+    ``grad_accum > 1`` wraps the chain in ``optax.MultiSteps`` so gradients
+    average over N micro-batches and apply every N-th call (reference
+    ``grad_accum_steps``, e.g. the XTTS recipe
+    ``recipes/ljspeech/xtts_v2/train_gpt_xtts.py:164``).
+    """
     params = dict(params or {})
     name = (name or "adamw").lower()
     betas = params.pop("betas", (0.9, 0.999))
@@ -83,4 +90,6 @@ def build_optimizer(
 
     if grad_clip and grad_clip > 0:
         tx = optax.chain(optax.clip_by_global_norm(grad_clip), tx)
+    if grad_accum and grad_accum > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=int(grad_accum))
     return tx

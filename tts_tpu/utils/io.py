@@ -18,20 +18,27 @@ import flax.serialization
 import jax
 import numpy as np
 
-__all__ = ["save_checkpoint", "load_checkpoint", "save_config", "load_config_dict"]
+__all__ = ["save_checkpoint", "load_checkpoint", "load_checkpoint_full", "save_config", "load_config_dict"]
 
 
 def _to_host(tree):
     return jax.tree.map(lambda x: np.asarray(x), tree)
 
 
-def save_checkpoint(path: str, params: Any, config=None, meta: Optional[Dict] = None) -> None:
-    """Serialize params (+config dict, +meta) to one msgpack file."""
+def save_checkpoint(
+    path: str, params: Any, config=None, meta: Optional[Dict] = None, opt_states: Any = None
+) -> None:
+    """Serialize params (+config dict, +meta, +optimizer state) to one
+    msgpack file.  ``opt_states`` (any optax state pytree) is stored via
+    ``flax.serialization.to_state_dict`` so ``--continue_path`` resumes
+    Adam moments and LR schedules exactly (reference trainer resume)."""
     payload = {
         "params": _to_host(params),
         "config": config.to_dict() if config is not None and hasattr(config, "to_dict") else (config or {}),
         "meta": meta or {},
     }
+    if opt_states is not None:
+        payload["opt_states"] = _to_host(flax.serialization.to_state_dict(opt_states))
     data = flax.serialization.msgpack_serialize(payload)
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     with open(path, "wb") as f:
@@ -43,6 +50,12 @@ def load_checkpoint(path: str) -> Tuple[Any, Dict, Dict]:
     with open(path, "rb") as f:
         payload = flax.serialization.msgpack_restore(f.read())
     return payload["params"], payload.get("config", {}), payload.get("meta", {})
+
+
+def load_checkpoint_full(path: str) -> Dict:
+    """Returns the raw checkpoint payload dict (params/config/meta/opt_states)."""
+    with open(path, "rb") as f:
+        return flax.serialization.msgpack_restore(f.read())
 
 
 def save_config(config, path: str) -> None:

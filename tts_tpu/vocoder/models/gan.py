@@ -17,6 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tts_tpu.trainer.optim import build_lr_schedule, build_optimizer
+from tts_tpu.trainer.precision import is_mixed_precision, mp_value_and_grad
 from tts_tpu.trainer.state import TrainState
 from tts_tpu.vocoder.losses import GeneratorLossConfig, discriminator_loss, generator_loss
 from tts_tpu.vocoder.models import setup_discriminator, setup_generator
@@ -61,9 +62,10 @@ class GAN:
         gen_sched = build_lr_schedule(config.lr_scheduler_gen, config.lr_gen, config.lr_scheduler_gen_params)
         disc_sched = build_lr_schedule(config.lr_scheduler_disc, config.lr_disc, config.lr_scheduler_disc_params)
         clip = config.grad_clip[0] if isinstance(config.grad_clip, (list, tuple)) else config.grad_clip
+        accum = int(getattr(config, "grad_accum_steps", 1) or 1)
         optimizers = {
-            "gen": build_optimizer(config.optimizer, gen_sched, config.optimizer_params, clip),
-            "disc": build_optimizer(config.optimizer, disc_sched, config.optimizer_params, clip),
+            "gen": build_optimizer(config.optimizer, gen_sched, config.optimizer_params, clip, accum),
+            "disc": build_optimizer(config.optimizer, disc_sched, config.optimizer_params, clip, accum),
         }
         gen_params, disc_params = self.init_params(rng)
         state = TrainState.create({"gen": gen_params, "disc": disc_params}, optimizers)
@@ -83,9 +85,10 @@ class GAN:
                 y_hat_sub = y_hat
                 y_hat = pqmf.synthesis(y_hat_sub)
                 y_sub = pqmf.analysis(y)
-            # crop to match (transposed convs can overshoot by a few samples)
+            # crop to match (transposed convs can overshoot by a few samples);
+            # fp32 loss islands like the reference's AMP autocast exclusions
             T = min(y_hat.shape[1], y.shape[1])
-            y_hat_c, y_c = y_hat[:, :T], y[:, :T]
+            y_hat_c, y_c = y_hat[:, :T].astype(jnp.float32), y[:, :T].astype(jnp.float32)
 
             # discriminator branch
             sf_d, _ = _run_disc(discriminator, d_params, jax.lax.stop_gradient(y_hat_c))
@@ -111,16 +114,35 @@ class GAN:
             metrics = {**g_losses, **d_losses, "loss": total}
             return total, metrics
 
+        mixed = is_mixed_precision(config)
+
         def train_step(state: TrainState, batch, rng_):
             disc_on = (state.step >= d_start).astype(jnp.float32)
-            grad_fn = jax.grad(loss_fn, argnums=(0, 1), has_aux=True)
-            (g_grads, d_grads), metrics = grad_fn(
+            grad_fn = mp_value_and_grad(loss_fn, argnums=(0, 1), has_aux=True, enabled=mixed)
+            (_, metrics), (g_grads, d_grads) = grad_fn(
                 state.params["gen"], state.params["disc"], batch, disc_on
             )
             state = state.apply_updates(optimizers, {"gen": g_grads, "disc": d_grads})
             return state, metrics
 
+        self._eval_loss_fn = loss_fn
         return train_step, optimizers, state
+
+    def make_eval_step(self, config):
+        """Deterministic no-grad eval metrics over a batch."""
+        if getattr(self, "_eval_loss_fn", None) is None:
+            import jax as _jax
+
+            self.make_train_step(config, _jax.random.PRNGKey(0))
+        loss_fn = self._eval_loss_fn
+
+        def eval_step(state: TrainState, batch):
+            _, metrics = loss_fn(
+                state.params["gen"], state.params["disc"], batch, jnp.float32(1.0)
+            )
+            return metrics
+
+        return eval_step
 
     def get_dataset(self, config, samples, is_eval: bool = False):
         from tts_tpu.vocoder.dataset import GANDataset
