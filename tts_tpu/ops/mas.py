@@ -79,30 +79,36 @@ def maximum_path(value: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
 
 
 def maximum_path_numpy(value: np.ndarray, mask: np.ndarray) -> np.ndarray:
-    """Host-side MAS (same contract; for tools/tests).
+    """Host-side MAS (same contract; fallback for tools + parity oracle).
 
-    Vectorized over batch like the reference's numpy fallback
-    (``helpers.py:197-235``).
+    A direct numpy transcription of the ``lax.scan`` formulation above:
+    one forward sweep over mel frames recording whether the best path
+    *stays* on the current token or *advances* from the previous one, then
+    a reverse cursor walk emitting the one-hot path.
     """
-    value = np.asarray(value, np.float32) * mask
-    mask = np.asarray(mask).astype(bool)
-    b, t_x, t_y = value.shape
-    direction = np.zeros(value.shape, dtype=np.int64)
-    v = np.zeros((b, t_x), dtype=np.float32)
-    x_range = np.arange(t_x, dtype=np.float32).reshape(1, -1)
-    for j in range(t_y):
-        v0 = np.pad(v, [[0, 0], [1, 0]], constant_values=_NEG)[:, :-1]
-        max_mask = v >= v0
-        v_max = np.where(max_mask, v, v0)
-        direction[:, :, j] = max_mask
-        in_range = x_range <= j
-        v = np.where(in_range, v_max + value[:, :, j], _NEG)
-    direction = np.where(mask, direction, 1)
+    valid = np.asarray(mask) > 0
+    value = np.asarray(value, np.float32) * valid
+    B, T_x, T_y = value.shape
+    token_pos = np.arange(T_x)[None, :]
 
-    path = np.zeros(value.shape, dtype=np.float32)
-    index = mask[:, :, 0].sum(1).astype(np.int64) - 1
-    index_range = np.arange(b)
-    for j in reversed(range(t_y)):
-        path[index_range, index, j] = 1
-        index = index + direction[index_range, index, j] - 1
-    return path * mask.astype(np.float32)
+    best = np.zeros((B, T_x), np.float32)
+    stay = np.empty((B, T_x, T_y), bool)
+    for j in range(T_y):
+        from_prev = np.concatenate(
+            [np.full((B, 1), _NEG, np.float32), best[:, :-1]], axis=1
+        )
+        stay[:, :, j] = best >= from_prev
+        best = np.where(
+            token_pos <= j, np.maximum(best, from_prev) + value[:, :, j], _NEG
+        )
+    # freeze the cursor outside the valid region (same convention as the
+    # on-device version: padding frames keep the cursor in place)
+    stay = np.where(valid, stay, True)
+
+    path = np.zeros((B, T_x, T_y), np.float32)
+    cursor = valid[:, :, 0].sum(1).astype(np.int64) - 1  # last valid token
+    rows = np.arange(B)
+    for j in range(T_y - 1, -1, -1):
+        path[rows, cursor, j] = 1.0
+        cursor = cursor + np.where(stay[rows, cursor, j], 0, -1)
+    return path * valid.astype(np.float32)
