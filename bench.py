@@ -64,6 +64,31 @@ def main():
     wav = np.asarray(out["model_outputs"], np.float32)
     assert np.isfinite(wav).all(), "non-finite audio"
 
+    # MFU: compiled-graph flops per step / chip peak (v5e: 197 TFLOP/s bf16)
+    vits_mfu = None
+    try:
+        cost = jax.jit(
+            lambda p, x, xl, r: model.inference(p, x, xl, max_frames=MAXF, rng=r)
+        ).lower(gen_params, x, xl, rng).compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        peak = 197e12 if DTYPE == "bfloat16" else 197e12 / 2  # fp32 runs bf16x3-ish
+        if flops > 0:
+            vits_mfu = round(flops / dt / peak, 4)
+    except Exception:
+        pass
+
+    # XTTS streaming TTFA (the reference's headline metric); non-fatal
+    xtts_ttfa_ms = None
+    if not os.environ.get("BENCH_SKIP_XTTS"):
+        try:
+            from bench_xtts import measure_ttfa
+
+            xtts_ttfa_ms = round(measure_ttfa(), 1)
+        except Exception as e:  # pragma: no cover
+            print(f"xtts ttfa measurement failed: {e}", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -71,6 +96,9 @@ def main():
                 "value": round(rtf, 1),
                 "unit": "x_realtime_per_chip",
                 "vs_baseline": round(rtf / 200.0, 3),
+                "vits_mfu": vits_mfu,
+                "xtts_ttfa_ms": xtts_ttfa_ms,
+                "xtts_ttfa_target_ms": 200.0,
             }
         )
     )

@@ -21,7 +21,14 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 import numpy as np  # noqa: E402
 
 
-def main():
+def measure_ttfa() -> float:
+    """Median time-to-first-audio in ms (serving path, conditioning cached).
+
+    ``BENCH_XTTS_DTYPE=bfloat16`` (default) halves the weight-bandwidth of
+    the decode (measured 1.58 vs 2.76 ms/token fp32 on one v5e — the step is
+    weight-bandwidth-bound); the reference's <200 ms claim likewise assumes
+    fp16 deepspeed inference.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -33,6 +40,7 @@ def main():
 
     T_TEXT = int(os.environ.get("BENCH_TEXT_TOKENS", "50"))
     CHUNK = int(os.environ.get("BENCH_CHUNK", "20"))
+    DTYPE = os.environ.get("BENCH_XTTS_DTYPE", "bfloat16")
     MAX_NEW = 600
 
     gpt = XttsGPT()  # full XTTS v2 dims: 30 layers / 1024 dim / 16 heads
@@ -50,6 +58,11 @@ def main():
     )
     dec_params = dec.init(rng, jnp.zeros((1, CHUNK, 1024)), jnp.zeros((1, 1, 512)),
                           jnp.zeros((1, 30, 64)), method=HifiDecoder.init_all)
+    if DTYPE in ("bfloat16", "bf16"):
+        cast = lambda t: jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, t
+        )
+        gpt_params, cond_mel = cast(gpt_params), cast(cond_mel)
 
     style = jax.jit(lambda p, m: gpt.apply(p, m, method=XttsGPT.get_style_emb))
     embed_spk = jax.jit(lambda p, m: dec.apply(p, m, method=HifiDecoder.embed_speaker))
@@ -80,8 +93,11 @@ def main():
         t0 = time.time()
         _ = first_audio(r)
         times.append(time.time() - t0)
-    ttfa_ms = float(np.median(times) * 1000)
+    return float(np.median(times) * 1000)
 
+
+def main():
+    ttfa_ms = measure_ttfa()
     print(
         json.dumps(
             {

@@ -35,14 +35,16 @@ class BarkGPT(nn.Module):
         self.core = GPT2Core(layers=a.n_layer, dim=a.n_embd, heads=a.n_head, name="core")
         self.lm_head = nn.Dense(a.output_vocab_size, use_bias=False, name="lm_head")
 
-    def __call__(self, idx, caches=None, cache_index=None, position_offset=0, attn_mask=None):
+    def __call__(self, idx, caches=None, cache_index=None, position_offset=0, attn_mask=None,
+                 cache_len=None):
         T = idx.shape[1]
         h = self.wte(idx)
         pos = jax.lax.dynamic_slice_in_dim(self.wpe, position_offset, T, 0)
         h = h + pos[None]
-        if attn_mask is None:
+        if attn_mask is None and cache_len is None:
             attn_mask = causal_mask(T)
-        h, caches = self.core(h, attn_mask=attn_mask, caches=caches, cache_index=cache_index)
+        h, caches = self.core(h, attn_mask=attn_mask, caches=caches, cache_index=cache_index,
+                              cache_len=cache_len)
         return self.lm_head(h), caches
 
     def generate(
@@ -77,9 +79,9 @@ class BarkGPT(nn.Module):
             tok = jnp.where(done, eos_token, tok)
             new_done = done | (tok == eos_token)
             out_len = out_len + (~new_done).astype(jnp.int32)
-            mask = (positions <= cur)[None, None, None, :]
             logits, new_caches = self(
-                tok[:, None], caches=caches, cache_index=cur, position_offset=0, attn_mask=mask
+                tok[:, None], caches=caches, cache_index=cur, position_offset=0,
+                cache_len=cur + 1,
             )
             return (new_caches, cur + 1, logits[:, -1], new_done, out_len), tok
 

@@ -113,7 +113,6 @@ class UnifiedVoice(nn.Module):
         h, caches = self.gpt(prefix, attn_mask=pre_mask, caches=caches, cache_index=0)
         h = self.final_norm(h)
         logits0 = self.mel_head(h[:, -1])
-        positions = jnp.arange(max_len)
 
         def step(carry, rng_t):
             caches, cur, pos, last_logits, last_h, rep, done, n = carry
@@ -126,8 +125,7 @@ class UnifiedVoice(nn.Module):
             rep = rep.at[jnp.arange(B), tok].add(1)
             emb = self.mel_embedding(tok)[:, None]
             emb = emb + jax.lax.dynamic_slice_in_dim(self.mel_pos_embedding, pos, 1, 0)[None]
-            mask = (positions <= cur)[None, None, None, :]
-            h, new_caches = self.gpt(emb, attn_mask=mask, caches=caches, cache_index=cur)
+            h, new_caches = self.gpt(emb, caches=caches, cache_index=cur, cache_len=cur + 1)
             h = self.final_norm(h)
             return (new_caches, cur + 1, pos + 1, self.mel_head(h[:, -1]), h[:, -1],
                     rep, new_done, n), (tok, last_h)

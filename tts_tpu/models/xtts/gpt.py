@@ -311,7 +311,6 @@ class XttsGPT(nn.Module):
 
     def _make_step(self, max_len, temperature, top_k, top_p, repetition_penalty):
         B = None  # inferred from carry
-        positions = jnp.arange(max_len)
 
         def step(carry, rng_t):
             caches, cur_index, tok_pos, last_logits, last_h, rep_counts, done, out_len = carry
@@ -332,8 +331,11 @@ class XttsGPT(nn.Module):
             emb = self.mel_embedding(tok)[:, None, :]
             pos_emb = jax.lax.dynamic_slice_in_dim(self.mel_pos_embedding, tok_pos, 1, 0)
             emb = emb + pos_emb[None]
-            step_mask = (positions <= cur_index)[None, None, None, :]
-            h, new_caches = self.gpt(emb, attn_mask=step_mask, caches=caches, cache_index=cur_index)
+            # decode-step validity is exactly "positions <= cur_index", so we
+            # pass it as a scalar cache_len → enables the fused decode kernel
+            h, new_caches = self.gpt(
+                emb, caches=caches, cache_index=cur_index, cache_len=cur_index + 1
+            )
             h = self.final_norm(h)
             logits = self.mel_head(h[:, -1])
             return (

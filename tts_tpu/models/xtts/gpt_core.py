@@ -23,6 +23,7 @@ Cache = Dict[str, jnp.ndarray]
 class GPT2Attention(nn.Module):
     dim: int
     heads: int
+    use_pallas: bool = False  # fused single-token decode kernel on TPU
 
     @nn.compact
     def __call__(
@@ -31,6 +32,7 @@ class GPT2Attention(nn.Module):
         attn_mask: Optional[jnp.ndarray] = None,  # [B, 1, T, S] 1=attend
         cache: Optional[Cache] = None,
         cache_index: Optional[jnp.ndarray] = None,
+        cache_len: Optional[jnp.ndarray] = None,  # scalar valid cache length
     ) -> Tuple[jnp.ndarray, Optional[Cache]]:
         B, T, D = x.shape
         H = self.heads
@@ -56,6 +58,17 @@ class GPT2Attention(nn.Module):
             k_all, v_all = k, v
             new_cache = None
 
+        if cache is not None and T == 1 and cache_len is not None:
+            # hot decode step: one query against the cache.  The fused
+            # Pallas kernel keeps softmax(qKᵀ)·V in VMEM per (batch, head);
+            # XLA fallback elsewhere.
+            from tts_tpu.ops.pallas_attention import decode_attention, decode_attention_xla
+
+            fused = decode_attention if self.use_pallas else decode_attention_xla
+            out = fused(q[:, 0], k_all, v_all, jnp.asarray(cache_len, jnp.int32))  # [B, H, dh]
+            out = out.astype(x.dtype).reshape(B, H * dh)[:, None, :]
+            return nn.Dense(D, name="c_proj")(out), new_cache
+
         scores = jnp.einsum("bthd,bshd->bhts", q, k_all) / math.sqrt(dh)
         if attn_mask is not None:
             scores = jnp.where(attn_mask, scores, -1e9)
@@ -67,11 +80,12 @@ class GPT2Attention(nn.Module):
 class GPT2Block(nn.Module):
     dim: int
     heads: int
+    use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, x, attn_mask=None, cache=None, cache_index=None):
-        h, new_cache = GPT2Attention(self.dim, self.heads, name="attn")(
-            nn.LayerNorm(name="ln_1")(x), attn_mask, cache, cache_index
+    def __call__(self, x, attn_mask=None, cache=None, cache_index=None, cache_len=None):
+        h, new_cache = GPT2Attention(self.dim, self.heads, self.use_pallas, name="attn")(
+            nn.LayerNorm(name="ln_1")(x), attn_mask, cache, cache_index, cache_len
         )
         x = x + h
         m = nn.Dense(4 * self.dim, name="mlp_fc")(nn.LayerNorm(name="ln_2")(x))
@@ -79,13 +93,34 @@ class GPT2Block(nn.Module):
         return x + m, new_cache
 
 
+def _pallas_default() -> bool:
+    """Default decode-attention backend: the XLA fused path, which measured
+    FASTER than the Pallas kernel at XTTS decode shapes (38 vs 52 µs/step on
+    one v5e; see ``ops/pallas_attention.decode_attention``).  Set
+    ``TTS_TPU_PALLAS=1`` (TPU only) to opt in to the Pallas kernel."""
+    import os
+
+    if os.environ.get("TTS_TPU_PALLAS"):
+        try:
+            return jax.default_backend() == "tpu"
+        except RuntimeError:  # pragma: no cover
+            return False
+    return False
+
+
 class GPT2Core(nn.Module):
     """Stack of GPT-2 blocks + final LN.  Position embeddings are owned by
-    the caller (XTTS uses separate learned tables for text/mel segments)."""
+    the caller (XTTS uses separate learned tables for text/mel segments).
+
+    ``use_pallas=None`` (default) resolves via :func:`_pallas_default`
+    (XLA fused decode unless ``TTS_TPU_PALLAS=1`` on TPU); pass an explicit
+    bool to override.  Either way the single-token decode goes through the
+    fused ``cache_len`` path instead of a materialized [B,1,1,S] mask."""
 
     layers: int
     dim: int
     heads: int
+    use_pallas: Optional[bool] = None
 
     @nn.compact
     def __call__(
@@ -94,12 +129,14 @@ class GPT2Core(nn.Module):
         attn_mask: Optional[jnp.ndarray] = None,
         caches: Optional[Any] = None,  # list of per-layer {"k","v"} or None
         cache_index: Optional[jnp.ndarray] = None,
+        cache_len: Optional[jnp.ndarray] = None,
     ):
+        pallas_on = self.use_pallas if self.use_pallas is not None else _pallas_default()
         new_caches = [] if caches is not None else None
         for i in range(self.layers):
             cache_i = caches[i] if caches is not None else None
-            h, nc = GPT2Block(self.dim, self.heads, name=f"h_{i}")(
-                h, attn_mask, cache_i, cache_index
+            h, nc = GPT2Block(self.dim, self.heads, pallas_on, name=f"h_{i}")(
+                h, attn_mask, cache_i, cache_index, cache_len
             )
             if new_caches is not None:
                 new_caches.append(nc)

@@ -28,24 +28,25 @@ except Exception:  # pragma: no cover
 
 
 def _decode_attn_kernel(q_ref, k_ref, v_ref, len_ref, o_ref):
-    """Grid cell = (batch, head).
+    """Grid cell = one batch row, all heads at once.
 
-    Block shapes: q_ref [1,1,1,dh]; k_ref/v_ref [1,S,1,dh]; len_ref [1,1,1]
-    (SMEM); o_ref [1,1,1,dh].
+    Block shapes: q_ref [1,H,dh]; k_ref/v_ref [1,H,S,dh]; len_ref [1,1,1]
+    (SMEM); o_ref [1,H,dh].  The per-head contractions are expressed as
+    broadcast-multiply + reduce (VPU work, fp32 accumulation) because the
+    matvec shapes are too small to feed the MXU and Mosaic has no batched
+    ``dot_general``; one pass over K and one over V, all in VMEM.
     """
-    q = q_ref[0, 0]  # [1, dh]
-    k = k_ref[0, 0]  # [S, dh]
-    v = v_ref[0, 0]
-    S = k.shape[0]
-    dh = q.shape[1]
-    scores = jnp.dot(k, q.T, preferred_element_type=jnp.float32)  # [S, 1]
-    scores = scores / math.sqrt(dh)
-    valid = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0) < len_ref[0, 0, 0]
+    q = q_ref[0]  # [H, dh]
+    k = k_ref[0]  # [H, S, dh]
+    v = v_ref[0]
+    H, S, dh = k.shape
+    scores = jnp.sum(k * q[:, None, :], axis=2) / math.sqrt(dh)  # [H, S]
+    valid = jax.lax.broadcasted_iota(jnp.int32, (H, S), 1) < len_ref[0, 0, 0]
     scores = jnp.where(valid, scores, -1e9)
-    m = jnp.max(scores)
+    m = jnp.max(scores, axis=1, keepdims=True)
     p = jnp.exp(scores - m)
-    p = p / jnp.sum(p)
-    o_ref[0, 0] = jnp.dot(p.T, v, preferred_element_type=jnp.float32)
+    p = p / jnp.sum(p, axis=1, keepdims=True)
+    o_ref[0] = jnp.sum(p[:, :, None] * v, axis=1)  # [H, dh]
 
 
 def decode_attention(
@@ -55,7 +56,14 @@ def decode_attention(
     cache_len: jnp.ndarray,  # [B] or scalar valid length
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Fused attention of one query token against the KV cache → [B, H, dh]."""
+    """Fused attention of one query token against the KV cache → [B, H, dh].
+
+    Measured on one v5e chip (XTTS dims B=1 H=16 dh=64 S=672, 200-step
+    scan): 52 µs/step vs 38 µs/step for the XLA fallback — XLA's fused
+    attention already wins at these shapes, so the default wiring keeps
+    ``decode_attention_xla`` and this kernel stays opt-in
+    (``GPT2Core(use_pallas=True)``).  Accuracy matches fp64 to ~6e-7.
+    """
     B, H, dh = q.shape
     S = k_cache.shape[1]
     if cache_len.ndim == 0:
@@ -67,26 +75,20 @@ def decode_attention(
     # cache producer.
     k_hsd = jnp.swapaxes(k_cache, 1, 2)
     v_hsd = jnp.swapaxes(v_cache, 1, 2)
-    grid = (B, H)
     out = pl.pallas_call(
         _decode_attn_kernel,
-        out_shape=jax.ShapeDtypeStruct((B, H, 1, dh), jnp.float32),
-        grid=grid,
+        out_shape=jax.ShapeDtypeStruct((B, H, dh), jnp.float32),
+        grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, 1, 1, dh), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, S, dh), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, S, dh), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1), lambda b, h: (b, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, H, dh), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, S, dh), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, S, dh), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, 1, dh), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, H, dh), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(
-        q[:, :, None, :],
-        k_hsd,
-        v_hsd,
-        lens,
-    )
-    return out[:, :, 0, :]
+    )(q, k_hsd, v_hsd, lens)
+    return out
 
 
 def decode_attention_xla(q, k_cache, v_cache, cache_len):

@@ -4,3 +4,4 @@ from .mesh import (  # noqa: F401
     shard_batch,
     with_data_parallel,
 )
+from .tp import gpt_tp_shardings  # noqa: F401
