@@ -23,6 +23,23 @@ jax.config.update("jax_platforms", "cpu")
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: heavy train-smoke/integration test; skipped unless TTS_RUN_SLOW=1 "
+        "(keeps the default suite inside a ~10-minute CI budget)",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if os.environ.get("TTS_RUN_SLOW"):
+        return
+    skip = pytest.mark.skip(reason="slow; set TTS_RUN_SLOW=1 to run")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture(scope="session")
 def ljspeech_fixture_path():
     """Miniature LJSpeech fixture shipped with the reference repo (read-only)."""

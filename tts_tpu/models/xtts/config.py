@@ -45,6 +45,12 @@ class XttsArgs(Config):
     gpt_use_masking_gt_prompt_approach: bool = True
     gpt_use_perceiver_resampler: bool = True
 
+    # fine-tune dataset limits (reference ``gpt_trainer.py`` GPTArgs :41-48)
+    min_conditioning_length: int = 66150
+    max_conditioning_length: int = 132300
+    max_wav_length: int = 255995  # ~11.6 s @ 22050
+    max_text_length: int = 200
+
     # HiFi decoder
     input_sample_rate: int = 22050
     output_sample_rate: int = 24000

@@ -28,6 +28,18 @@ def _masked_ce(logits, targets, lengths):
     return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1)
 
 
+class _ByteTokenizer:
+    """Minimal corpus tokenizer for fine-tune smoke runs without a BPE
+    vocab file: UTF-8 bytes folded into the text-token id range (ids 0/1
+    reserved for stop/unk like the reference vocab)."""
+
+    def __init__(self, num_text_tokens: int):
+        self.n = int(num_text_tokens)
+
+    def encode(self, text: str, lang: str):
+        return [2 + (b % (self.n - 2)) for b in text.encode("utf-8")]
+
+
 class GPTTrainer:
     """Host wrapper implementing the trainer-model contract for XTTS GPT
     fine-tuning."""
@@ -48,6 +60,28 @@ class GPTTrainer:
     @classmethod
     def init_from_config(cls, config, samples=None):
         return cls(config)
+
+    def get_dataset(self, config, samples, is_eval: bool = False):
+        """Trainer hook: real-corpus fine-tune batches (reference
+        ``xtts/trainer/dataset.py`` XTTSDataset)."""
+        from .dataset import XTTSDataset
+
+        tokenizer = getattr(self.xtts, "tokenizer", None)
+        if tokenizer is None or getattr(tokenizer, "tokenizer", True) is None:
+            tok_file = getattr(config.model_args, "tokenizer_file", None)
+            if tok_file:
+                from .tokenizer import VoiceBpeTokenizer
+
+                tokenizer = VoiceBpeTokenizer(tok_file)
+            else:
+                tokenizer = _ByteTokenizer(config.model_args.gpt_number_text_tokens)
+        return XTTSDataset(
+            config,
+            samples,
+            tokenizer,
+            sample_rate=getattr(config.audio, "sample_rate", 22050),
+            is_eval=is_eval,
+        )
 
     def init_params(self, rng, t_text: int = 16, t_mel: int = 64, t_cond: int = 64):
         r1, r2 = jax.random.split(rng)

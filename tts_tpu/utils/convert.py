@@ -1084,3 +1084,108 @@ def convert_speaker_encoder(state, config):
     if name == "lstm":
         return convert_lstm_speaker_encoder(state, mp.get("num_lstm_layers", 3))
     return {"params": convert_resnet_speaker_encoder(state)}
+
+
+# ---------------------------------------------------------------------------
+# WavLM content encoder (reference TTS/vc/modules/freevc/wavlm/)
+# ---------------------------------------------------------------------------
+
+def _wavlm_fold_pos_conv(state, key="encoder.pos_conv.0."):
+    """Fold the pos-conv weight norm (dim=2: g is [1, 1, k], norm over the
+    (out, in) axes per kernel tap — the generic fold assumes dim=0)."""
+    for g_key, v_key in (
+        (key + "weight_g", key + "weight_v"),
+        (key + "parametrizations.weight.original0", key + "parametrizations.weight.original1"),
+    ):
+        if v_key in state:
+            g, v = state[g_key], state[v_key]
+            axes = tuple(i for i, s in enumerate(g.shape) if s == 1)
+            norm = np.sqrt((v**2).sum(axis=axes, keepdims=True))
+            return g * v / np.maximum(norm, 1e-12)
+    return state[key + "weight"]
+
+
+def convert_wavlm_state(state, cfg) -> Dict[str, Any]:
+    """Torch WavLM state dict → flax params for
+    :class:`tts_tpu.vc.modules.wavlm.WavLM`."""
+    p: Dict[str, Any] = {}
+
+    fe: Dict[str, Any] = {}
+    for i in range(len(cfg.conv_feature_layers)):
+        conv = {"kernel": conv1d_kernel(state[f"feature_extractor.conv_layers.{i}.0.weight"])}
+        if cfg.conv_bias:
+            conv["bias"] = state[f"feature_extractor.conv_layers.{i}.0.bias"]
+        fe[f"conv_{i}"] = conv
+        if cfg.extractor_mode == "layer_norm":
+            fe[f"ln_{i}"] = {
+                "scale": state[f"feature_extractor.conv_layers.{i}.2.1.weight"],
+                "bias": state[f"feature_extractor.conv_layers.{i}.2.1.bias"],
+            }
+        elif i == 0:
+            fe["gn_0"] = {
+                "scale": state["feature_extractor.conv_layers.0.2.weight"],
+                "bias": state["feature_extractor.conv_layers.0.2.bias"],
+            }
+    p["feature_extractor"] = fe
+    p["layer_norm"] = {"scale": state["layer_norm.weight"], "bias": state["layer_norm.bias"]}
+    if "post_extract_proj.weight" in state:
+        p["post_extract_proj"] = {
+            "kernel": linear_kernel(state["post_extract_proj.weight"]),
+            "bias": state["post_extract_proj.bias"],
+        }
+
+    # grouped positional conv: torch [out, in/groups, k] → flax [k, in/groups, out]
+    w = _wavlm_fold_pos_conv(state)
+    p["pos_conv"] = {
+        "kernel": np.transpose(w, (2, 1, 0)),
+        "bias": state["encoder.pos_conv.0.bias"],
+    }
+
+    for i in range(cfg.encoder_layers):
+        pre = f"encoder.layers.{i}."
+        attn: Dict[str, Any] = {}
+        for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            attn[proj] = {
+                "kernel": linear_kernel(state[pre + f"self_attn.{proj}.weight"]),
+                "bias": state[pre + f"self_attn.{proj}.bias"],
+            }
+        if cfg.gru_rel_pos:
+            attn["grep_linear"] = {
+                "kernel": linear_kernel(state[pre + "self_attn.grep_linear.weight"]),
+                "bias": state[pre + "self_attn.grep_linear.bias"],
+            }
+            attn["grep_a"] = state[pre + "self_attn.grep_a"]
+        if cfg.relative_position_embedding and i == 0:
+            attn["relative_attention_bias"] = state[pre + "self_attn.relative_attention_bias.weight"]
+        layer = {
+            "self_attn": attn,
+            "self_attn_layer_norm": {
+                "scale": state[pre + "self_attn_layer_norm.weight"],
+                "bias": state[pre + "self_attn_layer_norm.bias"],
+            },
+            "fc1": {"kernel": linear_kernel(state[pre + "fc1.weight"]), "bias": state[pre + "fc1.bias"]},
+            "fc2": {"kernel": linear_kernel(state[pre + "fc2.weight"]), "bias": state[pre + "fc2.bias"]},
+            "final_layer_norm": {
+                "scale": state[pre + "final_layer_norm.weight"],
+                "bias": state[pre + "final_layer_norm.bias"],
+            },
+        }
+        p[f"layer_{i}"] = layer
+    p["encoder_layer_norm"] = {
+        "scale": state["encoder.layer_norm.weight"],
+        "bias": state["encoder.layer_norm.bias"],
+    }
+    return {"params": p}
+
+
+def convert_wavlm(path: str):
+    """WavLM-Large.pt (checkpoint dict with "cfg" + "model") →
+    (WavLMConfig, flax params)."""
+    import torch
+
+    from tts_tpu.vc.modules.wavlm import WavLMConfig
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    cfg = WavLMConfig.from_checkpoint_cfg(dict(ckpt.get("cfg", {})))
+    state = {k: np.asarray(v) for k, v in ckpt["model"].items()}
+    return cfg, convert_wavlm_state(state, cfg)

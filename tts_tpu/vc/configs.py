@@ -43,7 +43,7 @@ class FreeVCArgs(Config):
     segment_size: int = 8960
     gin_channels: int = 256
     ssl_dim: int = 1024
-    use_spk: bool = True
+    use_spk: bool = False  # reference freevc_config.py:134 (in-model enc_spk)
     num_spks: int = 0
 
 

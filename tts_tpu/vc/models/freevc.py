@@ -3,10 +3,10 @@
 VITS-style architecture: content (WavLM SSL) features → prior encoder;
 linear spec → posterior encoder; residual-coupling flow bridges them,
 conditioned on a speaker embedding; HiFiGAN decodes.  The WavLM content
-model is pluggable: pass precomputed SSL features, or any callable
-``wav → [B, T, ssl_dim]`` (the torch WavLM can be converted with
-``tts_tpu.utils.convert``; a native JAX WavLM port is tracked for a
-future round).
+encoder is the native flax port in :mod:`tts_tpu.vc.modules.wavlm`
+(converted from the torch WavLM-Large checkpoint on first use via
+``tts_tpu.utils.convert.convert_wavlm``); any callable
+``wav → [B, T, ssl_dim]`` can be substituted.
 """
 
 from __future__ import annotations
@@ -117,6 +117,14 @@ class FreeVCModule(nn.Module):
             "y_mask": y_mask,
         }
 
+    def init_all(self, c, c_lengths, spec, spec_lengths, g):
+        """Init trace covering the training forward AND the in-model
+        speaker encoder (not reached by ``__call__``, which takes g)."""
+        out = self(c, c_lengths, spec, spec_lengths, g)
+        if not self.args.use_spk:
+            _ = self.enc_spk(jnp.zeros((1, 9, 80)))
+        return out
+
     def voice_conversion(self, c, c_lengths, g_tgt):
         """Content features + target speaker → converted waveform
         (reference ``freevc.py`` voice_conversion)."""
@@ -173,7 +181,13 @@ class FreeVC:
         (reference pretrained LSTM encoder), else the in-model ``enc_spk``."""
         import numpy as np
 
-        if self.args.use_spk and self.speaker_encoder is not None:
+        if self.args.use_spk:
+            if self.speaker_encoder is None:
+                raise RuntimeError(
+                    "FreeVC config has use_spk=True (external speaker encoder) "
+                    "but no speaker_encoder is attached; set model.speaker_encoder "
+                    "or use a checkpoint with the in-model enc_spk (use_spk=False)."
+                )
             return jnp.asarray(
                 np.asarray(self.speaker_encoder.embed_utterance(wav_16k)).reshape(1, -1)
             )
@@ -210,6 +224,7 @@ class FreeVC:
             jnp.zeros((1, t, a.spec_channels)),
             jnp.full((1,), t, jnp.int32),
             jnp.zeros((1, a.gin_channels)),
+            method=self.module.init_all,
         )
 
     def voice_conversion(self, params, content_features, content_lengths, target_speaker_emb, rng=None):
