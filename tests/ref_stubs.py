@@ -15,6 +15,9 @@ def _stub(name, **attrs):
     else:
         mod = types.ModuleType(name)
         mod.__path__ = []  # behave as a package for submodule imports
+        import importlib.machinery
+
+        mod.__spec__ = importlib.machinery.ModuleSpec(name, None)
         sys.modules[name] = mod
     for k, v in attrs.items():
         setattr(mod, k, v)
@@ -26,6 +29,15 @@ def install_reference_stubs():
 
     if not hasattr(np, "cumproduct"):
         np.cumproduct = np.cumprod  # removed in numpy 2
+
+    # newer transformers dropped LogitsWarper (alias of LogitsProcessor);
+    # must attempt the real import — hasattr can hit a stale lazy-module entry
+    import transformers
+
+    try:
+        from transformers import LogitsWarper  # noqa: F401
+    except ImportError:
+        transformers.LogitsWarper = transformers.LogitsProcessor
 
     class _Sampler:
         def __init__(self, *a, **k):
@@ -104,6 +116,32 @@ def install_reference_stubs():
         if key == "TTS" or key.startswith("TTS."):
             if not str(getattr(sys.modules[key], "__file__", "")).startswith("/root/reference"):
                 del sys.modules[key]
+
+
+def _patch_transformers():
+    import sys
+
+    tm = sys.modules.get("transformers")
+    if tm is None:
+        import transformers as tm
+    try:
+        from transformers import LogitsWarper  # noqa: F401
+    except ImportError:
+        tm.LogitsWarper = tm.LogitsProcessor
+
+
+def import_reference(name):
+    """Import a /root/reference TTS module.  transformers' lazy module can
+    be swapped out mid-import (dropping the LogitsWarper alias newer
+    versions removed), so re-apply the alias and retry once."""
+    import importlib
+
+    _patch_transformers()
+    try:
+        return importlib.import_module(name)
+    except ImportError:
+        _patch_transformers()
+        return importlib.import_module(name)
 
 
 def np_state(mod):

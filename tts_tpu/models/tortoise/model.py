@@ -1,12 +1,12 @@
 """Tortoise — AR GPT over mel codes + diffusion mel decoder (inference
 pipeline; reference ``TTS/tts/models/tortoise.py:309`` +
-``layers/tortoise/{autoregressive,diffusion_decoder}.py``).
+``layers/tortoise/{autoregressive,diffusion_decoder,clvp}.py``).
 
-Stages: reference audio → conditioning latent; text → mel codes via the
-KV-cached UnifiedVoice GPT; codes+latents → mel via the diffusion decoder
-(DDIM scan); mel → wav via any trained vocoder (the reference bundles a
-UnivNet — ours plugs ``tts_tpu.vocoder``).  CLVP reranking is replaced by
-AR log-prob ranking of candidate samples.
+Stages: reference audio → conditioning latents; text → mel codes via the
+KV-cached UnifiedVoice GPT (k candidates); CLVP reranks the candidates;
+codes+latents → mel via the weight-compatible ``DiffusionTts`` (DDIM scan
+with classifier-free guidance); mel → wav via a trained vocoder (the
+reference bundles a UnivNet — ours plugs ``tts_tpu.vocoder``).
 """
 
 from __future__ import annotations
@@ -19,10 +19,27 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tts_tpu.models.xtts.gpt import AttentionBlock, ConditioningEncoder
 from tts_tpu.models.xtts.gpt_core import GPT2Core, causal_mask, sample_logits
 
 from .config import TortoiseArgs, TortoiseConfig
+from .layers import CLVP, AttentionBlock, DiffusionTts
+
+
+class TortoiseConditioningEncoder(nn.Module):
+    """Reference ``autoregressive.ConditioningEncoder``: 1×1 conv in +
+    attention stack; the conditioning latent is the FIRST position
+    (``arch_utils`` ConditioningEncoder with mean=False)."""
+
+    embedding_dim: int
+    attn_blocks: int = 6
+    num_attn_heads: int = 16
+
+    @nn.compact
+    def __call__(self, x):  # [B, T, 80]
+        h = nn.Dense(self.embedding_dim, name="init")(x)
+        for i in range(self.attn_blocks):
+            h = AttentionBlock(self.embedding_dim, self.num_attn_heads, name=f"attn_{i}")(h)
+        return h
 
 
 class UnifiedVoice(nn.Module):
@@ -39,10 +56,11 @@ class UnifiedVoice(nn.Module):
     stop_text_token: int = 0
     max_text_tokens: int = 402
     max_mel_tokens: int = 604
+    max_conditioning_inputs: int = 1
 
     def setup(self):
         D = self.model_dim
-        self.conditioning_encoder = ConditioningEncoder(
+        self.conditioning_encoder = TortoiseConditioningEncoder(
             D, attn_blocks=6, num_attn_heads=self.heads, name="conditioning_encoder"
         )
         self.text_embedding = nn.Embed(self.number_text_tokens + 1, D, name="text_embedding")
@@ -51,17 +69,21 @@ class UnifiedVoice(nn.Module):
             "text_pos_embedding", nn.initializers.normal(0.02), (self.max_text_tokens + 2, D)
         )
         self.mel_pos_embedding = self.param(
-            "mel_pos_embedding", nn.initializers.normal(0.02), (self.max_mel_tokens + 2, D)
+            "mel_pos_embedding",
+            nn.initializers.normal(0.02),
+            # reference build_hf_gpt_transformer: + max_conditioning_inputs
+            (self.max_mel_tokens + 2 + self.max_conditioning_inputs, D),
         )
         self.gpt = GPT2Core(layers=self.layers, dim=D, heads=self.heads, name="gpt")
-        self.final_norm = nn.LayerNorm(name="final_norm")
+        self.final_norm = nn.LayerNorm(epsilon=1e-5, name="final_norm")
         self.text_head = nn.Dense(self.number_text_tokens + 1, name="text_head")
         self.mel_head = nn.Dense(self.number_mel_codes, name="mel_head")
 
     def get_conditioning(self, cond_mels: jnp.ndarray) -> jnp.ndarray:
-        """[B, T, 80] → one conditioning latent [B, 1, D] (mean-pooled)."""
+        """[B, T, 80] → one conditioning latent [B, 1, D] (first attention
+        position, reference ``arch_utils`` ConditioningEncoder mean=False)."""
         h = self.conditioning_encoder(cond_mels)
-        return jnp.mean(h, axis=1, keepdims=True)
+        return h[:, :1]
 
     def init_all(self, cond_mels, text_tokens, mel_codes):
         """Trace conditioning + forward so ``init`` creates all params."""
@@ -69,7 +91,14 @@ class UnifiedVoice(nn.Module):
         return self(cond, text_tokens, mel_codes)
 
     def __call__(self, cond_latent, text_tokens, mel_codes):
-        """Teacher-forced forward → (text_logits, mel_logits, mel_latents)."""
+        """Teacher-forced forward → (text_logits, mel_logits, mel_latents).
+
+        Segment offsets follow the reference ``get_logits``: the hidden
+        state at the conditioning position is dropped
+        (``autoregressive.py:419`` "first logit is tied to the
+        speech_conditioning_input"), so each segment's logits cover its
+        full token count.
+        """
         B = text_tokens.shape[0]
         text = jnp.concatenate(
             [jnp.full((B, 1), self.start_text_token), text_tokens,
@@ -83,14 +112,14 @@ class UnifiedVoice(nn.Module):
         me = self.mel_embedding(mel) + self.mel_pos_embedding[None, : mel.shape[1]]
         h = jnp.concatenate([cond_latent, te, me], 1)
         h, _ = self.gpt(h, attn_mask=causal_mask(h.shape[1]))
-        h = self.final_norm(h)
-        L_c, T_t = cond_latent.shape[1], text.shape[1]
-        text_latents = h[:, L_c : L_c + T_t]
-        mel_latents = h[:, L_c + T_t :]
+        h = self.final_norm(h[:, 1:])  # drop the conditioning position
+        T_t = text.shape[1]
+        text_latents = h[:, :T_t]
+        mel_latents = h[:, T_t:]
         return (
-            self.text_head(text_latents[:, :-1]),
-            self.mel_head(mel_latents[:, :-1]),
-            mel_latents[:, :-1],
+            self.text_head(text_latents),
+            self.mel_head(mel_latents),
+            mel_latents,
         )
 
     def generate(self, cond_latent, text_tokens, rng, max_new_tokens: int = 500,
@@ -142,64 +171,46 @@ class UnifiedVoice(nn.Module):
         }
 
 
-class DiffusionDecoder(nn.Module):
-    """Latents + noisy mel + timestep → noise prediction
-    (compact attention-residual net after ``diffusion_decoder.py:141``)."""
+def ddim_sample(decoder, params, embeddings, T_mel: int, rng, steps: int = 30,
+                in_channels: int = 100, temperature: float = 1.0,
+                cond_free: bool = True, cond_free_k: float = 2.0,
+                trained_steps: int = 4000):
+    """DDIM sampling scan over the weight-compatible ``DiffusionTts``
+    (replaces the reference's SpacedDiffusion p-sample loop,
+    ``tortoise/diffusion.py``; same linear schedule: betas scaled from the
+    1000-step [1e-4, 2e-2] range to ``trained_steps``).
 
-    model_channels: int = 1024
-    num_layers: int = 10
-    in_channels: int = 100
-    in_latent_channels: int = 1024
-    num_heads: int = 16
-
-    @nn.compact
-    def __call__(self, x, t_emb_scale, latents):
-        """x [B, T, in_channels] noisy mel; t_emb_scale [B] diffusion step in
-        [0,1]; latents [B, T_lat, D_lat] AR latents (nearest-upsampled)."""
-        C = self.model_channels
-        # timestep embedding
-        half = C // 2
-        freqs = jnp.exp(-math.log(10000) * jnp.arange(half) / half)
-        ang = t_emb_scale[:, None] * 1000.0 * freqs[None]
-        t_emb = jnp.concatenate([jnp.cos(ang), jnp.sin(ang)], -1)
-        t_emb = nn.Dense(C, name="time_mlp2")(nn.silu(nn.Dense(C, name="time_mlp1")(t_emb)))
-
-        # upsample latents to mel frame rate (nearest)
-        T = x.shape[1]
-        idx = (jnp.arange(T) * (latents.shape[1] / T)).astype(jnp.int32)
-        cond = nn.Dense(C, name="latent_proj")(latents[:, idx])
-
-        h = nn.Dense(C, name="in_proj")(x) + cond
-        for i in range(self.num_layers):
-            scale_shift = nn.Dense(2 * C, name=f"film_{i}")(nn.silu(t_emb))
-            scale, shift = jnp.split(scale_shift[:, None], 2, axis=-1)
-            r = nn.LayerNorm(name=f"norm_{i}")(h) * (1 + scale) + shift
-            r = nn.Conv(C, (3,), padding=[(1, 1)], name=f"conv_{i}")(nn.silu(r))
-            if i % 3 == 2:
-                r = AttentionBlock(C, self.num_heads, name=f"attn_{i}")(r)
-            h = h + r
-        out = nn.Dense(self.in_channels, name="out_proj")(nn.silu(nn.LayerNorm(name="out_norm")(h)))
-        return out  # predicted noise
-
-
-def ddim_sample(decoder, params, latents, T_mel: int, rng, steps: int = 30,
-                in_channels: int = 100, temperature: float = 1.0):
-    """DDIM sampling scan (replaces the reference's DPM-solver/k-diffusion
-    loops, ``dpm_solver.py``/``diffusion.py``)."""
-    B = latents.shape[0]
-    betas = jnp.linspace(1e-4, 0.02, 1000)
+    ``embeddings`` are the precomputed timestep-independent conditioning
+    embeddings [B, T_mel, MC].  ``cond_free`` applies the reference's
+    classifier-free guidance (``cond_free_k``).
+    """
+    B = embeddings.shape[0]
+    scale = 1000.0 / trained_steps
+    betas = jnp.linspace(1e-4 * scale, 2e-2 * scale, trained_steps)
     alphas = jnp.cumprod(1 - betas)
-    ts = jnp.linspace(999, 0, steps).astype(jnp.int32)
+    ts = jnp.linspace(trained_steps - 1, 0, steps).astype(jnp.int32)
     r0, rng = jax.random.split(rng)
     x = jax.random.normal(r0, (B, T_mel, in_channels)) * temperature
+
+    def eps_fn(x, t_vec):
+        out = decoder.apply(params, x, t_vec, precomputed_embeddings=embeddings)
+        eps = out[..., :in_channels]  # second half is the learned variance
+        if cond_free:
+            out_free = decoder.apply(
+                params, x, t_vec, precomputed_embeddings=embeddings, conditioning_free=True
+            )
+            eps_free = out_free[..., :in_channels]
+            eps = (1 + cond_free_k) * eps - cond_free_k * eps_free
+        return eps
 
     def step(x, i):
         t = ts[i]
         t_next = jnp.where(i + 1 < steps, ts[jnp.minimum(i + 1, steps - 1)], 0)
         a_t = alphas[t]
         a_next = jnp.where(i + 1 < steps, alphas[t_next], 1.0)
-        eps = decoder.apply(params, x, jnp.full((B,), t / 1000.0), latents)
+        eps = eps_fn(x, jnp.full((B,), t))
         x0 = (x - jnp.sqrt(1 - a_t) * eps) / jnp.sqrt(a_t)
+        x0 = jnp.clip(x0, -1.0, 1.0)  # reference clip_denoised
         x = jnp.sqrt(a_next) * x0 + jnp.sqrt(1 - a_next) * eps
         return x, None
 
@@ -221,13 +232,15 @@ class Tortoise:
             start_text_token=a.ar_start_text_token, stop_text_token=a.ar_stop_text_token,
             max_text_tokens=a.ar_max_text_tokens, max_mel_tokens=a.ar_max_mel_tokens,
         )
-        self.diffusion = DiffusionDecoder(
+        self.diffusion = DiffusionTts(
             model_channels=a.diff_model_channels, num_layers=a.diff_num_layers,
             in_channels=a.diff_in_channels, in_latent_channels=a.diff_in_latent_channels,
-            num_heads=a.diff_num_heads,
+            out_channels=a.diff_out_channels, num_heads=a.diff_num_heads,
         )
+        self.clvp = CLVP()
         self.ar_params = None
         self.diff_params = None
+        self.clvp_params = None  # optional reranker (converted checkpoint)
 
     @classmethod
     def init_from_config(cls, config: TortoiseConfig, samples=None):
@@ -235,6 +248,7 @@ class Tortoise:
 
     def init_params(self, rng, t_text: int = 12, t_mel: int = 20, t_cond: int = 32):
         r1, r2 = jax.random.split(rng)
+        a = self.config.model_args
         self.ar_params = self.autoregressive.init(
             r1,
             jnp.zeros((1, t_cond, 80)),
@@ -244,31 +258,82 @@ class Tortoise:
         )
         self.diff_params = self.diffusion.init(
             r2,
-            jnp.zeros((1, t_mel * 4, self.config.model_args.diff_in_channels)),
+            jnp.zeros((1, t_mel * 4, a.diff_in_channels)),
             jnp.zeros((1,)),
-            jnp.zeros((1, t_mel, self.config.model_args.ar_model_dim)),
+            jnp.zeros((1, t_mel, a.diff_in_latent_channels)),
+            jnp.zeros((1, t_cond, a.diff_in_channels)),
+            method=self.diffusion.init_all,
         )
         return self.ar_params, self.diff_params
 
+    def rerank(self, text_tokens: jnp.ndarray, candidate_codes: jnp.ndarray) -> jnp.ndarray:
+        """CLVP scores for k candidate code sequences (reference
+        ``tortoise.py`` clvp reranking); requires ``clvp_params``."""
+        k = candidate_codes.shape[0]
+        text = jnp.broadcast_to(text_tokens, (k, text_tokens.shape[-1]))
+        return self.clvp.apply(self.clvp_params, text, candidate_codes)
+
     def inference(self, text_tokens: jnp.ndarray, cond_mels: jnp.ndarray, rng=None,
-                  max_mel_tokens: int = 100, diffusion_iterations: Optional[int] = None):
+                  max_mel_tokens: int = 100, diffusion_iterations: Optional[int] = None,
+                  diffusion_cond_mels: Optional[jnp.ndarray] = None,
+                  num_samples: int = 1):
+        """text tokens + conditioning mels → (mel, codes).
+
+        ``diffusion_cond_mels``: 100-ch univnet-domain mels of the voice
+        clips (reference ``wav_to_univnet_mel``); falls back to resampling
+        the 80-ch AR mels when absent.  ``num_samples > 1`` draws k AR
+        candidates and picks the best by CLVP (when loaded) or by AR
+        length heuristic.
+        """
         a = self.config.model_args
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         r1, r2 = jax.random.split(rng)
         cond_latent = self.autoregressive.apply(
             self.ar_params, cond_mels, method=self.autoregressive.get_conditioning
         )
+        B = text_tokens.shape[0]
+        k = max(1, num_samples)
+        text_rep = jnp.repeat(text_tokens, k, axis=0)
+        cond_rep = jnp.repeat(cond_latent, k, axis=0)
         gen = self.autoregressive.apply(
-            self.ar_params, cond_latent, text_tokens, r1,
+            self.ar_params, cond_rep, text_rep, r1,
             max_new_tokens=max_mel_tokens,
             temperature=a.temperature, top_p=a.top_p,
             repetition_penalty=a.repetition_penalty,
             method=self.autoregressive.generate,
         )
-        T_mel = gen["latents"].shape[1] * 4  # ~4 mel frames per code
+        if k > 1 and B == 1:
+            if self.clvp_params is not None:
+                scores = self.rerank(text_tokens[0], gen["codes"])
+            else:
+                scores = gen["lengths"].astype(jnp.float32)  # prefer non-degenerate
+            best = jnp.argmax(scores)
+            codes = gen["codes"][best][None]
+            latents = gen["latents"][best][None]
+            lengths = gen["lengths"][best][None]
+        else:
+            codes, latents, lengths = gen["codes"], gen["latents"], gen["lengths"]
+
+        # diffusion conditioning latent (reference get_conditioning_latents)
+        if diffusion_cond_mels is None:
+            # channel-resample the AR mels as a stand-in for univnet mels
+            idx = jnp.clip(
+                (jnp.arange(a.diff_in_channels) * cond_mels.shape[-1]) // a.diff_in_channels,
+                0, cond_mels.shape[-1] - 1,
+            )
+            diffusion_cond_mels = cond_mels[..., idx]
+        diff_cond = self.diffusion.apply(
+            self.diff_params, diffusion_cond_mels, method=self.diffusion.get_conditioning
+        )
+        T_mel = latents.shape[1] * 4  # 4 output frames per code (24 kHz domain)
+        embeddings = self.diffusion.apply(
+            self.diff_params, latents, diff_cond, T_mel,
+            method=self.diffusion.timestep_independent,
+        )
         mel = ddim_sample(
-            self.diffusion, self.diff_params, gen["latents"], T_mel, r2,
+            self.diffusion, self.diff_params, embeddings, T_mel, r2,
             steps=diffusion_iterations or a.diffusion_iterations,
             in_channels=a.diff_in_channels, temperature=a.diffusion_temperature,
+            cond_free=a.cond_free, cond_free_k=a.cond_free_k,
         )
-        return {"mel": mel, "codes": gen["codes"], "code_lengths": gen["lengths"]}
+        return {"mel": mel, "codes": codes, "code_lengths": lengths}

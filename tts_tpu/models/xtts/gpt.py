@@ -142,7 +142,7 @@ class XttsGPT(nn.Module):
             "mel_pos_embedding", nn.initializers.normal(0.02), (self.max_mel_tokens + 3, D)
         )
         self.gpt = GPT2Core(layers=self.layers, dim=D, heads=self.heads, name="gpt")
-        self.final_norm = nn.LayerNorm(name="final_norm")
+        self.final_norm = nn.LayerNorm(epsilon=1e-5, name="final_norm")
         self.text_head = nn.Dense(self.number_text_tokens, name="text_head")
         self.mel_head = nn.Dense(self.num_audio_tokens, name="mel_head")
 

@@ -85,10 +85,10 @@ class GPT2Block(nn.Module):
     @nn.compact
     def __call__(self, x, attn_mask=None, cache=None, cache_index=None, cache_len=None):
         h, new_cache = GPT2Attention(self.dim, self.heads, self.use_pallas, name="attn")(
-            nn.LayerNorm(name="ln_1")(x), attn_mask, cache, cache_index, cache_len
+            nn.LayerNorm(epsilon=1e-5, name="ln_1")(x), attn_mask, cache, cache_index, cache_len
         )
         x = x + h
-        m = nn.Dense(4 * self.dim, name="mlp_fc")(nn.LayerNorm(name="ln_2")(x))
+        m = nn.Dense(4 * self.dim, name="mlp_fc")(nn.LayerNorm(epsilon=1e-5, name="ln_2")(x))
         m = nn.Dense(self.dim, name="mlp_proj")(nn.gelu(m))
         return x + m, new_cache
 
@@ -140,7 +140,7 @@ class GPT2Core(nn.Module):
             )
             if new_caches is not None:
                 new_caches.append(nc)
-        h = nn.LayerNorm(name="ln_f")(h)
+        h = nn.LayerNorm(epsilon=1e-5, name="ln_f")(h)
         return h, new_caches
 
     def init_cache(self, batch: int, max_len: int, dtype=jnp.float32):

@@ -1189,3 +1189,172 @@ def convert_wavlm(path: str):
     cfg = WavLMConfig.from_checkpoint_cfg(dict(ckpt.get("cfg", {})))
     state = {k: np.asarray(v) for k, v in ckpt["model"].items()}
     return cfg, convert_wavlm_state(state, cfg)
+
+
+# ---------------------------------------------------------------------------
+# Tortoise diffusion decoder + CLVP (reference TTS/tts/layers/tortoise/)
+# ---------------------------------------------------------------------------
+
+def _tort_gn(state, key):
+    return {"scale": state[key + ".weight"], "bias": state[key + ".bias"]}
+
+
+def _tort_conv(state, key):
+    p = {"kernel": conv1d_kernel(state[key + ".weight"])}
+    if key + ".bias" in state:
+        p["bias"] = state[key + ".bias"]
+    return p
+
+
+def _tort_attn_block(state, key):
+    p = {
+        "norm": _tort_gn(state, key + ".norm"),
+        "qkv": _tort_conv(state, key + ".qkv"),
+        "proj_out": _tort_conv(state, key + ".proj_out"),
+    }
+    rel = key + ".relative_pos_embeddings.relative_attention_bias.weight"
+    if rel in state:
+        p["relative_attention_bias"] = state[rel]
+    return p
+
+
+def _tort_resblock(state, key):
+    p = {
+        "in_norm": _tort_gn(state, key + ".in_layers.0"),
+        "in_conv": _tort_conv(state, key + ".in_layers.2"),
+        "emb": {
+            "kernel": linear_kernel(state[key + ".emb_layers.1.weight"]),
+            "bias": state[key + ".emb_layers.1.bias"],
+        },
+        "out_norm": _tort_gn(state, key + ".out_layers.0"),
+        "out_conv": _tort_conv(state, key + ".out_layers.3"),
+    }
+    if key + ".skip_connection.weight" in state:
+        p["skip"] = _tort_conv(state, key + ".skip_connection")
+    return p
+
+
+def _tort_diff_layer(state, key):
+    return {
+        "resblk": _tort_resblock(state, key + ".resblk"),
+        "attn": _tort_attn_block(state, key + ".attn"),
+    }
+
+
+def convert_diffusion_decoder(state, num_layers=10) -> Dict[str, Any]:
+    """Reference ``DiffusionTts`` state dict → flax params for
+    :class:`tts_tpu.models.tortoise.layers.DiffusionTts` (latent path;
+    the code_embedding/code_converter training-only branch and the
+    mel_head code-pred head are not carried)."""
+    p: Dict[str, Any] = {
+        "inp_block": _tort_conv(state, "inp_block"),
+        "time_embed_0": {
+            "kernel": linear_kernel(state["time_embed.0.weight"]),
+            "bias": state["time_embed.0.bias"],
+        },
+        "time_embed_2": {
+            "kernel": linear_kernel(state["time_embed.2.weight"]),
+            "bias": state["time_embed.2.bias"],
+        },
+        "integrating_conv": _tort_conv(state, "integrating_conv"),
+        "out_norm": _tort_gn(state, "out.0"),
+        "out_conv": _tort_conv(state, "out.2"),
+        "unconditioned_embedding": np.transpose(state["unconditioned_embedding"], (0, 2, 1)),
+        "lat_conv": _tort_conv(state, "latent_conditioner.0"),
+        "code_norm": _tort_gn(state, "code_norm"),
+        "ctx_conv_0": _tort_conv(state, "contextual_embedder.0"),
+        "ctx_conv_1": _tort_conv(state, "contextual_embedder.1"),
+    }
+    for i in range(4):
+        p[f"lat_attn_{i}"] = _tort_attn_block(state, f"latent_conditioner.{i + 1}")
+    for i in range(5):
+        p[f"ctx_attn_{i}"] = _tort_attn_block(state, f"contextual_embedder.{i + 2}")
+    for i in range(3):
+        p[f"cti_{i}"] = _tort_diff_layer(state, f"conditioning_timestep_integrator.{i}")
+    for i in range(num_layers):
+        p[f"layer_{i}"] = _tort_diff_layer(state, f"layers.{i}")
+    for i in range(3):
+        p[f"post_{i}"] = _tort_resblock(state, f"layers.{num_layers + i}")
+    return {"params": p}
+
+
+def convert_clvp(state, depth=20) -> Dict[str, Any]:
+    """Reference ``CLVP`` (use_xformers) state dict → flax params for
+    :class:`tts_tpu.models.tortoise.layers.CLVP`."""
+
+    def enc(prefix):
+        e: Dict[str, Any] = {}
+        for i in range(depth):
+            a = f"{prefix}.transformer.attn_layers.layers.{2 * i}"
+            f = f"{prefix}.transformer.attn_layers.layers.{2 * i + 1}"
+            wrap_a = ".1.wrap" if a + ".1.wrap.to_q.weight" in state else ".1"
+            wrap_f = ".1.wrap" if f + ".1.wrap.net.0.proj.weight" in state else ".1"
+            e[f"attn_norm_{i}"] = {"g": state[a + ".0.0.g"]}
+            e[f"attn_{i}"] = {
+                "to_q": {"kernel": linear_kernel(state[a + wrap_a + ".to_q.weight"])},
+                "to_k": {"kernel": linear_kernel(state[a + wrap_a + ".to_k.weight"])},
+                "to_v": {"kernel": linear_kernel(state[a + wrap_a + ".to_v.weight"])},
+                "to_out": {
+                    "kernel": linear_kernel(state[a + wrap_a + ".to_out.weight"]),
+                    "bias": state[a + wrap_a + ".to_out.bias"],
+                },
+            }
+            e[f"ff_norm_{i}"] = {"g": state[f + ".0.0.g"]}
+            e[f"ff_{i}"] = {
+                "proj": {
+                    "kernel": linear_kernel(state[f + wrap_f + ".net.0.proj.weight"]),
+                    "bias": state[f + wrap_f + ".net.0.proj.bias"],
+                },
+                "out": {
+                    "kernel": linear_kernel(state[f + wrap_f + ".net.3.weight"]),
+                    "bias": state[f + wrap_f + ".net.3.bias"],
+                },
+            }
+        e["final_norm"] = {
+            "scale": state[prefix + ".transformer.norm.weight"],
+            "bias": state[prefix + ".transformer.norm.bias"],
+        }
+        return e
+
+    p = {
+        "text_emb": {"embedding": state["text_emb.weight"]},
+        "speech_emb": {"embedding": state["speech_emb.weight"]},
+        "to_text_latent": {"kernel": linear_kernel(state["to_text_latent.weight"])},
+        "to_speech_latent": {"kernel": linear_kernel(state["to_speech_latent.weight"])},
+        "temperature": np.asarray(state["temperature"]).reshape(()),
+        "text_transformer": enc("text_transformer"),
+        "speech_transformer": enc("speech_transformer"),
+    }
+    return {"params": p}
+
+
+def convert_unified_voice(state, layers=30) -> Dict[str, Any]:
+    """Reference Tortoise ``UnifiedVoice`` state dict → flax params for
+    :class:`tts_tpu.models.tortoise.model.UnifiedVoice` (HF GPT2 core via
+    ``convert_gpt2_core``; arch_utils attention conditioning encoder)."""
+    cond: Dict[str, Any] = {
+        "init": {
+            "kernel": state["conditioning_encoder.init.weight"][:, :, 0].T,
+            "bias": state["conditioning_encoder.init.bias"],
+        }
+    }
+    for i in range(6):
+        cond[f"attn_{i}"] = _tort_attn_block(state, f"conditioning_encoder.attn.{i}")
+    p: Dict[str, Any] = {
+        "conditioning_encoder": cond,
+        "text_embedding": {"embedding": state["text_embedding.weight"]},
+        "mel_embedding": {"embedding": state["mel_embedding.weight"]},
+        "text_pos_embedding": state["text_pos_embedding.emb.weight"],
+        "mel_pos_embedding": state["mel_pos_embedding.emb.weight"],
+        "gpt": convert_gpt2_core(state, prefix="gpt.", layers=layers),
+        "final_norm": {"scale": state["final_norm.weight"], "bias": state["final_norm.bias"]},
+        "text_head": {
+            "kernel": linear_kernel(state["text_head.weight"]),
+            "bias": state["text_head.bias"],
+        },
+        "mel_head": {
+            "kernel": linear_kernel(state["mel_head.weight"]),
+            "bias": state["mel_head.bias"],
+        },
+    }
+    return {"params": p}
