@@ -32,13 +32,24 @@ class BarkGPT(nn.Module):
         a = self.args
         self.wte = nn.Embed(a.input_vocab_size, a.n_embd, name="wte")
         self.wpe = self.param("wpe", nn.initializers.normal(0.02), (a.block_size, a.n_embd))
-        self.core = GPT2Core(layers=a.n_layer, dim=a.n_embd, heads=a.n_head, name="core")
+        self.core = GPT2Core(
+            layers=a.n_layer, dim=a.n_embd, heads=a.n_head,
+            use_bias=a.bias, gelu_exact=True, name="core",
+        )
         self.lm_head = nn.Dense(a.output_vocab_size, use_bias=False, name="lm_head")
 
     def __call__(self, idx, caches=None, cache_index=None, position_offset=0, attn_mask=None,
-                 cache_len=None):
-        T = idx.shape[1]
-        h = self.wte(idx)
+                 cache_len=None, merge_context: bool = False):
+        if merge_context:
+            # reference semantic prompt (model.py:259): the first 256 text and
+            # next 256 history tokens share positions via summed embeddings
+            h = jnp.concatenate(
+                [self.wte(idx[:, :256]) + self.wte(idx[:, 256:512]), self.wte(idx[:, 512:])],
+                axis=1,
+            )
+        else:
+            h = self.wte(idx)
+        T = h.shape[1]
         pos = jax.lax.dynamic_slice_in_dim(self.wpe, position_offset, T, 0)
         h = h + pos[None]
         if attn_mask is None and cache_len is None:
@@ -57,16 +68,20 @@ class BarkGPT(nn.Module):
         top_k: int = 50,
         top_p: float = 0.95,
         logit_slice: Optional[int] = None,
+        merge_context: bool = False,
     ) -> Dict[str, jnp.ndarray]:
         """KV-cached AR sampling; ``logit_slice`` restricts sampling to the
         first N classes (semantic/coarse vocab subsets)."""
         a = self.args
-        B, L_pre = prompt.shape
+        B = prompt.shape[0]
+        L_pre = prompt.shape[1] - (256 if merge_context else 0)
         max_len = L_pre + max_new_tokens
         caches = self.core.init_cache(B, max_len)
 
         pre_mask = jnp.pad(causal_mask(L_pre), ((0, 0), (0, 0), (0, 0), (0, max_len - L_pre)))
-        logits, caches = self(prompt, caches=caches, cache_index=0, attn_mask=pre_mask)
+        logits, caches = self(
+            prompt, caches=caches, cache_index=0, attn_mask=pre_mask, merge_context=merge_context
+        )
         last_logits = logits[:, -1]
         positions = jnp.arange(max_len)
 
@@ -105,7 +120,10 @@ class BarkFineGPT(nn.Module):
             for i in range(a.n_codes_total)
         ]
         self.wpe = self.param("wpe", nn.initializers.normal(0.02), (a.block_size, a.n_embd))
-        self.core = GPT2Core(layers=a.n_layer, dim=a.n_embd, heads=a.n_head, name="core")
+        # FineBlock uses plain nn.LayerNorm (bias always on) + exact GELU
+        self.core = GPT2Core(
+            layers=a.n_layer, dim=a.n_embd, heads=a.n_head, gelu_exact=True, name="core"
+        )
         self.lm_heads = [
             nn.Dense(a.output_vocab_size, use_bias=False, name=f"lm_head_{i}")
             for i in range(a.n_codes_given, a.n_codes_total)
@@ -177,7 +195,7 @@ class Bark:
         out = self.semantic_model.apply(
             self.semantic_params, prompt, rng, max_new_tokens=n,
             eos_token=c.SEMANTIC_VOCAB_SIZE, temperature=temperature, top_k=top_k,
-            top_p=top_p, logit_slice=c.SEMANTIC_VOCAB_SIZE + 1,
+            top_p=top_p, logit_slice=c.SEMANTIC_VOCAB_SIZE + 1, merge_context=True,
             method=self.semantic_model.generate,
         )
         toks = np.asarray(out["tokens"][0])
@@ -269,3 +287,34 @@ class Bark:
             out["wav"] = None
             out["decode_error"] = str(e)
         return out
+
+
+def load_bark_checkpoint(model: "Bark", checkpoint_dir: str) -> "Bark":
+    """Load the reference bark zoo layout (``text_2.pt``, ``coarse_2.pt``,
+    ``fine_2.pt``), converting each to flax on first use (reference
+    ``bark/load_model.py``)."""
+    import os
+
+    from tts_tpu.models.tortoise.model import _load_or_convert
+    from tts_tpu.utils.convert import convert_bark_fine, convert_bark_gpt
+
+    c = model.config
+    pairs = (
+        ("text_2.pt", "semantic_params", lambda s: convert_bark_gpt(s, c.semantic_config.n_layer)),
+        ("coarse_2.pt", "coarse_params", lambda s: convert_bark_gpt(s, c.coarse_config.n_layer)),
+        (
+            "fine_2.pt",
+            "fine_params",
+            lambda s: convert_bark_fine(
+                s, c.fine_config.n_layer, c.fine_config.n_codes_total, c.fine_config.n_codes_given
+            ),
+        ),
+    )
+    for fname, attr, fn in pairs:
+        path = os.path.join(checkpoint_dir, fname)
+        if os.path.isfile(path):
+            setattr(model, attr, {"params": _load_or_convert(path, fn)["params"]})
+    return model
+
+
+Bark.load_checkpoint_dir = load_bark_checkpoint

@@ -337,3 +337,51 @@ class Tortoise:
             cond_free=a.cond_free, cond_free_k=a.cond_free_k,
         )
         return {"mel": mel, "codes": codes, "code_lengths": lengths}
+
+
+def _load_or_convert(path_torch: str, convert_fn, cache_suffix="_flax.msgpack"):
+    """Convert a torch sub-checkpoint once, cache the msgpack beside it."""
+    import os
+
+    from tts_tpu.utils.io import load_checkpoint, save_checkpoint
+
+    out = os.path.splitext(path_torch)[0] + cache_suffix
+    if os.path.isfile(out):
+        params, _, _ = load_checkpoint(out)
+        return params
+    from tts_tpu.utils.convert import load_torch_checkpoint
+
+    params = convert_fn(load_torch_checkpoint(path_torch))
+    save_checkpoint(out, params)
+    params, _, _ = load_checkpoint(out)
+    return params
+
+
+def load_tortoise_checkpoint(model: "Tortoise", checkpoint_dir: str) -> "Tortoise":
+    """Load the reference tortoise-v2 zoo layout (``autoregressive.pth``,
+    ``diffusion_decoder.pth``, ``clvp2.pth``), converting each to flax on
+    first use (reference ``models/tortoise.py load_checkpoint``)."""
+    import os
+
+    from tts_tpu.utils.convert import (
+        convert_clvp,
+        convert_diffusion_decoder,
+        convert_unified_voice,
+    )
+
+    a = model.config.model_args
+    ar = os.path.join(checkpoint_dir, "autoregressive.pth")
+    diff = os.path.join(checkpoint_dir, "diffusion_decoder.pth")
+    clvp = os.path.join(checkpoint_dir, "clvp2.pth")
+    if os.path.isfile(ar):
+        model.ar_params = {"params": _load_or_convert(
+            ar, lambda s: convert_unified_voice(s, layers=a.ar_layers))["params"]}
+    if os.path.isfile(diff):
+        model.diff_params = {"params": _load_or_convert(
+            diff, lambda s: convert_diffusion_decoder(s, num_layers=a.diff_num_layers))["params"]}
+    if os.path.isfile(clvp):
+        model.clvp_params = {"params": _load_or_convert(clvp, convert_clvp)["params"]}
+    return model
+
+
+Tortoise.load_checkpoint_dir = load_tortoise_checkpoint

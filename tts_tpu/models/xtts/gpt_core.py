@@ -24,6 +24,7 @@ class GPT2Attention(nn.Module):
     dim: int
     heads: int
     use_pallas: bool = False  # fused single-token decode kernel on TPU
+    use_bias: bool = True  # Bark NanoGPT checkpoints train with bias=False
 
     @nn.compact
     def __call__(
@@ -37,7 +38,7 @@ class GPT2Attention(nn.Module):
         B, T, D = x.shape
         H = self.heads
         dh = D // H
-        qkv = nn.Dense(3 * D, name="c_attn")(x)
+        qkv = nn.Dense(3 * D, use_bias=self.use_bias, name="c_attn")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q = q.reshape(B, T, H, dh)
         k = k.reshape(B, T, H, dh)
@@ -67,29 +68,38 @@ class GPT2Attention(nn.Module):
             fused = decode_attention if self.use_pallas else decode_attention_xla
             out = fused(q[:, 0], k_all, v_all, jnp.asarray(cache_len, jnp.int32))  # [B, H, dh]
             out = out.astype(x.dtype).reshape(B, H * dh)[:, None, :]
-            return nn.Dense(D, name="c_proj")(out), new_cache
+            return nn.Dense(D, use_bias=self.use_bias, name="c_proj")(out), new_cache
 
         scores = jnp.einsum("bthd,bshd->bhts", q, k_all) / math.sqrt(dh)
         if attn_mask is not None:
             scores = jnp.where(attn_mask, scores, -1e9)
         probs = nn.softmax(scores, axis=-1)
         out = jnp.einsum("bhts,bshd->bthd", probs, v_all).reshape(B, T, D)
-        return nn.Dense(D, name="c_proj")(out), new_cache
+        return nn.Dense(D, use_bias=self.use_bias, name="c_proj")(out), new_cache
 
 
 class GPT2Block(nn.Module):
     dim: int
     heads: int
     use_pallas: bool = False
+    use_bias: bool = True
+    gelu_exact: bool = False  # HF GPT2 = tanh gelu_new; Bark = exact erf
 
     @nn.compact
     def __call__(self, x, attn_mask=None, cache=None, cache_index=None, cache_len=None):
-        h, new_cache = GPT2Attention(self.dim, self.heads, self.use_pallas, name="attn")(
-            nn.LayerNorm(epsilon=1e-5, name="ln_1")(x), attn_mask, cache, cache_index, cache_len
+        h, new_cache = GPT2Attention(
+            self.dim, self.heads, self.use_pallas, self.use_bias, name="attn"
+        )(
+            nn.LayerNorm(epsilon=1e-5, use_bias=self.use_bias, name="ln_1")(x),
+            attn_mask, cache, cache_index, cache_len,
         )
         x = x + h
-        m = nn.Dense(4 * self.dim, name="mlp_fc")(nn.LayerNorm(epsilon=1e-5, name="ln_2")(x))
-        m = nn.Dense(self.dim, name="mlp_proj")(nn.gelu(m))
+        m = nn.Dense(4 * self.dim, use_bias=self.use_bias, name="mlp_fc")(
+            nn.LayerNorm(epsilon=1e-5, use_bias=self.use_bias, name="ln_2")(x)
+        )
+        m = nn.Dense(self.dim, use_bias=self.use_bias, name="mlp_proj")(
+            nn.gelu(m, approximate=not self.gelu_exact)
+        )
         return x + m, new_cache
 
 
@@ -121,6 +131,8 @@ class GPT2Core(nn.Module):
     dim: int
     heads: int
     use_pallas: Optional[bool] = None
+    use_bias: bool = True
+    gelu_exact: bool = False
 
     @nn.compact
     def __call__(
@@ -135,12 +147,13 @@ class GPT2Core(nn.Module):
         new_caches = [] if caches is not None else None
         for i in range(self.layers):
             cache_i = caches[i] if caches is not None else None
-            h, nc = GPT2Block(self.dim, self.heads, pallas_on, name=f"h_{i}")(
-                h, attn_mask, cache_i, cache_index, cache_len
-            )
+            h, nc = GPT2Block(
+                self.dim, self.heads, pallas_on, self.use_bias, self.gelu_exact,
+                name=f"h_{i}",
+            )(h, attn_mask, cache_i, cache_index, cache_len)
             if new_caches is not None:
                 new_caches.append(nc)
-        h = nn.LayerNorm(epsilon=1e-5, name="ln_f")(h)
+        h = nn.LayerNorm(epsilon=1e-5, use_bias=self.use_bias, name="ln_f")(h)
         return h, new_caches
 
     def init_cache(self, batch: int, max_len: int, dtype=jnp.float32):

@@ -1358,3 +1358,68 @@ def convert_unified_voice(state, layers=30) -> Dict[str, Any]:
         },
     }
     return {"params": p}
+
+
+# ---------------------------------------------------------------------------
+# Bark GPTs (reference TTS/tts/layers/bark/{model,model_fine}.py — NanoGPT)
+# ---------------------------------------------------------------------------
+
+def _bark_ln(state, key):
+    p = {"scale": state[key + ".weight"]}
+    if key + ".bias" in state and state[key + ".bias"] is not None:
+        p["bias"] = state[key + ".bias"]
+    return p
+
+
+def _bark_linear(state, key):
+    p = {"kernel": linear_kernel(state[key + ".weight"])}
+    if key + ".bias" in state:
+        p["bias"] = state[key + ".bias"]
+    return p
+
+
+def _bark_core(state, n_layer):
+    core = {"ln_f": _bark_ln(state, "transformer.ln_f")}
+    for i in range(n_layer):
+        k = f"transformer.h.{i}"
+        core[f"h_{i}"] = {
+            "ln_1": _bark_ln(state, f"{k}.ln_1"),
+            "ln_2": _bark_ln(state, f"{k}.ln_2"),
+            "attn": {
+                "c_attn": _bark_linear(state, f"{k}.attn.c_attn"),
+                "c_proj": _bark_linear(state, f"{k}.attn.c_proj"),
+            },
+            "mlp_fc": _bark_linear(state, f"{k}.mlp.c_fc"),
+            "mlp_proj": _bark_linear(state, f"{k}.mlp.c_proj"),
+        }
+    return core
+
+
+def convert_bark_gpt(state, n_layer=12) -> Dict[str, Any]:
+    """Reference Bark ``GPT`` (semantic/coarse) → flax params for
+    :class:`tts_tpu.models.bark.model.BarkGPT`."""
+    return {
+        "params": {
+            "wte": {"embedding": state["transformer.wte.weight"]},
+            "wpe": state["transformer.wpe.weight"],
+            "core": _bark_core(state, n_layer),
+            "lm_head": {"kernel": linear_kernel(state["lm_head.weight"])},
+        }
+    }
+
+
+def convert_bark_fine(state, n_layer=12, n_codes_total=8, n_codes_given=1) -> Dict[str, Any]:
+    """Reference Bark ``FineGPT`` → flax params for ``BarkFineGPT``."""
+    p: Dict[str, Any] = {
+        "wpe": state["transformer.wpe.weight"],
+        "core": _bark_core(state, n_layer),
+    }
+    for i in range(n_codes_total):
+        p[f"wte_{i}"] = {"embedding": state[f"transformer.wtes.{i}.weight"]}
+    for i in range(n_codes_total - n_codes_given):
+        # flax heads are named by the codebook they predict (offset by
+        # n_codes_given); the reference list starts at 0
+        p[f"lm_head_{i + n_codes_given}"] = {
+            "kernel": linear_kernel(state[f"lm_heads.{i}.weight"])
+        }
+    return {"params": p}
