@@ -121,7 +121,9 @@ def test_cs_ko_cardinals():
 
     from tts_tpu.models.xtts.tokenizer import multilingual_cleaners
 
-    assert multilingual_cleaners("42개", "ko") == "사십이개"
+    # reference preprocess_text romanizes Korean after cleaning
+    # (xtts/tokenizer.py:636 korean_transliterate)
+    assert multilingual_cleaners("42개", "ko") == "sasibigae"
     assert multilingual_cleaners("Mám 200 korun", "cs") == "mám dvě stě korun"
 
 
@@ -148,4 +150,6 @@ def test_japanese():
 
     from tts_tpu.models.xtts.tokenizer import multilingual_cleaners
 
-    assert multilingual_cleaners("私は42個", "ja") == "私は四十二個"
+    # reference runs cutlet romaji for ja; without MeCab our pipeline
+    # romanizes kana (numbers via kana readings) and passes kanji through
+    assert multilingual_cleaners("私は42個", "ja") == "私hayonjuuni個"

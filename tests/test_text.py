@@ -138,3 +138,55 @@ def test_characters_config_roundtrip():
         is_sorted=cc.is_sorted,
     )
     assert rebuilt.vocab == chars.vocab
+
+
+def test_japanese_phonemizer():
+    """Julius phoneme set (reference tests/text_tests/test_japanese_phonemizer.py
+    cases that need no MeCab)."""
+    from tts_tpu.text.japanese import japanese_text_to_phonemes
+    from tts_tpu.text.phonemizers import JA_JP_Phonemizer
+
+    assert japanese_text_to_phonemes("どういたしまして") == "d o u i t a sh i m a sh i t e"
+    assert japanese_text_to_phonemes("ラーメン") == "r a: m e N"
+    assert japanese_text_to_phonemes("がっこう") == "g a q k o u"
+    assert japanese_text_to_phonemes("キャンセル") == "ky a N s e r u"
+    ph = JA_JP_Phonemizer().phonemize("こんにちは", separator="|")
+    assert "k|o|N" in ph
+
+
+def test_korean_romanize():
+    from tts_tpu.text.korean_romanize import korean_transliterate
+
+    assert korean_transliterate("안녕하세요") == "annyeonghaseyo"
+    assert korean_transliterate("한국어") == "hangugeo"
+    assert korean_transliterate("abc 123") == "abc 123"
+
+
+def test_cmudict():
+    import io
+
+    from tts_tpu.text.cmudict import CMUDict, get_arpabet
+
+    data = io.StringIO(
+        ";;; comment\n"
+        "HELLO  HH AH0 L OW1\n"
+        "WORLD  W ER1 L D\n"
+        "READ  R EH1 D\n"
+        "READ(1)  R IY1 D\n"
+    )
+    d = CMUDict(data)
+    assert len(d) == 3
+    assert d.lookup("hello") == ["HH AH0 L OW1"]
+    assert d.lookup("read") == ["R EH1 D", "R IY1 D"]
+    assert get_arpabet("hello,", d) == "{HH AH0 L OW1},"
+    assert get_arpabet("xyzzy", d) == "xyzzy"
+
+
+def test_hindi_numbers():
+    from tts_tpu.text.numbers_multilingual import expand_numbers_hi, hi_number_to_words
+
+    assert hi_number_to_words(0) == "शून्य"
+    assert hi_number_to_words(21) == "इक्कीस"
+    assert hi_number_to_words(105) == "एक सौ पाँच"
+    assert hi_number_to_words(250000) == "दो लाख पचास हज़ार"
+    assert expand_numbers_hi("१२ सेब") == "बारह सेब"

@@ -26,7 +26,7 @@ from tts_tpu.text.numbers_multilingual import (
 _CHAR_LIMITS = {
     "en": 250, "de": 253, "fr": 273, "es": 239, "it": 213, "pt": 203,
     "pl": 224, "zh": 82, "ar": 166, "cs": 186, "ru": 182, "nl": 251,
-    "tr": 226, "ja": 71, "hu": 224, "ko": 95,
+    "tr": 226, "ja": 71, "hu": 224, "ko": 95, "hi": 250,
 }
 
 _SYMBOL_MAP = {
@@ -57,11 +57,44 @@ def multilingual_cleaners(text: str, lang: str) -> str:
     elif lang == "ko":
         text = expand_numbers_ko(text)
     elif lang == "ja":
-        text = expand_numbers_ja(text)
+        pass  # numbers expand inside japanese_to_romaji (kana without MeCab)
+    elif lang == "hi":
+        from tts_tpu.text.numbers_multilingual import expand_numbers_hi
+
+        # the reference leaves Hindi at basic_cleaners (tokenizer.py:639);
+        # we verbalize numbers too
+        text = expand_numbers_hi(text)
     else:
         text = expand_numbers_multilingual(text, lang)
     text = re.sub(r"[\(\)\[\]]+", "", text)
-    return collapse_whitespace(text)
+    text = collapse_whitespace(text)
+    # script→latin transliteration (reference preprocess_text :630-640)
+    if lang == "zh":
+        text = _chinese_transliterate(text)
+    elif lang == "ko":
+        from tts_tpu.text.korean_romanize import korean_transliterate
+
+        text = korean_transliterate(text)
+    elif lang == "ja":
+        from tts_tpu.text.japanese import japanese_to_romaji
+
+        text = japanese_to_romaji(text)
+    return text
+
+
+def _chinese_transliterate(text: str) -> str:
+    """hanzi → TONE3 pinyin (reference uses pypinyin; gated — hanzi pass
+    through unchanged when the package is missing)."""
+    try:
+        import pypinyin
+    except ImportError:
+        return text
+    return "".join(
+        p[0]
+        for p in pypinyin.pinyin(
+            text, style=pypinyin.Style.TONE3, heteronym=False, neutral_tone_with_five=True
+        )
+    )
 
 
 class VoiceBpeTokenizer:

@@ -870,3 +870,102 @@ def expand_numbers_ja(text: str) -> str:
 
     text = re.sub(r"(\d+)\.(\d+)", _dec, text)
     return re.sub(r"\d+", lambda m: ja_number_to_words(int(m.group(0))), text)
+
+
+# ---------------------------------------------------------------------------
+# Hindi (Devanagari) — beyond the reference, which leaves hi at
+# basic_cleaners (xtts/tokenizer.py:639)
+# ---------------------------------------------------------------------------
+
+_HI_UNITS = (
+    "शून्य एक दो तीन चार पाँच छह सात आठ नौ दस ग्यारह बारह तेरह चौदह पंद्रह सोलह "
+    "सत्रह अठारह उन्नीस बीस इक्कीस बाईस तेईस चौबीस पच्चीस छब्बीस सत्ताईस अट्ठाईस "
+    "उनतीस तीस इकतीस बत्तीस तैंतीस चौंतीस पैंतीस छत्तीस सैंतीस अड़तीस उनतालीस चालीस "
+    "इकतालीस बयालीस तैंतालीस चौवालीस पैंतालीस छियालीस सैंतालीस अड़तालीस उनचास पचास "
+    "इक्यावन बावन तिरपन चौवन पचपन छप्पन सत्तावन अट्ठावन उनसठ साठ इकसठ बासठ तिरसठ "
+    "चौंसठ पैंसठ छियासठ सड़सठ अड़सठ उनहत्तर सत्तर इकहत्तर बहत्तर तिहत्तर चौहत्तर पचहत्तर "
+    "छिहत्तर सतहत्तर अठहत्तर उनासी अस्सी इक्यासी बयासी तिरासी चौरासी पचासी छियासी "
+    "सत्तासी अट्ठासी नवासी नब्बे इक्यानवे बानवे तिरानवे चौरानवे पचानवे छियानवे "
+    "सत्तानवे अट्ठानवे निन्यानवे"
+).split()
+
+
+def hi_number_to_words(n: int) -> str:
+    """Indian numbering system: सौ (100), हज़ार (1e3), लाख (1e5), करोड़ (1e7)."""
+    if n < 0:
+        return "माइनस " + hi_number_to_words(-n)
+    if n < 100:
+        return _HI_UNITS[n]
+    parts = []
+    for value, name in ((10**7, "करोड़"), (10**5, "लाख"), (10**3, "हज़ार"), (100, "सौ")):
+        if n >= value:
+            parts.append(hi_number_to_words(n // value) + " " + name)
+            n %= value
+    if n:
+        parts.append(_HI_UNITS[n])
+    return " ".join(parts)
+
+
+_HI_DIGITS_MAP = {ord("०") + i: str(i) for i in range(10)}
+
+
+def expand_numbers_hi(text: str) -> str:
+    """Devanagari/ASCII digits → Hindi words; decimals digit-by-digit."""
+    text = text.translate(_HI_DIGITS_MAP)
+
+    def _dec(m):
+        whole = hi_number_to_words(int(m.group(1)))
+        frac = " ".join(_HI_UNITS[int(d)] for d in m.group(2))
+        return f"{whole} दशमलव {frac}"
+
+    text = re.sub(r"(\d+)\.(\d+)", _dec, text)
+    return re.sub(r"\d+", lambda m: hi_number_to_words(int(m.group(0))), text)
+
+
+_JA_KANA_DIGITS = ["ゼロ", "いち", "に", "さん", "よん", "ご", "ろく", "なな", "はち", "きゅう"]
+
+
+def ja_number_to_kana(n: int) -> str:
+    """Number → kana reading (covers the standard sound changes:
+    さんびゃく/ろっぴゃく/はっぴゃく, さんぜん/はっせん, じゅう elision)."""
+    if n < 0:
+        return "マイナス" + ja_number_to_kana(-n)
+    if n < 10:
+        return _JA_KANA_DIGITS[n]
+    parts = []
+    man, rest = divmod(n, 10000)
+    if man:
+        parts.append(("いち" if man == 1 else ja_number_to_kana(man)) + "まん")
+    sen, rest = divmod(rest, 1000)
+    if sen:
+        head = {1: "", 3: "さん", 8: "はっ"}.get(sen, _JA_KANA_DIGITS[sen])
+        parts.append(head + ("ぜん" if sen == 3 else "せん"))
+    hyaku, rest = divmod(rest, 100)
+    if hyaku:
+        if hyaku == 3:
+            parts.append("さんびゃく")
+        elif hyaku == 6:
+            parts.append("ろっぴゃく")
+        elif hyaku == 8:
+            parts.append("はっぴゃく")
+        else:
+            parts.append(("" if hyaku == 1 else _JA_KANA_DIGITS[hyaku]) + "ひゃく")
+    ju, rest = divmod(rest, 10)
+    if ju:
+        parts.append(("" if ju == 1 else _JA_KANA_DIGITS[ju]) + "じゅう")
+    if rest:
+        parts.append(_JA_KANA_DIGITS[rest])
+    return "".join(parts)
+
+
+def expand_numbers_ja_kana(text: str) -> str:
+    """Digits → kana readings (used when no morphological analyzer can
+    read kanji numerals back)."""
+
+    def _dec(m):
+        whole = ja_number_to_kana(int(m.group(1)))
+        frac = "".join(_JA_KANA_DIGITS[int(d)] for d in m.group(2))
+        return f"{whole}てん{frac}"
+
+    text = re.sub(r"(\d+)\.(\d+)", _dec, text)
+    return re.sub(r"\d+", lambda m: ja_number_to_kana(int(m.group(0))), text)

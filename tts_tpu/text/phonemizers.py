@@ -380,11 +380,78 @@ class MultiPhonemizer:
 
 
 # ---------------------------------------------------------------------------
+class JA_JP_Phonemizer(BasePhonemizer):
+    """Japanese G2P — Julius phoneme set (reference
+    ``ja_jp_phonemizer.py``; native table in ``tts_tpu.text.japanese``,
+    kanji via MeCab/fugashi when importable)."""
+
+    def __init__(self, punctuations=Punctuation.default_puncs(), keep_puncs=True, language="ja-jp", **kwargs):
+        super().__init__("ja-jp", punctuations=punctuations, keep_puncs=keep_puncs)
+
+    @staticmethod
+    def name():
+        return "ja_jp_phonemizer"
+
+    @classmethod
+    def is_available(cls) -> bool:
+        return True  # kana path is dependency-free
+
+    @classmethod
+    def version(cls) -> str:
+        return "0.0.2"
+
+    @staticmethod
+    def supported_languages() -> Dict:
+        return {"ja-jp": "Japanese (Japan)"}
+
+    def _phonemize(self, text: str, separator: str = "|") -> str:
+        from .japanese import japanese_text_to_phonemes
+
+        ph = japanese_text_to_phonemes(text).split(" ")
+        return (separator or "").join(ph)
+
+
+class BEL_Phonemizer(BasePhonemizer):
+    """Belarusian G2P via the Fanetyka JVM library (reference
+    ``bel_phonemizer.py``; needs jpype1 + BEL_FANETYKA_JAR)."""
+
+    def __init__(self, punctuations=Punctuation.default_puncs() + "-", keep_puncs=True, language="be", **kwargs):
+        super().__init__("be", punctuations=punctuations, keep_puncs=keep_puncs)
+
+    @staticmethod
+    def name():
+        return "bel_phonemizer"
+
+    @classmethod
+    def is_available(cls) -> bool:
+        try:
+            import jpype  # noqa: F401
+
+            return "BEL_FANETYKA_JAR" in __import__("os").environ
+        except ImportError:
+            return False
+
+    @classmethod
+    def version(cls) -> str:
+        return "0.0.1"
+
+    @staticmethod
+    def supported_languages() -> Dict:
+        return {"be": "Belarusian"}
+
+    def _phonemize(self, text: str, separator: str = "|") -> str:
+        from .belarusian import belarusian_text_to_phonemes
+
+        return belarusian_text_to_phonemes(text)
+
+
 # registry
 # ---------------------------------------------------------------------------
 
 PHONEMIZERS = {
-    b.name(): b for b in (ESpeak, Gruut, KO_KR_Phonemizer, BN_Phonemizer) if b.is_available()
+    b.name(): b
+    for b in (ESpeak, Gruut, KO_KR_Phonemizer, BN_Phonemizer, JA_JP_Phonemizer, BEL_Phonemizer)
+    if b.is_available()
 }
 
 DEF_LANG_TO_PHONEMIZER: Dict[str, str] = {}
@@ -400,6 +467,9 @@ if KO_KR_Phonemizer.is_available():
     DEF_LANG_TO_PHONEMIZER["ko-kr"] = KO_KR_Phonemizer.name()
 if BN_Phonemizer.is_available():
     DEF_LANG_TO_PHONEMIZER["bn"] = BN_Phonemizer.name()
+DEF_LANG_TO_PHONEMIZER["ja-jp"] = JA_JP_Phonemizer.name()
+if BEL_Phonemizer.is_available():
+    DEF_LANG_TO_PHONEMIZER["be"] = BEL_Phonemizer.name()
 
 
 def get_phonemizer_by_name(name: str, **kwargs) -> BasePhonemizer:
@@ -415,4 +485,8 @@ def get_phonemizer_by_name(name: str, **kwargs) -> BasePhonemizer:
         return KO_KR_Phonemizer(**kwargs)
     if name == "bn_phonemizer":
         return BN_Phonemizer(**kwargs)
+    if name == "ja_jp_phonemizer":
+        return JA_JP_Phonemizer(**kwargs)
+    if name == "bel_phonemizer":
+        return BEL_Phonemizer(**kwargs)
     raise ValueError(f"Phonemizer {name} not found")
