@@ -97,3 +97,47 @@ def test_univnet_generator():
     y = gen.apply(params, c, rngs={"noise": jax.random.PRNGKey(2)})
     assert y.shape == (1, 48, 1)
     assert np.isfinite(np.asarray(y)).all()
+
+
+def test_random_window_discriminator_shapes():
+    """RWD (reference random_window_discriminator.py:203): 5 unconditional
+    + 5 conditional scores on random windows."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tts_tpu.vocoder.models import setup_discriminator
+
+    cls = setup_discriminator("random_window_discriminator")
+    hop = 256
+    disc = cls(cond_channels=20, hop_length=hop, window_sizes=(512, 1024, 2048))
+    # default cond factor/channel tables cover 5 windows; slice to 3
+    disc = cls(
+        cond_channels=20, hop_length=hop, window_sizes=(512, 1024, 2048),
+        cond_disc_downsample_factors=((8, 4, 2, 2, 2), (8, 4, 2, 2), (8, 4, 2)),
+        cond_disc_out_channels=((128, 128, 256, 256), (128, 256, 256), (128, 256)),
+    )
+    T = 4096
+    x = jnp.asarray(np.random.RandomState(0).randn(2, T, 1), jnp.float32)
+    c = jnp.asarray(np.random.RandomState(1).randn(2, T // hop, 20), jnp.float32)
+    params = disc.init({"params": jax.random.PRNGKey(0), "windows": jax.random.PRNGKey(1)}, x, c)
+    scores, feats = disc.apply(params, x, c, rngs={"windows": jax.random.PRNGKey(2)})
+    assert len(scores) == 6
+    for s in scores:
+        assert s.shape[0] == 2 and np.isfinite(np.asarray(s)).all()
+
+
+def test_differential_spectral_loss():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tts_tpu.layers.losses import differential_spectral_loss
+
+    y = jnp.asarray(np.random.RandomState(0).randn(2, 16, 8), jnp.float32)
+    l_same = differential_spectral_loss(y, y, jnp.asarray([16, 12]))
+    assert float(l_same) == 0.0
+    l_diff = differential_spectral_loss(y + 0.5, y, jnp.asarray([16, 12]))
+    # constant offsets cancel in the difference domain
+    assert float(l_diff) < 1e-10
+    l_real = differential_spectral_loss(y * 2.0, y, jnp.asarray([16, 12]))
+    assert float(l_real) > 0.0

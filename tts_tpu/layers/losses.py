@@ -192,3 +192,10 @@ def binary_alignment_loss(alignment_hard, alignment_soft):
         jnp.log(jnp.clip(alignment_soft, min=1e-12)) * alignment_hard
     )
     return -log_sum / jnp.maximum(jnp.sum(alignment_hard), 1.0)
+
+
+def differential_spectral_loss(y_hat, y, lengths, loss_fn=None):
+    """Loss on the temporal first difference of spectral frames
+    (reference ``losses.py:208`` DifferentialSpectralLoss)."""
+    fn = loss_fn or mse_loss_masked
+    return fn(y_hat[:, 1:] - y_hat[:, :-1], y[:, 1:] - y[:, :-1], lengths - 1)

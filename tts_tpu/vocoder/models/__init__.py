@@ -19,7 +19,9 @@ _DISCRIMINATORS = {
     "hifigan_discriminator": "tts_tpu.vocoder.models.hifigan_discriminator:HifiganDiscriminator",
     "melgan_multiscale_discriminator": "tts_tpu.vocoder.models.melgan_discriminator:MelganMultiscaleDiscriminator",
     "univnet_discriminator": "tts_tpu.vocoder.models.univnet_discriminator:UnivnetDiscriminator",
-    "parallel_wavegan_discriminator": "tts_tpu.vocoder.models.parallel_wavegan_discriminator:ParallelWaveganDiscriminator",
+    "parallel_wavegan_discriminator": "tts_tpu.vocoder.models.parallel_wavegan_generator:ParallelWaveganDiscriminator",
+    "random_window_discriminator": "tts_tpu.vocoder.models.random_window_discriminator:RandomWindowDiscriminator",
+    "melgan_discriminator": "tts_tpu.vocoder.models.melgan_discriminator:MelganDiscriminator",
 }
 
 
