@@ -9,9 +9,9 @@ from tts_tpu.models.tacotron2 import Tacotron2, Tacotron2Config, tacotron_loss
 
 
 def _small_config(**kw):
+    kw.setdefault("r", 2)
     return Tacotron2Config(
         num_chars=24,
-        r=2,
         out_channels=80,
         encoder_in_features=64,
         decoder_in_features=64,
@@ -71,6 +71,86 @@ def test_inference(t2):
     assert out["model_outputs"].shape == (2, 20, 80)  # max_steps * r
     assert np.isfinite(np.asarray(out["model_outputs"])).all()
     assert (np.asarray(out["mel_lengths"]) <= 20).all()
+
+
+def test_ddc(t2):
+    """Double decoder consistency: coarse decoder + DDC losses
+    (reference base_tacotron.py:199-215, losses.py:463-472)."""
+    model = Tacotron2(_small_config(double_decoder_consistency=True, ddc_r=3))
+    params = model.init_params(jax.random.PRNGKey(0))
+    batch = _batch()
+    out = model.forward(params, batch, train=True, rngs={"dropout": jax.random.PRNGKey(1)})
+    assert out["decoder_outputs_backward"].shape == (2, 12, 80)
+    assert out["alignments_backward"].shape == out["alignments"].shape
+    loss, aux = model.train_step(params, batch, rngs={"dropout": jax.random.PRNGKey(1)})
+    assert np.isfinite(float(loss))
+    for k in ("decoder_coarse_loss", "decoder_ddc_loss"):
+        assert np.isfinite(float(aux[k])), k
+
+    def loss_fn(p):
+        l, _ = model.train_step(p, batch, rngs={"dropout": jax.random.PRNGKey(1)})
+        return l
+
+    grads = jax.grad(loss_fn)(params)
+    coarse = [g for path, g in jax.tree_util.tree_leaves_with_path(grads) if "coarse" in str(path)]
+    assert coarse and all(np.isfinite(np.asarray(g)).all() for g in coarse)
+
+
+def test_gradual_training_set_r():
+    """set_r changes the reduction factor without changing param shapes
+    (reference Decoder.set_r tacotron2.py:211, base_tacotron.py:293)."""
+    model = Tacotron2(_small_config(r=3))
+    params = model.init_params(jax.random.PRNGKey(0))
+    model.set_r(1)
+    assert model.module.r == 1 and model.module.r_init == 3
+    batch = _batch(T_de=12)
+    out = model.forward(params, batch, train=True, rngs={"dropout": jax.random.PRNGKey(1)})
+    assert out["model_outputs"].shape == (2, 12, 80)
+    assert out["alignments"].shape == (2, 12, 8)  # T_de/r = 12 steps now
+    assert np.isfinite(np.asarray(out["model_outputs"])).all()
+    with pytest.raises(ValueError):
+        model.set_r(5)  # cannot exceed r_init
+
+    # schedule hook drives r + batch_size off the trainer step
+    class _T:
+        global_step = 10_000
+        mesh = None
+
+        class config:
+            batch_size = 0
+
+    model.config.gradual_training = [[0, 3, 8], [5_000, 2, 16], [50_000, 1, 32]]
+    trainer = _T()
+    trainer.config = _T.config
+    model.set_r(3)
+    assert model.on_epoch_start(trainer) is True
+    assert model.module.r == 2 and trainer.config.batch_size == 16
+    assert model.on_epoch_start(trainer) is False  # unchanged → no re-jit
+
+
+def test_gst_and_capacitron():
+    """Tacotron2 + GST + Capacitron VAE (reference base_tacotron.py
+    compute_gst/compute_capacitron_VAE_embedding, zoo blizzard2013 entries)."""
+    model = Tacotron2(_small_config(
+        use_gst=True, gst={"gst_num_heads": 2, "gst_num_style_tokens": 4, "gst_embedding_dim": 16},
+        use_capacitron_vae=True, capacitron_vae={"capacitron_VAE_embedding_dim": 8,
+                                                 "capacitron_capacity": 5.0},
+    ))
+    params = model.init_params(jax.random.PRNGKey(0), t_de=16)
+    batch = _batch(T_de=16)
+    loss, aux = model.train_step(params, batch, rngs={"dropout": jax.random.PRNGKey(1)})
+    assert np.isfinite(float(loss))
+    assert np.isfinite(float(aux["capacitron_loss"]))
+    assert np.isfinite(float(aux["capacitron_kl"]))
+    # inference without reference audio: prior sample + zero GST style
+    out = model.inference(params, batch["text_input"], batch["text_lengths"], max_steps=5)
+    assert np.isfinite(np.asarray(out["model_outputs"])).all()
+    # style transfer via a reference mel
+    out2 = model.inference(
+        params, batch["text_input"], batch["text_lengths"], max_steps=5,
+        aux_input={"style_mel": batch["mel_input"]},
+    )
+    assert np.isfinite(np.asarray(out2["model_outputs"])).all()
 
 
 def test_gradients_flow(t2):

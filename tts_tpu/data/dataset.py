@@ -309,7 +309,10 @@ class TTSDataset:
         text_lens = np.asarray([len(it["token_ids"]) for it in items], np.int32)
         mel_lens = np.asarray([it["mel"].shape[0] for it in items], np.int32)
         T_en = round_up(int(text_lens.max()), self.pad_to_multiple_text)
-        T_de = round_up(round_up(int(mel_lens.max()), r), self.pad_to_multiple_mel)
+        # bucket boundary first, then the reduction factor on top so T_de
+        # stays divisible by r even when r doesn't divide the mel multiple
+        # (gradual-training r ∈ {7,5,3,…})
+        T_de = round_up(round_up(int(mel_lens.max()), self.pad_to_multiple_mel), r)
 
         token_ids = np.stack([_pad_to(it["token_ids"], T_en) for it in items])
         mel = np.stack([_pad_to(it["mel"], T_de) for it in items])

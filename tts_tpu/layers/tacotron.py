@@ -124,6 +124,12 @@ class Tacotron2DecoderCell(nn.Module):
     in_channels: int = 512  # encoder output dim
     frame_channels: int = 80
     r: int = 1
+    # projection width multiplier for gradual training: the linear projection
+    # is sized ``frame_channels * r_init`` and emission slices the first
+    # ``r * frame_channels`` so the reduction factor can shrink mid-training
+    # without changing parameter shapes (reference tacotron2.py:203,292).
+    # 0 → use ``r``.
+    r_init: int = 0
     query_dim: int = 1024
     decoder_rnn_dim: int = 1024
     prenet_dim: int = 256
@@ -221,14 +227,17 @@ class Tacotron2DecoderCell(nn.Module):
 
         dec_hc = jnp.concatenate([dec_h_d, context], -1)
         decoder_output = nn.Dense(
-            self.frame_channels * self.r, name="linear_projection"
+            self.frame_channels * (self.r_init or self.r), name="linear_projection"
         )(dec_hc)
+        # stopnet consumes the full r_init-wide projection (reference :286)
         stop_in = jnp.concatenate([dec_h_d, decoder_output], -1)
         if self.separate_stopnet:
             stop_in = jax.lax.stop_gradient(stop_in)
         stop_token = nn.Dense(1, name="stopnet")(
             nn.Dropout(0.1, deterministic=not train)(stop_in)
         )
+        # emit only the active reduction-rate frames (reference :292)
+        decoder_output = decoder_output[:, : self.frame_channels * self.r]
 
         new_carry = (attn_h, attn_c, dec_h, dec_c, context, attn_w, attn_w_cum, alpha, u, mu_prev)
         return new_carry, (decoder_output, stop_token[..., 0], alignment)

@@ -34,6 +34,7 @@ class TacotronModule(nn.Module):
     use_capacitron_vae: bool = False
     capacitron_VAE_embedding_dim: int = 128
     max_decoder_steps: int = 500
+    r_init: int = 0  # gradual training: projection sized to the initial r
 
     def setup(self):
         self.embedding = nn.Embed(self.num_chars, 256, name="embedding")
@@ -46,6 +47,7 @@ class TacotronModule(nn.Module):
             in_channels=256 + (self.gst_embedding_dim if self.use_gst else 0),
             frame_channels=self.decoder_output_dim,
             r=self.r,
+            r_init=self.r_init,
             name="decoder_cell",
         )
         self.inputs_layer = nn.Dense(128, use_bias=False, name="inputs_layer")
@@ -179,11 +181,17 @@ class Tacotron(Tacotron2):
 
     def __init__(self, config: TacotronConfig):
         self.config = config
-        self.module = TacotronModule(
+        self.r_init = config.r
+        self.module = self._build_module(config.r)
+
+    def _build_module(self, r: int) -> TacotronModule:
+        config = self.config
+        return TacotronModule(
             num_chars=config.num_chars,
             decoder_output_dim=config.decoder_output_dim,
             out_channels=config.out_channels,
-            r=config.r,
+            r=r,
+            r_init=self.r_init,
             encoder_in_features=config.encoder_in_features,
             use_gst=config.use_gst,
             use_capacitron_vae=config.use_capacitron_vae,

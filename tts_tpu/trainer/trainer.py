@@ -265,6 +265,7 @@ class Trainer:
         ds = TTSDataset(
             samples=samples,
             ap=ap,
+            outputs_per_step=int(getattr(self.config, "r", 1) or 1),
             tokenizer=tokenizer,
             speaker_id_mapping=speaker_manager.name_to_id if speaker_manager else None,
             language_id_mapping=language_manager.name_to_id if language_manager else None,
@@ -328,6 +329,16 @@ class Trainer:
             print(f" [!] weighted sampler disabled: {e}")
 
         for epoch in range(self.epochs_done, config.epochs):
+            if hasattr(self.model, "on_epoch_start") and self.model.on_epoch_start(self):
+                # schedule changed static shapes (e.g. Tacotron gradual-
+                # training r): re-jit so the step retraces the new module
+                self._jitted_step = jax.jit(self.train_step_fn)
+                if self.eval_step_fn is not None:
+                    self._jitted_eval = jax.jit(self.eval_step_fn)
+                new_r = int(getattr(config, "r", 1) or 1)
+                for ds in (train_ds, eval_ds):
+                    if ds is not None and hasattr(ds, "outputs_per_step"):
+                        ds.outputs_per_step = new_r
             if not self.args.skip_train_epoch:
                 self._train_epoch(train_ds, epoch, weights)
             self.epochs_done = epoch + 1
