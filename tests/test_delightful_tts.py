@@ -53,6 +53,32 @@ def test_forward_losses(dt_small):
     assert aux["outputs"]["model_outputs"].shape == (2, 24, 20)
 
 
+def test_joint_gan_train_step(dt_small):
+    """Joint acoustic+vocoder fused GAN step (reference trains both via two
+    optimizer passes, delightful_tts.py:919; here one backward)."""
+    model, _, cfg = dt_small
+    cfg.audio.hop_length = 16
+    cfg.audio.win_length = 64
+    cfg.audio.fft_size = 64
+    cfg.model_args.spec_segment_size = 8
+    cfg.steps_to_start_discriminator = 0
+    step_fn, optimizers, state = model.make_train_step(cfg, jax.random.PRNGKey(0))
+    batch = _batch()
+    batch["waveform"] = jnp.asarray(
+        np.random.RandomState(1).randn(2, 24 * 16, 1).astype(np.float32) * 0.1
+    )
+    state2, metrics = jax.jit(step_fn)(state, batch, jax.random.PRNGKey(2))
+    for k in ("loss", "loss_acoustic", "loss_vocoder_mel", "loss_feat", "loss_gen", "loss_disc"):
+        assert np.isfinite(float(metrics[k])), k
+    # both generator and discriminator parameters moved
+    moved = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()), state.params, state2.params)
+    assert max(jax.tree.leaves(moved["gen"])) > 0
+    assert max(jax.tree.leaves(moved["disc"])) > 0
+    # eval step is deterministic no-grad
+    ev = model.make_eval_step(cfg)(state2, batch)
+    assert np.isfinite(float(ev["loss"]))
+
+
 def test_inference_with_vocoder(dt_small):
     model, params, cfg = dt_small
     batch = _batch()

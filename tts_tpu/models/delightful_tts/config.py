@@ -95,6 +95,7 @@ class DelightfulTTSConfig(BaseTTSConfig):
     char_dur_loss_alpha: float = 0.01
     binary_align_loss_alpha: float = 0.1
     feat_loss_alpha: float = 1.0
+    vocoder_mel_loss_alpha: float = 10.0
     gen_loss_alpha: float = 1.0
     disc_loss_alpha: float = 1.0
     binary_loss_warmup_epochs: int = 10

@@ -311,6 +311,24 @@ class DelightfulTTS:
             "loss_aligner": l_align, "loss_binary": l_bin, "outputs": outputs,
         }
 
+    def make_train_step(self, config, rng):
+        """Trainer hook: fused joint acoustic+vocoder GAN step
+        (see ``delightful_tts/train.py``; reference sequences two optimizer
+        steps, ``delightful_tts.py:919``)."""
+        from .train import create_train_state, make_train_step
+
+        state = create_train_state(self, config, rng)
+        step_fn, eval_fn, optimizers = make_train_step(self, config)
+        self._eval_step_fn = eval_fn
+        return step_fn, optimizers, state
+
+    def make_eval_step(self, config):
+        if getattr(self, "_eval_step_fn", None) is None:
+            from .train import make_train_step
+
+            _, self._eval_step_fn, _ = make_train_step(self, config)
+        return self._eval_step_fn
+
     def inference(self, params, x, x_lengths, aux_input=None, max_frames: int = 500):
         out = self.acoustic_model.apply(
             params["acoustic"], x, x_lengths, aux_input=aux_input, max_frames=max_frames,
