@@ -71,7 +71,7 @@ def load_tts_samples(
         root_path = dataset["path"]
         meta_file_train = dataset["meta_file_train"]
         meta_file_val = dataset["meta_file_val"]
-        ignored_speakers = dataset["ignored_speakers"]
+        ignored_speakers = dataset.get("ignored_speakers")
         language = dataset["language"]
 
         fmt = formatter or get_formatter_by_name(formatter_name)

@@ -41,8 +41,13 @@ class XTTSDataset:
         self.is_eval = is_eval
         self.max_cond_len = int(a.max_conditioning_length)
         self.min_cond_len = int(a.min_conditioning_length)
-        self.max_wav_len = int(a.max_wav_length)
-        self.max_text_len = int(a.max_text_length)
+        # clamp to what the GPT position tables can actually take: audio
+        # codes are wav/(hop·4) (+start/stop), text +start/stop
+        stride = int(getattr(a, "gpt_code_stride_len", 1024))
+        self.max_wav_len = min(
+            int(a.max_wav_length), (int(a.gpt_max_audio_tokens) - 2) * stride
+        )
+        self.max_text_len = min(int(a.max_text_length), int(a.gpt_max_text_tokens) - 2)
         self.pad_to_multiple_text = pad_to_multiple_text
         self.pad_to_multiple_wav = pad_to_multiple_wav
         self._token_cache: Dict[str, np.ndarray] = {}
@@ -142,6 +147,13 @@ class XTTSDataset:
         wav_lengths = np.asarray([len(w) for w in wavs], np.int32)
 
         mel, cond_mel = self._wavs_to_mels(wav_pad, np.stack(conds))
+        # DVAE stride is 4: trim/pad mel frames to a multiple of 4 so the
+        # ×4-upsampled reconstruction matches the input
+        T4 = (mel.shape[1] // 4) * 4
+        if T4 == 0:
+            T4 = 4
+            mel = np.pad(mel, ((0, 0), (0, 4 - mel.shape[1]), (0, 0)))
+        mel = mel[:, :T4]
         hop = 256  # cloning-domain hop (wav_to_mel_cloning default)
         return {
             "text_input": text,
