@@ -261,6 +261,29 @@ abbreviations_fr = [
         ("adr", "adresse"),
         ("dr", "docteur"),
         ("st", "saint"),
+        ("co", "companie"),
+        ("jr", "junior"),
+        ("sgt", "sergent"),
+        ("capt", "capitain"),
+        ("col", "colonel"),
+        ("av", "avenue"),
+        ("av. J.-C", "avant Jésus-Christ"),
+        ("apr. J.-C", "après Jésus-Christ"),
+        ("art", "article"),
+        ("boul", "boulevard"),
+        ("c.-à-d", "c’est-à-dire"),
+        ("etc", "et cetera"),
         ("ex", "exemple"),
+        ("excl", "exclusivement"),
+    ]
+] + [
+    # titles also expand without a trailing dot (reference
+    # french/abbreviations.py:41-48)
+    (re.compile(r"\b%s" % abbr), full)
+    for abbr, full in [
+        ("Mlles", "mesdemoiselles"),
+        ("Mlle", "mademoiselle"),
+        ("Mmes", "Mesdames"),
+        ("Mme", "Madame"),
     ]
 ]
