@@ -1,6 +1,6 @@
-"""Trim silence from dataset wavs (reference
-``TTS/bin/remove_silence_using_vad.py``, which uses Silero-VAD; here an
-energy-based VAD — no torch-hub download, works offline)."""
+"""Trim silence from dataset wavs with the statistical VAD
+(reference ``TTS/bin/remove_silence_using_vad.py``; the reference wraps
+Silero-VAD — ``tts_tpu/utils/vad.py`` provides the offline equivalent)."""
 
 from __future__ import annotations
 
@@ -8,33 +8,39 @@ import argparse
 import glob
 import os
 
-import numpy as np
-
-from tts_tpu.audio.numpy_transforms import load_wav, save_wav, trim_silence
+from tts_tpu.audio.numpy_transforms import load_wav, save_wav
+from tts_tpu.utils.vad import remove_silence
 
 
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--input_dir", required=True)
     parser.add_argument("--output_dir", required=True)
-    parser.add_argument("--trim_db", type=float, default=40.0)
     parser.add_argument("--sample_rate", type=int, default=22050)
+    parser.add_argument("--threshold", type=float, default=0.35, help="VAD speech threshold")
+    parser.add_argument(
+        "--trim_just_beginning_and_end", type=bool, default=True,
+        help="True keeps internal pauses (reference default); False cuts them too",
+    )
     args = parser.parse_args()
 
     files = glob.glob(os.path.join(args.input_dir, "**", "*.wav"), recursive=True)
     print(f" > Processing {len(files)} files")
+    no_speech = 0
     for path in files:
         wav = load_wav(filename=path, sample_rate=args.sample_rate, resample=True)
-        trimmed = trim_silence(
-            wav=wav, sample_rate=args.sample_rate, trim_db=args.trim_db,
-            win_length=1024, hop_length=256,
+        trimmed, found = remove_silence(
+            wav, args.sample_rate,
+            trim_just_beginning_and_end=args.trim_just_beginning_and_end,
+            threshold=args.threshold,
         )
-        if len(trimmed) < 1000:
-            trimmed = wav  # VAD removed everything; keep original
+        if not found:
+            no_speech += 1
+            print(f" [!] no speech found in {path}; copied unchanged")
         out = os.path.join(args.output_dir, os.path.relpath(path, args.input_dir))
         os.makedirs(os.path.dirname(out), exist_ok=True)
         save_wav(wav=trimmed, path=out, sample_rate=args.sample_rate)
-    print(" > Done.")
+    print(f" > Done. ({no_speech} files without detected speech)")
 
 
 if __name__ == "__main__":
