@@ -136,6 +136,13 @@ def import_reference(name):
     versions removed), so re-apply the alias and retry once."""
     import importlib
 
+    # purge bare TTS stubs other tests registered since install time
+    # (e.g. test_convert.py's _load_reference_module setdefaults a bare
+    # "TTS" module, which breaks "'TTS' is not a package" on real imports)
+    for key in list(sys.modules):
+        if key == "TTS" or key.startswith("TTS."):
+            if not str(getattr(sys.modules[key], "__file__", "")).startswith("/root/reference"):
+                del sys.modules[key]
     _patch_transformers()
     try:
         return importlib.import_module(name)
