@@ -71,20 +71,35 @@ class CBHG(nn.Module):
 
 
 class ReferenceEncoder(nn.Module):
-    """Mel → fixed style query (reference ``gst_layers.py:26``)."""
+    """Mel → fixed style query (reference ``gst_layers.py:26``).
+
+    Conv geometry matches the torch module exactly (3×3, stride 2, pad
+    (1,1)) so converted checkpoints are numerically compatible;
+    ``norm_type='folded'`` is the eval-mode affine of a converted
+    BatchNorm2d."""
 
     embedding_dim: int
+    norm_type: str = "layer"
 
     @nn.compact
     def __call__(self, mel):  # [B, T, M]
         h = mel[..., None]  # [B, T, M, 1]
         for i, ch in enumerate((32, 32, 64, 64, 128, 128)):
-            h = nn.Conv(ch, (3, 3), strides=(2, 2), padding="SAME", name=f"conv_{i}")(h)
-            h = nn.relu(nn.LayerNorm(name=f"norm_{i}")(h))
+            h = nn.Conv(
+                ch, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)], name=f"conv_{i}"
+            )(h)
+            if self.norm_type == "folded":
+                scale = self.param(f"scale_{i}", nn.initializers.ones, (ch,))
+                shift = self.param(f"shift_{i}", nn.initializers.zeros, (ch,))
+                h = h * scale + shift
+            else:
+                h = nn.LayerNorm(name=f"norm_{i}")(h)
+            h = nn.relu(h)
         B, T, M, C = h.shape
-        h = h.reshape(B, T, M * C)
-        out = nn.RNN(nn.GRUCell(self.embedding_dim // 2), name="gru")(h)
-        return out[:, -1]  # [B, D/2]
+        # torch flattens channel-major: x.transpose(1,2).view(B, T, C*H)
+        h = jnp.swapaxes(h, 2, 3).reshape(B, T, C * M)
+        out = nn.RNN(nn.GRUCell(self.embedding_dim // 2, name="gru"))(h)
+        return out[:, -1]  # [B, D/2] — GRU final state
 
 
 class StyleTokenLayer(nn.Module):
@@ -123,10 +138,11 @@ class GST(nn.Module):
     num_heads: int
     num_style_tokens: int
     gst_embedding_dim: int
+    norm_type: str = "layer"
 
     @nn.compact
     def __call__(self, mel):
-        query = ReferenceEncoder(self.gst_embedding_dim, name="encoder")(mel)
+        query = ReferenceEncoder(self.gst_embedding_dim, self.norm_type, name="encoder")(mel)
         return StyleTokenLayer(
             self.num_heads, self.num_style_tokens, self.gst_embedding_dim,
             name="style_token_layer",

@@ -119,6 +119,7 @@ class Tacotron2Module(nn.Module):
                 num_heads=self.gst_num_heads,
                 num_style_tokens=self.gst_num_style_tokens,
                 gst_embedding_dim=self.gst_embedding_dim,
+                norm_type=self.norm_type,
                 name="gst_layer",
             )
         if self.use_capacitron_vae:
@@ -126,6 +127,7 @@ class Tacotron2Module(nn.Module):
 
             self.capacitron_layer = CapacitronVAE(
                 capacitron_VAE_embedding_dim=self.capacitron_VAE_embedding_dim,
+                norm_type=self.norm_type,
                 name="capacitron_vae_layer",
             )
 

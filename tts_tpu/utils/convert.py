@@ -673,6 +673,10 @@ def convert_tacotron2(state, num_chars=None, r=2):
     }
     if "speaker_embedding.weight" in state:
         p["speaker_embedding"] = {"embedding": state["speaker_embedding.weight"]}
+    if any(k.startswith("gst_layer.") for k in state):
+        p["gst_layer"] = convert_gst(state, "gst_layer.")
+    if any(k.startswith("capacitron_vae_layer.") for k in state):
+        p["capacitron_vae_layer"] = convert_capacitron(state, "capacitron_vae_layer.")
     return {"params": p}
 
 
@@ -1423,3 +1427,56 @@ def convert_bark_fine(state, n_layer=12, n_codes_total=8, n_codes_given=1) -> Di
             "kernel": linear_kernel(state[f"lm_heads.{i}.weight"])
         }
     return {"params": p}
+
+
+# ---------------------------------------------------------------------------
+# GST + Capacitron (reference TTS/tts/layers/tacotron/gst_layers.py,
+# capacitron_layers.py; used by the blizzard2013 capacitron zoo entries)
+# ---------------------------------------------------------------------------
+
+def _ref_encoder_convs(s, prefix):
+    """Shared conv-stack mapping for both reference encoders: Conv2d +
+    eval-mode BatchNorm2d folded to the flax ``folded`` affine."""
+    p = {}
+    for i in range(6):
+        p[f"conv_{i}"] = {
+            "kernel": conv2d_kernel(s[f"{prefix}convs.{i}.weight"]),
+            "bias": s[f"{prefix}convs.{i}.bias"],
+        }
+        f = _fold_bn(s, f"{prefix}bns.{i}")
+        p[f"scale_{i}"], p[f"shift_{i}"] = f["scale"], f["shift"]
+    return p
+
+
+def convert_gst(state, prefix="gst_layer."):
+    """Reference ``GST`` (gst_layers.py:6) → flax ``layers.tacotron_v1.GST``
+    params (use ``norm_type="folded"`` on the flax module)."""
+    s = _subdict(state, prefix)
+    enc = _ref_encoder_convs(s, "encoder.")
+    enc["gru"] = _gru_cell(s, "encoder.recurrence")
+    stl = {
+        "style_tokens": s["style_token_layer.style_tokens"],
+        "W_query": _dense(s, "style_token_layer.attention.W_query"),
+        "W_key": _dense(s, "style_token_layer.attention.W_key"),
+        "W_value": _dense(s, "style_token_layer.attention.W_value"),
+    }
+    return {"encoder": enc, "style_token_layer": stl}
+
+
+def convert_capacitron(state, prefix="capacitron_vae_layer."):
+    """Reference ``CapacitronVAE`` (capacitron_layers.py:11) → flax
+    ``layers.capacitron.CapacitronVAE`` params (``norm_type="folded"``)."""
+    s = _subdict(state, prefix)
+    ref = _ref_encoder_convs(s, "encoder.")
+    ref["lstm"] = _lstm_cell(s, "encoder.recurrence", "_l0")
+    p = {
+        "ref_encoder": ref,
+        "post_mlp": {
+            "hidden": _dense(s, "post_encoder_mlp.net.0"),
+            "out": _dense(s, "post_encoder_mlp.net.2"),
+        },
+        "beta": np.asarray(s["beta"]).reshape(()),
+    }
+    if "text_summary_net.lstm.weight_ih_l0" in s:
+        p["text_summary"] = {"lstm": _lstm_cell(s, "text_summary_net.lstm", "_l0")}
+    return p
