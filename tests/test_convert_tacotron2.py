@@ -111,3 +111,59 @@ def test_tacotron2_forward_parity(ref_model):
     np.testing.assert_allclose(
         np.asarray(out["alignments"]), ref_aligns, atol=5e-4
     )
+
+
+def test_tacotron2_dca_forward_parity(ref_parts):
+    """Dynamic-convolution attention (tacotron2-DCA zoo entries,
+    reference attentions.py:323)."""
+    from tts_tpu.models.tacotron2.model import Tacotron2Module
+    from tts_tpu.utils.convert import convert_tacotron2
+
+    Decoder, Encoder, Postnet = ref_parts
+    torch.manual_seed(1)
+
+    class RefDCA(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.embedding = torch.nn.Embedding(NUM_CHARS, 512)
+            self.encoder = Encoder(512)
+            self.decoder = Decoder(
+                512, 80, R, "dynamic_convolution", False, "softmax", "original", True,
+                forward_attn=False, trans_agent=False, forward_attn_mask=False,
+                location_attn=False, attn_K=5, separate_stopnet=True,
+                max_decoder_steps=500,
+            )
+            self.postnet = Postnet(80)
+
+    model = RefDCA()
+    model.eval()
+
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    params = convert_tacotron2(sd)
+
+    rs = np.random.RandomState(3)
+    text = rs.randint(1, NUM_CHARS, (B, T_IN))
+    mel = rs.randn(B, T_MEL, 80).astype(np.float32)
+    lens = torch.full((B,), T_IN)
+
+    with torch.no_grad():
+        emb = model.embedding(torch.from_numpy(text)).transpose(1, 2)
+        enc = model.encoder(emb, lens)
+        mask = torch.ones(B, T_IN, dtype=torch.bool)
+        dec, aligns, _ = model.decoder(enc, torch.from_numpy(mel), mask)
+        ref_dec = dec.transpose(1, 2).numpy()
+        ref_aligns = aligns.numpy()
+
+    module = Tacotron2Module(
+        num_chars=NUM_CHARS, r=R, norm_type="folded",
+        attn_type="dynamic_convolution", location_attn=False,
+    )
+    out = module.apply(
+        params,
+        jnp.asarray(text),
+        jnp.full((B,), T_IN),
+        jnp.asarray(mel),
+        jnp.full((B,), T_MEL),
+    )
+    np.testing.assert_allclose(np.asarray(out["decoder_outputs"]), ref_dec, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(out["alignments"]), ref_aligns, atol=5e-4)

@@ -13,13 +13,30 @@ BatchNorm running stats at inference).
 
 from __future__ import annotations
 
+import math
 from typing import Optional, Tuple
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .common import Conv1d
+
+
+def _betabinom_pmf(n: int, a: float, b: float) -> np.ndarray:
+    """Beta-binomial pmf over k=0..n (the DCA alignment prior,
+    reference ``attentions.py:388`` via scipy.stats.betabinom)."""
+
+    def log_beta(x, y):
+        return math.lgamma(x) + math.lgamma(y) - math.lgamma(x + y)
+
+    logp = [
+        math.lgamma(n + 1) - math.lgamma(k + 1) - math.lgamma(n - k + 1)
+        + log_beta(k + a, n - k + b) - log_beta(a, b)
+        for k in range(n + 1)
+    ]
+    return np.exp(np.asarray(logp, np.float64)).astype(np.float32)
 
 
 class Prenet(nn.Module):
@@ -164,7 +181,38 @@ class Tacotron2DecoderCell(nn.Module):
         )
         query = nn.Dropout(0.1, deterministic=not train)(attn_h)
 
-        if self.attn_type == "graves":
+        if self.attn_type == "dynamic_convolution":
+            # monotonic dynamic convolution attention (reference
+            # attentions.py:323, arXiv:1910.10288); defaults from init_attn
+            # :472-481 (8 filters, kernel 21, prior len 11, alpha/beta .1/.9)
+            F_dyn, K = 8, 21
+            prior = _betabinom_pmf(10, 0.1, 0.9)  # len 11
+            # causal prior filter: out[t] = sum_j prior[j] * w[t-j]
+            prior_f = jax.vmap(lambda w: jnp.convolve(w, jnp.asarray(prior), mode="full")[:T_in])(
+                attn_w
+            )
+            prior_log = jnp.log(jnp.clip(prior_f, min=1e-6))
+            G = nn.Dense(F_dyn * K, use_bias=False, name="key_layer")(
+                jnp.tanh(nn.Dense(self.attn_dim, name="query_layer")(query))
+            )
+            # SAME-padded sliding windows of the previous attention
+            wpad = jnp.pad(attn_w, ((0, 0), (K // 2, K // 2)))
+            win = wpad[:, jnp.arange(T_in)[:, None] + jnp.arange(K)[None, :]]  # [B,T,K]
+            dynamic = jnp.einsum("btk,bfk->btf", win, G.reshape(-1, F_dyn, K))
+            static = nn.Conv(
+                F_dyn, (K,), padding=[(K // 2, K // 2)], use_bias=False,
+                name="static_filter_conv",
+            )(attn_w[:, :, None])
+            energies = nn.Dense(1, use_bias=False, name="v")(
+                jnp.tanh(
+                    nn.Dense(self.attn_dim, use_bias=False, name="static_filter_layer")(static)
+                    + nn.Dense(self.attn_dim, name="dynamic_filter_layer")(dynamic)
+                )
+            )[..., 0] + prior_log
+            alignment = nn.softmax(energies, axis=-1)
+            # reference masks AFTER the softmax with 1e-8, no renorm (:425)
+            alignment = jnp.where(input_mask, alignment, 1e-8)
+        elif self.attn_type == "graves":
             # Graves GMM attention (reference attentions.py:40)
             gbk = nn.Dense(self.query_dim, name="graves_l1")(query)
             gbk = nn.Dense(3 * self.attn_K, name="graves_l2")(nn.relu(gbk))
@@ -248,13 +296,19 @@ class Tacotron2DecoderCell(nn.Module):
         alpha0 = jnp.concatenate(
             [jnp.ones((B, 1)), jnp.full((B, T_in - 1), 1e-7)], axis=1
         )
+        # DCA starts with all attention on token 0 (reference init_states
+        # attentions.py:438); other variants start from zeros
+        if self.attn_type == "dynamic_convolution":
+            w0 = jnp.concatenate([jnp.ones((B, 1)), z((B, T_in - 1))], axis=1)
+        else:
+            w0 = z((B, T_in))
         return (
             z((B, self.query_dim)),
             z((B, self.query_dim)),
             z((B, self.decoder_rnn_dim)),
             z((B, self.decoder_rnn_dim)),
             z((B, in_channels)),
-            z((B, T_in)),
+            w0,
             z((B, T_in)),
             alpha0,
             0.5 * jnp.ones((B, 1)),

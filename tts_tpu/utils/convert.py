@@ -646,29 +646,53 @@ def convert_tacotron2(state, num_chars=None, r=2):
             "linear_1": _dense(state, "decoder.prenet.linear_layers.1.linear_layer"),
         },
         "attention_rnn": _lstm_cell(state, "decoder.attention_rnn"),
-        "query_layer": _dense(state, "decoder.attention.query_layer.linear_layer"),
-        "location_conv": {
-            "kernel": conv1d_kernel(
-                state["decoder.attention.location_layer.location_conv1d.weight"]
-            )
-        },
-        "location_dense": _dense(
-            state, "decoder.attention.location_layer.location_dense.linear_layer"
-        ),
-        "v": _dense(state, "decoder.attention.v.linear_layer"),
         "decoder_rnn": _lstm_cell(state, "decoder.decoder_rnn"),
         "linear_projection": _dense(state, "decoder.linear_projection.linear_layer"),
         "stopnet": _dense(state, "decoder.stopnet.1.linear_layer"),
     }
+    if "decoder.attention.key_layer.weight" in state:
+        # dynamic-convolution attention (tacotron2-DCA zoo entries;
+        # reference attentions.py:323 — raw nn.Linear layers, no wrapper)
+        cell.update(
+            query_layer=_dense(state, "decoder.attention.query_layer"),
+            key_layer=_dense(state, "decoder.attention.key_layer"),
+            static_filter_conv={
+                "kernel": conv1d_kernel(state["decoder.attention.static_filter_conv.weight"])
+            },
+            static_filter_layer=_dense(state, "decoder.attention.static_filter_layer"),
+            dynamic_filter_layer=_dense(state, "decoder.attention.dynamic_filter_layer"),
+            v=_dense(state, "decoder.attention.v"),
+        )
+    else:
+        cell.update(
+            query_layer=_dense(state, "decoder.attention.query_layer.linear_layer"),
+            location_conv={
+                "kernel": conv1d_kernel(
+                    state["decoder.attention.location_layer.location_conv1d.weight"]
+                )
+            },
+            location_dense=_dense(
+                state, "decoder.attention.location_layer.location_dense.linear_layer"
+            ),
+            v=_dense(state, "decoder.attention.v.linear_layer"),
+        )
     post = {
         f"conv_{i}": _conv_bn_block(state, f"postnet.convolutions.{i}")
         for i in range(5)
     }
+    if "decoder.attention.inputs_layer.linear_layer.weight" in state:
+        inputs_layer = _dense(state, "decoder.attention.inputs_layer.linear_layer")
+    else:
+        # DCA has no inputs_layer (preprocess_inputs → None, :432); our
+        # module still owns the Dense but the DCA branch never reads it
+        dec_rnn_dim = state["decoder.decoder_rnn.weight_hh"].shape[1]
+        in_dim = state["decoder.linear_projection.linear_layer.weight"].shape[1] - dec_rnn_dim
+        inputs_layer = {"kernel": np.zeros((in_dim, 128), np.float32)}
     p = {
         "embedding": {"embedding": state["embedding.weight"]},
         "encoder": enc,
         "decoder_cell": cell,
-        "inputs_layer": _dense(state, "decoder.attention.inputs_layer.linear_layer"),
+        "inputs_layer": inputs_layer,
         "postnet": post,
     }
     if "speaker_embedding.weight" in state:
