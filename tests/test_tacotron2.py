@@ -153,6 +153,23 @@ def test_gst_and_capacitron():
     assert np.isfinite(np.asarray(out2["model_outputs"])).all()
 
 
+def test_synthesis_path(t2):
+    """Tacotron2 through the generic synthesis() user path (regression:
+    the AR inference signature takes max_steps, not max_frames)."""
+    from tts_tpu.utils.synthesis import synthesis
+
+    model, params = t2
+
+    class Tok:
+        def text_to_ids(self, t):
+            return [min(ord(c), 23) for c in t[:8]]
+
+    model.tokenizer = Tok()
+    out = synthesis(model, "hello", params, use_griffin_lim=False)
+    assert out["model_outputs"].shape[-1] == 80
+    assert np.isfinite(out["model_outputs"]).all()
+
+
 def test_gradients_flow(t2):
     model, params = t2
     batch = _batch()

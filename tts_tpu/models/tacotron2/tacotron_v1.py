@@ -198,6 +198,22 @@ class Tacotron(Tacotron2):
             max_decoder_steps=config.max_decoder_steps,
         )
 
+    def init_params(self, rng, t_en: int = 11, t_de: int = 16):
+        import jax as _jax
+
+        x = jnp.zeros((1, t_en), jnp.int32)
+        xl = jnp.full((1,), t_en, jnp.int32)
+        # teacher forcing consumes MEL frames (decoder_output_dim), not the
+        # linear-spec out_channels the base class would size
+        y = jnp.zeros((1, t_de, self.config.decoder_output_dim), jnp.float32)
+        yl = jnp.full((1,), t_de, jnp.int32)
+        rngs = {
+            "params": rng,
+            "dropout": _jax.random.fold_in(rng, 1),
+            "noise": _jax.random.fold_in(rng, 2),
+        }
+        return self.module.init(rngs, x, xl, y, yl, train=True)
+
     def train_step(self, params, batch, rngs=None):
         outputs = self.forward(params, batch, train=True, rngs=rngs)
         # decoder loss on mel, postnet loss on linear (reference TacotronLoss)

@@ -46,17 +46,35 @@ def synthesis(
     if language_id is not None:
         aux_input["language_ids"] = jnp.asarray([language_id], jnp.int32)
     if style_wav is not None:
-        aux_input["style_wav"] = style_wav
+        # GST/Capacitron style reference: wav (path or array) → mel
+        # (reference synthesis.py compute_style_mel)
+        if isinstance(style_wav, str) and ap is not None:
+            style_wav = ap.load_wav(style_wav)
+        if ap is not None:
+            style_mel = ap.melspectrogram(np.asarray(style_wav, np.float32))
+            aux_input["style_mel"] = jnp.asarray(style_mel.T[None])  # [1, T, M]
     if style_text is not None:
         aux_input["style_text"] = style_text
 
     budget = max_frames or _frame_budget(len(token_ids))
-    outputs = model.inference(params, x, x_lengths, aux_input=aux_input or None, max_frames=budget)
+    # AR models budget decoder steps (r frames per step), parallel models
+    # budget output frames — adapt to the model's inference signature
+    import inspect
+
+    sig_params = inspect.signature(model.inference).parameters
+    if "max_frames" in sig_params:
+        budget_kw = {"max_frames": budget}
+    else:
+        r = int(getattr(getattr(model, "config", None), "r", 1) or 1)
+        budget_kw = {"max_steps": max(1, budget // r)}
+    outputs = model.inference(params, x, x_lengths, aux_input=aux_input or None, **budget_kw)
 
     model_outputs = np.asarray(outputs["model_outputs"][0], np.float32)
-    valid_frames = (
-        int(np.asarray(outputs["y_lengths"])[0]) if "y_lengths" in outputs else None
-    )
+    valid_frames = None
+    for key in ("y_lengths", "mel_lengths"):  # AR models report mel_lengths
+        if key in outputs:
+            valid_frames = int(np.asarray(outputs[key])[0])
+            break
 
     wav = None
     if model_outputs.ndim == 2 and model_outputs.shape[-1] == 1:
