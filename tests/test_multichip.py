@@ -19,9 +19,9 @@ from tts_tpu.parallel import get_mesh, replicate, shard_batch, with_data_paralle
 
 def test_get_mesh_shapes():
     mesh = get_mesh(data=8, model=1)
-    assert mesh.shape == {"data": 8, "model": 1}
+    assert mesh.shape == {"data": 8, "model": 1, "seq": 1}
     mesh = get_mesh(data=-1, model=2)
-    assert mesh.shape == {"data": 4, "model": 2}
+    assert mesh.shape == {"data": 4, "model": 2, "seq": 1}
     with pytest.raises(AssertionError):
         get_mesh(data=3, model=2)
 

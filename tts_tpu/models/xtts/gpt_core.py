@@ -25,6 +25,11 @@ class GPT2Attention(nn.Module):
     heads: int
     use_pallas: bool = False  # fused single-token decode kernel on TPU
     use_bias: bool = True  # Bark NanoGPT checkpoints train with bias=False
+    # sequence-parallel training: when set (and no KV cache), attention runs
+    # as ring attention over this mesh axis — the module must be applied
+    # inside shard_map with T sharded over the axis; causal masking is
+    # implied (parallel/ring_attention.py)
+    seq_axis: Optional[str] = None
 
     @nn.compact
     def __call__(
@@ -70,6 +75,13 @@ class GPT2Attention(nn.Module):
             out = out.astype(x.dtype).reshape(B, H * dh)[:, None, :]
             return nn.Dense(D, use_bias=self.use_bias, name="c_proj")(out), new_cache
 
+        if self.seq_axis is not None and cache is None:
+            from tts_tpu.parallel.ring_attention import ring_self_attention
+
+            out = ring_self_attention(q, k_all, v_all, axis_name=self.seq_axis, causal=True)
+            out = out.reshape(B, T, D)
+            return nn.Dense(D, use_bias=self.use_bias, name="c_proj")(out), new_cache
+
         scores = jnp.einsum("bthd,bshd->bhts", q, k_all) / math.sqrt(dh)
         if attn_mask is not None:
             scores = jnp.where(attn_mask, scores, -1e9)
@@ -84,11 +96,12 @@ class GPT2Block(nn.Module):
     use_pallas: bool = False
     use_bias: bool = True
     gelu_exact: bool = False  # HF GPT2 = tanh gelu_new; Bark = exact erf
+    seq_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, attn_mask=None, cache=None, cache_index=None, cache_len=None):
         h, new_cache = GPT2Attention(
-            self.dim, self.heads, self.use_pallas, self.use_bias, name="attn"
+            self.dim, self.heads, self.use_pallas, self.use_bias, self.seq_axis, name="attn"
         )(
             nn.LayerNorm(epsilon=1e-5, use_bias=self.use_bias, name="ln_1")(x),
             attn_mask, cache, cache_index, cache_len,
@@ -133,6 +146,7 @@ class GPT2Core(nn.Module):
     use_pallas: Optional[bool] = None
     use_bias: bool = True
     gelu_exact: bool = False
+    seq_axis: Optional[str] = None  # ring-attention axis for training
 
     @nn.compact
     def __call__(
@@ -149,7 +163,7 @@ class GPT2Core(nn.Module):
             cache_i = caches[i] if caches is not None else None
             h, nc = GPT2Block(
                 self.dim, self.heads, pallas_on, self.use_bias, self.gelu_exact,
-                name=f"h_{i}",
+                self.seq_axis, name=f"h_{i}",
             )(h, attn_mask, cache_i, cache_index, cache_len)
             if new_caches is not None:
                 new_caches.append(nc)

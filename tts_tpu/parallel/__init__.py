@@ -4,4 +4,8 @@ from .mesh import (  # noqa: F401
     shard_batch,
     with_data_parallel,
 )
+from .ring_attention import (  # noqa: F401
+    ring_self_attention,
+    sequence_sharded_attention,
+)
 from .tp import gpt_tp_shardings  # noqa: F401

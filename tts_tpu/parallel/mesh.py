@@ -10,6 +10,8 @@ needed.
 Axes convention:
   * ``data``  — batch sharding (DP); default all devices.
   * ``model`` — tensor-parallel axis, reserved for the XTTS GPT decoder.
+  * ``seq``   — sequence/context-parallel axis (ring attention,
+    ``parallel/ring_attention.py``); size 1 unless requested.
 """
 
 from __future__ import annotations
@@ -22,22 +24,25 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+SEQ_AXIS = "seq"
 
 
 def get_mesh(
     data: int = -1,
     model: int = 1,
+    seq: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
-    """Build a ``(data, model)`` mesh.  ``data=-1`` → all remaining devices."""
+    """Build a ``(data, model, seq)`` mesh.  ``data=-1`` → all remaining
+    devices; ``seq`` stays 1 unless sequence parallelism is requested."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if data == -1:
-        assert n % model == 0, f"{n} devices not divisible by model={model}"
-        data = n // model
-    assert data * model == n, f"mesh {data}x{model} != {n} devices"
-    dev_array = np.asarray(devices).reshape(data, model)
-    return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
+        assert n % (model * seq) == 0, f"{n} devices not divisible by {model * seq}"
+        data = n // (model * seq)
+    assert data * model * seq == n, f"mesh {data}x{model}x{seq} != {n} devices"
+    dev_array = np.asarray(devices).reshape(data, model, seq)
+    return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS, SEQ_AXIS))
 
 
 def replicate(mesh: Mesh) -> NamedSharding:
