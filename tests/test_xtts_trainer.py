@@ -72,3 +72,25 @@ def test_gpt_trainer_step():
         losses.append(float(metrics["loss_mel_ce"]))
         assert np.isfinite(losses[-1])
     assert losses[-1] < losses[0]  # overfits one batch
+
+
+def test_gpt_remat_matches_plain():
+    """gpt_use_remat only changes memory scheduling, not values: one train
+    step produces the same loss with and without rematerialization."""
+    losses = {}
+    for remat in (False, True):
+        cfg = _tiny_config()
+        cfg.model_args.gpt_use_remat = remat
+        trainer = GPTTrainer(cfg)
+        train_step, _, state = trainer.make_train_step(cfg, jax.random.PRNGKey(0))
+        rng = np.random.RandomState(0)
+        batch = {
+            "text_input": jnp.asarray(rng.randint(1, 38, (2, 10))),
+            "text_lengths": jnp.asarray([10, 7]),
+            "mel_input": jnp.asarray(rng.randn(2, 48, 80).astype(np.float32)),
+            "mel_lengths": jnp.asarray([48, 32]),
+            "cond_mels": jnp.asarray(rng.randn(2, 32, 80).astype(np.float32)),
+        }
+        _, metrics = jax.jit(train_step)(state, batch, jax.random.PRNGKey(1))
+        losses[remat] = float(metrics["loss"])
+    assert np.isclose(losses[False], losses[True], rtol=1e-5), losses

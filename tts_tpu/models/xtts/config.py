@@ -44,6 +44,9 @@ class XttsArgs(Config):
     gpt_code_stride_len: int = 1024
     gpt_use_masking_gt_prompt_approach: bool = True
     gpt_use_perceiver_resampler: bool = True
+    # rematerialize GPT block activations during fine-tuning
+    # (jax.checkpoint: ~1/3 extra FLOPs for O(layers) less HBM)
+    gpt_use_remat: bool = False
 
     # fine-tune dataset limits (reference ``gpt_trainer.py`` GPTArgs :41-48)
     min_conditioning_length: int = 66150

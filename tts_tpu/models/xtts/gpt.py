@@ -123,6 +123,7 @@ class XttsGPT(nn.Module):
     max_prompt_tokens: int = 70
     code_stride_len: int = 1024
     use_perceiver_resampler: bool = True
+    use_remat: bool = False  # checkpoint block activations during training
 
     def setup(self):
         D = self.model_dim
@@ -141,7 +142,9 @@ class XttsGPT(nn.Module):
         self.mel_pos_embedding = self.param(
             "mel_pos_embedding", nn.initializers.normal(0.02), (self.max_mel_tokens + 3, D)
         )
-        self.gpt = GPT2Core(layers=self.layers, dim=D, heads=self.heads, name="gpt")
+        self.gpt = GPT2Core(
+            layers=self.layers, dim=D, heads=self.heads, remat=self.use_remat, name="gpt"
+        )
         self.final_norm = nn.LayerNorm(epsilon=1e-5, name="final_norm")
         self.text_head = nn.Dense(self.number_text_tokens, name="text_head")
         self.mel_head = nn.Dense(self.num_audio_tokens, name="mel_head")

@@ -147,6 +147,10 @@ class GPT2Core(nn.Module):
     use_bias: bool = True
     gelu_exact: bool = False
     seq_axis: Optional[str] = None  # ring-attention axis for training
+    # rematerialize block activations in the backward pass (jax.checkpoint):
+    # trades ~1/3 extra FLOPs for O(layers) less activation HBM — enables
+    # long-sequence GPT fine-tuning on one chip
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -158,10 +162,11 @@ class GPT2Core(nn.Module):
         cache_len: Optional[jnp.ndarray] = None,
     ):
         pallas_on = self.use_pallas if self.use_pallas is not None else _pallas_default()
+        block_cls = nn.remat(GPT2Block) if (self.remat and caches is None) else GPT2Block
         new_caches = [] if caches is not None else None
         for i in range(self.layers):
             cache_i = caches[i] if caches is not None else None
-            h, nc = GPT2Block(
+            h, nc = block_cls(
                 self.dim, self.heads, pallas_on, self.use_bias, self.gelu_exact,
                 self.seq_axis, name=f"h_{i}",
             )(h, attn_mask, cache_i, cache_index, cache_len)

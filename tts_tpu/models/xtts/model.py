@@ -75,6 +75,7 @@ class Xtts:
             max_mel_tokens=a.gpt_max_audio_tokens,
             code_stride_len=a.gpt_code_stride_len,
             use_perceiver_resampler=a.gpt_use_perceiver_resampler,
+            use_remat=getattr(a, "gpt_use_remat", False),
         )
         self.hifigan_decoder = HifiDecoder(
             input_sample_rate=a.input_sample_rate,
