@@ -20,6 +20,14 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# persistent compile cache: XLA compiles dominate suite wall-time on CPU;
+# repeat runs (CI re-runs, local iteration) hit the cache and finish far
+# faster.  First run populates ``.jax_cache_cpu`` (gitignored).
+_cache_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache_cpu")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
+
 import pytest  # noqa: E402
 
 
