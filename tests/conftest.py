@@ -24,6 +24,7 @@ jax.config.update("jax_platforms", "cpu")
 # repeat runs (CI re-runs, local iteration) hit the cache and finish far
 # faster.  First run populates ``.jax_cache_cpu`` (gitignored).
 _cache_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache_cpu")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _cache_dir)  # subprocesses too
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_persistent_cache_enable_xla_caches", "all")

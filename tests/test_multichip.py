@@ -43,6 +43,8 @@ def test_replicate_sharding():
     assert x.sharding.is_fully_replicated
 
 
+@pytest.mark.slow  # the driver runs dryrun_multichip on every round;
+# the subprocess cold-compiles the full GAN+TP+ring stack (~10 min on 1 CPU)
 def test_dryrun_multichip_8():
     """Exactly what the driver runs: one VITS GAN step over 8 devices."""
     import __graft_entry__ as g
@@ -50,6 +52,7 @@ def test_dryrun_multichip_8():
     g.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_2d_mesh():
     """(4, 2) data×model mesh — the TP axis path compiles and executes."""
     import __graft_entry__ as g
