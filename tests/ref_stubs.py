@@ -10,17 +10,26 @@ import numpy as np
 
 
 def _stub(name, **attrs):
-    if name in sys.modules:
-        mod = sys.modules[name]
-    else:
-        mod = types.ModuleType(name)
-        mod.__path__ = []  # behave as a package for submodule imports
-        import importlib.machinery
+    """Register a module named ``name``: prefer the REAL installed package
+    (so other tests in the same process keep working — stubbing over real
+    pypinyin/matplotlib broke them), fall back to an empty module, and only
+    fill in attributes that are missing."""
+    if name not in sys.modules:
+        import importlib
 
-        mod.__spec__ = importlib.machinery.ModuleSpec(name, None)
-        sys.modules[name] = mod
+        try:
+            importlib.import_module(name)
+        except Exception:
+            mod = types.ModuleType(name)
+            mod.__path__ = []  # behave as a package for submodule imports
+            import importlib.machinery
+
+            mod.__spec__ = importlib.machinery.ModuleSpec(name, None)
+            sys.modules[name] = mod
+    mod = sys.modules[name]
     for k, v in attrs.items():
-        setattr(mod, k, v)
+        if not hasattr(mod, k):
+            setattr(mod, k, v)
     return mod
 
 

@@ -131,7 +131,8 @@ class Tacotron2Module(nn.Module):
                 name="capacitron_vae_layer",
             )
 
-    def _encode(self, text, text_lengths, aux_input, train, mel_for_style=None):
+    def _encode(self, text, text_lengths, aux_input, train, mel_for_style=None,
+                mel_style_lengths=None):
         x_mask = sequence_mask(text_lengths, text.shape[1])[:, :, None].astype(jnp.float32)
         emb = self.embedding(text)
         enc = self.encoder(emb, x_mask, train=train)
@@ -154,7 +155,10 @@ class Tacotron2Module(nn.Module):
                 style = jnp.zeros((enc.shape[0], self.gst_embedding_dim))
             enc = _concat(style)
         if self.use_capacitron_vae:
-            z, kl, beta = self.capacitron_layer(mel_for_style, enc)
+            z, kl, beta = self.capacitron_layer(
+                mel_for_style, enc, text_lengths=text_lengths,
+                mel_lengths=mel_style_lengths,
+            )
             extras["capacitron_kl"] = kl
             extras["capacitron_beta"] = beta
             enc = _concat(z if z.ndim == 2 else z[:, 0])
@@ -165,7 +169,8 @@ class Tacotron2Module(nn.Module):
         B, T_in = text.shape
         style_mel = mel_specs if (self.use_gst or self.use_capacitron_vae) else None
         enc, x_mask, extras = self._encode(
-            text, text_lengths, aux_input, train, mel_for_style=style_mel
+            text, text_lengths, aux_input, train, mel_for_style=style_mel,
+            mel_style_lengths=mel_lengths if style_mel is not None else None,
         )
         input_mask = sequence_mask(text_lengths, T_in)
         processed_inputs = self.inputs_layer(enc)

@@ -87,7 +87,9 @@ def _chinese_transliterate(text: str) -> str:
     through unchanged when the package is missing)."""
     try:
         import pypinyin
-    except ImportError:
+
+        pypinyin.pinyin  # a test stub may register a bare module
+    except (ImportError, AttributeError):
         return text
     return "".join(
         p[0]

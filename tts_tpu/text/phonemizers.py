@@ -252,9 +252,11 @@ class ZH_CN_Phonemizer(BasePhonemizer):
     @classmethod
     def is_available(cls) -> bool:
         try:
-            import pypinyin  # noqa: F401
+            import pypinyin
 
-            return True
+            # functional check: a bare test stub registers the module name
+            # without a working API
+            return callable(getattr(pypinyin, "lazy_pinyin", None))
         except ImportError:
             return False
 
@@ -285,9 +287,9 @@ class KO_KR_Phonemizer(BasePhonemizer):
     @classmethod
     def is_available(cls) -> bool:
         try:
-            import g2pkk  # noqa: F401
+            import g2pkk
 
-            return True
+            return getattr(g2pkk, "G2p", None) not in (None, object)
         except ImportError:
             return False
 
@@ -321,9 +323,9 @@ class BN_Phonemizer(BasePhonemizer):
     @classmethod
     def is_available(cls) -> bool:
         try:
-            import bangla  # noqa: F401
+            import bangla
 
-            return True
+            return callable(getattr(bangla, "convert_english_digit_to_bn", None))
         except ImportError:
             return False
 
