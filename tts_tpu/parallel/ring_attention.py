@@ -112,15 +112,24 @@ def sequence_sharded_attention(
     of ``mesh`` on the T dimension and run :func:`ring_self_attention`
     under ``shard_map``."""
     from jax.sharding import NamedSharding, PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map  # jax >= 0.4.35
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
 
     spec = P(None, axis_name, None, None)
+    # replication checking was renamed check_rep → check_vma across jax
+    # versions; disable under whichever name this jax exposes
+    import inspect
+
+    sig = inspect.signature(shard_map).parameters
+    check_kw = {k: False for k in ("check_rep", "check_vma") if k in sig}
     fn = shard_map(
         partial(ring_self_attention, axis_name=axis_name, causal=causal),
         mesh=mesh,
         in_specs=(spec, spec, spec),
         out_specs=spec,
-        check_rep=False,
+        **check_kw,
     )
     put = lambda x: jax.device_put(x, NamedSharding(mesh, spec))
     return fn(put(q), put(k), put(v))
