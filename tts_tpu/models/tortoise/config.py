@@ -45,6 +45,7 @@ class TortoiseArgs(Config):
     repetition_penalty: float = 2.0
     cond_free: bool = True
     cond_free_k: float = 2.0
+    sampler: str = "ddim"  # "ddim" | "dpm++2m" (reference dpm_solver.py)
     diffusion_temperature: float = 1.0
 
 

@@ -218,6 +218,73 @@ def ddim_sample(decoder, params, embeddings, T_mel: int, rng, steps: int = 30,
     return x
 
 
+def dpm_solver_sample(decoder, params, embeddings, T_mel: int, rng, steps: int = 10,
+                      in_channels: int = 100, temperature: float = 1.0,
+                      cond_free: bool = True, cond_free_k: float = 2.0,
+                      trained_steps: int = 4000):
+    """DPM-Solver++(2M) sampling (Lu et al., arXiv:2211.01095) — the
+    fast sampler the reference vendors as ``tortoise/dpm_solver.py`` (1,562
+    LoC), reduced to the multistep data-prediction update actually used:
+    ~10 steps match 30+ DDIM steps on the same probability-flow ODE.
+
+    Same schedule/eps-model wiring as :func:`ddim_sample`; deterministic.
+    """
+    B = embeddings.shape[0]
+    scale = 1000.0 / trained_steps
+    betas = jnp.linspace(1e-4 * scale, 2e-2 * scale, trained_steps)
+    abar = jnp.cumprod(1 - betas)
+    ts = jnp.linspace(trained_steps - 1, 0, steps).astype(jnp.int32)
+    r0, rng = jax.random.split(rng)
+    x = jax.random.normal(r0, (B, T_mel, in_channels)) * temperature
+
+    def eps_fn(x, t_vec):
+        out = decoder.apply(params, x, t_vec, precomputed_embeddings=embeddings)
+        eps = out[..., :in_channels]
+        if cond_free:
+            out_free = decoder.apply(
+                params, x, t_vec, precomputed_embeddings=embeddings, conditioning_free=True
+            )
+            eps = (1 + cond_free_k) * eps - cond_free_k * out_free[..., :in_channels]
+        return eps
+
+    def x0_of(x, t):
+        a = abar[t]
+        al, sg = jnp.sqrt(a), jnp.sqrt(1 - a)
+        x0 = (x - sg * eps_fn(x, jnp.full((B,), t))) / al
+        return jnp.clip(x0, -1.0, 1.0)
+
+    def lam_of(t):
+        a = abar[t]
+        return 0.5 * (jnp.log(a) - jnp.log1p(-a))
+
+    def step(carry, i):
+        x, x0_prev, h_prev = carry
+        t, t_next = ts[i], ts[jnp.minimum(i + 1, steps - 1)]
+        x0 = x0_of(x, t)
+        lam, lam_next = lam_of(t), lam_of(t_next)
+        h = lam_next - lam
+        # 2M correction: extrapolate the data prediction with the previous
+        # step's x0 (first step falls back to first order)
+        r = h_prev / jnp.where(h == 0, 1.0, h)
+        use_2m = (i > 0) & (h != 0)
+        D = jnp.where(use_2m, x0 + (x0 - x0_prev) / (2.0 * jnp.where(r == 0, 1.0, r)), x0)
+        a_next = abar[t_next]
+        al_next, sg_next = jnp.sqrt(a_next), jnp.sqrt(1 - a_next)
+        sg_cur = jnp.sqrt(1 - abar[t])
+        x_new = (sg_next / sg_cur) * x - al_next * jnp.expm1(-h) * D
+        # final step emits the clean data prediction
+        x_new = jnp.where(i == steps - 1, x0, x_new)
+        return (x_new, x0, h), None
+
+    (x, _, _), _ = jax.lax.scan(
+        step, (x, jnp.zeros_like(x), jnp.asarray(0.0)), jnp.arange(steps)
+    )
+    return x
+
+
+SAMPLERS = {"ddim": ddim_sample, "dpm++2m": dpm_solver_sample}
+
+
 class Tortoise:
     """Host pipeline (reference ``models/tortoise.py:309``)."""
 
@@ -330,7 +397,8 @@ class Tortoise:
             self.diff_params, latents, diff_cond, T_mel,
             method=self.diffusion.timestep_independent,
         )
-        mel = ddim_sample(
+        sampler = SAMPLERS.get(getattr(a, "sampler", "ddim"), ddim_sample)
+        mel = sampler(
             self.diffusion, self.diff_params, embeddings, T_mel, r2,
             steps=diffusion_iterations or a.diffusion_iterations,
             in_channels=a.diff_in_channels, temperature=a.diffusion_temperature,
