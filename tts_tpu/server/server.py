@@ -24,10 +24,34 @@ _INDEX_HTML = """<!DOCTYPE html>
 <html><head><title>tts_tpu server</title></head>
 <body style="font-family: sans-serif; max-width: 48em; margin: 2em auto;">
 <h1>tts_tpu</h1>
-<form action="/api/tts" method="get">
-  <input name="text" size="60" placeholder="Type a sentence..."/>
-  <button type="submit">Speak</button>
-</form>
+<div>
+  <input id="text" size="60" placeholder="Type a sentence..."/>
+  <button onclick="speak()">Speak</button>
+</div>
+<div style="margin-top: 0.6em;">
+  <label>speaker <select id="speaker"><option value=""></option></select></label>
+  <label>language <select id="language"><option value=""></option></select></label>
+  <label>style wav <input id="style_wav" size="24" placeholder="(server path)"/></label>
+</div>
+<audio id="audio" controls style="margin-top: 1em; width: 100%%;"></audio>
+<script>
+fetch('/details').then(r => r.json()).then(d => {
+  for (const [sel, names] of [["speaker", d.speakers || []], ["language", d.languages || []]]) {
+    const el = document.getElementById(sel);
+    for (const n of names) { const o = document.createElement('option'); o.value = o.text = n; el.add(o); }
+  }
+});
+function speak() {
+  const p = new URLSearchParams({text: document.getElementById('text').value});
+  for (const [k, id] of [["speaker_id", "speaker"], ["language_id", "language"], ["style_wav", "style_wav"]]) {
+    const v = document.getElementById(id).value;
+    if (v) p.set(k, v);
+  }
+  const a = document.getElementById('audio');
+  a.src = '/api/tts?' + p.toString();
+  a.play();
+}
+</script>
 </body></html>"""
 
 
@@ -43,9 +67,13 @@ def create_handler(synthesizer, lock: threading.Lock):
             self.end_headers()
             self.wfile.write(content)
 
-        def _synthesize(self, text: str, speaker: str = None, language: str = None) -> bytes:
+        def _synthesize(self, text: str, speaker: str = None, language: str = None,
+                        style_wav: str = None, speaker_wav: str = None) -> bytes:
             with lock:
-                wav = synthesizer.tts(text, speaker_name=speaker or None, language_name=language or None)
+                wav = synthesizer.tts(
+                    text, speaker_name=speaker or None, language_name=language or None,
+                    style_wav=style_wav or None, speaker_wav=speaker_wav or None,
+                )
             buf = io.BytesIO()
             import scipy.io.wavfile
 
@@ -69,13 +97,19 @@ def create_handler(synthesizer, lock: threading.Lock):
                     text,
                     (qs.get("speaker_id") or [None])[0],
                     (qs.get("language_id") or [None])[0],
+                    (qs.get("style_wav") or [None])[0],
+                    (qs.get("speaker_wav") or [None])[0],
                 )
                 self._send(200, wav, "audio/wav")
             elif route == "/details":
+                sm = getattr(synthesizer.tts_model, "speaker_manager", None) if synthesizer.tts_model else None
+                lm = getattr(synthesizer.tts_model, "language_manager", None) if synthesizer.tts_model else None
                 details = {
                     "tts_config": synthesizer.tts_config.to_dict()
                     if synthesizer.tts_config
                     else None,
+                    "speakers": list(getattr(sm, "name_to_id", {}) or {}) if sm else [],
+                    "languages": list(getattr(lm, "name_to_id", {}) or {}) if lm else [],
                 }
                 self._send(200, json.dumps(details, default=str).encode(), "application/json")
             elif route == "/locales":  # MaryTTS compat
