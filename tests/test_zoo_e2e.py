@@ -23,27 +23,12 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _stub_ref_deps():
-    def stub(name, **attrs):
-        m = types.ModuleType(name)
-        for k, v in attrs.items():
-            setattr(m, k, v)
-        sys.modules.setdefault(name, m)
-        return sys.modules[name]
+    # shared stubs (proper __spec__, real packages preferred) so this file
+    # composes with the other reference-importing tests in one process
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from ref_stubs import install_reference_stubs
 
-    stub("coqpit", Coqpit=object)
-    lib = stub("librosa", magphase=None, pyin=None, stft=None, istft=None, resample=None,
-               load=None, to_mono=None)
-    lib.effects = stub("librosa.effects", trim=None)
-    lib.filters = stub("librosa.filters", mel=None)
-    lib.feature = stub("librosa.feature", melspectrogram=None)
-    stub("soundfile", read=None, write=None)
-    stub("anyascii", anyascii=lambda s: s)
-    if "/root/reference" not in sys.path:
-        sys.path.insert(0, "/root/reference")
-    for key in list(sys.modules):
-        if key == "TTS" or key.startswith("TTS."):
-            if not str(getattr(sys.modules[key], "__file__", "")).startswith("/root/reference"):
-                del sys.modules[key]
+    install_reference_stubs()
 
 
 # tiny-but-real dims shared between the torch modules and the configs

@@ -171,6 +171,22 @@ def convert_zoo_checkpoint(model_path: str, config_path: str, out_path: str) -> 
     state = load_torch_checkpoint(model_path)
     params = CONVERTERS[name](state, config)
     save_checkpoint(out_path, params, config=config, meta={"converted_from": os.path.basename(model_path)})
+
+    # persist conversion-time adjustments (folded BatchNorms, mel statistics)
+    # back into the zoo config.json so loading via --config_path matches the
+    # converted weights (the reference likewise rewrites downloaded configs,
+    # manage.py:463 _update_paths)
+    import json
+
+    updates = {}
+    for key in ("norm_type", "mel_statistics_mean", "mel_statistics_std"):
+        if hasattr(config, key) and getattr(config, key) is not None:
+            if config_dict.get(key) != getattr(config, key):
+                updates[key] = getattr(config, key)
+    if updates:
+        config_dict.update(updates)
+        with open(config_path, "w") as f:
+            json.dump(config_dict, f, indent=2, default=str)
     return out_path
 
 
