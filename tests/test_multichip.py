@@ -58,3 +58,24 @@ def test_dryrun_multichip_2d_mesh():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8, model_parallel=2)
+
+
+def test_partial_restore_merge():
+    """--restore_path transfer learning: intersecting same-shape leaves are
+    copied, everything else keeps its init (reference set_init_dict,
+    generic_utils.py:149)."""
+    import jax.numpy as jnp
+
+    from tts_tpu.trainer.trainer import Trainer
+
+    target = {"model": {"params": {
+        "a": {"kernel": jnp.zeros((3, 4)), "bias": jnp.zeros((4,))},
+        "b": {"kernel": jnp.ones((2, 2))},
+    }}}
+    source = {"model": {"params": {
+        "a": {"kernel": np.full((3, 4), 7.0), "bias": np.zeros((9,))},
+    }}}
+    merged = Trainer._partial_merge(target, source)
+    assert float(merged["model"]["params"]["a"]["kernel"][0, 0]) == 7.0
+    assert merged["model"]["params"]["a"]["bias"].shape == (4,)
+    assert float(merged["model"]["params"]["b"]["kernel"][0, 0]) == 1.0

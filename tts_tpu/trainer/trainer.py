@@ -224,9 +224,17 @@ class Trainer:
                 return
         payload = load_checkpoint_full(ckpt)
         params, meta = payload["params"], payload.get("meta", {})
-        self.state = self.state.replace(
-            params=jax.tree.map(lambda t, s: jax.numpy.asarray(s), self.state.params, params)
-        )
+        if full_resume:
+            # exact resume: trees must match
+            merged = jax.tree.map(
+                lambda t, s: jax.numpy.asarray(s), self.state.params, params
+            )
+        else:
+            # --restore_path transfer learning: copy every leaf whose path
+            # exists in the checkpoint with a matching shape, keep the fresh
+            # init elsewhere (reference set_init_dict, generic_utils.py:149)
+            merged = self._partial_merge(self.state.params, params)
+        self.state = self.state.replace(params=merged)
         if full_resume:
             import flax.serialization
             import jax.numpy as jnp
@@ -250,6 +258,41 @@ class Trainer:
             f" > Restored checkpoint {ckpt} at step {self.global_step}"
             + ("" if full_resume else " (weights only)")
         )
+
+    @staticmethod
+    def _partial_merge(target, source):
+        """Copy checkpoint leaves into the fresh param tree wherever the
+        path exists with a matching shape; everything else keeps its init
+        (reference partial-restore ``set_init_dict``)."""
+        import numpy as _np
+
+        flat_src = {}
+
+        def _flatten(node, path):
+            if isinstance(node, dict):
+                for k, v in node.items():
+                    _flatten(v, path + (k,))
+            else:
+                flat_src[path] = node
+
+        _flatten(source, ())
+        copied = skipped = 0
+
+        def _key(path):
+            return tuple(getattr(k, "key", getattr(k, "name", str(k))) for k in path)
+
+        def _merge(path, leaf):
+            nonlocal copied, skipped
+            src = flat_src.get(_key(path))
+            if src is not None and _np.shape(src) == _np.shape(leaf):
+                copied += 1
+                return jax.numpy.asarray(src)
+            skipped += 1
+            return leaf
+
+        merged = jax.tree_util.tree_map_with_path(_merge, target)
+        print(f" > Partial restore: {copied} tensors copied, {skipped} kept from init")
+        return merged
 
     # ------------------------------------------------------------------
     def get_dataset(self, samples, is_eval: bool = False):
