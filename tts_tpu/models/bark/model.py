@@ -180,6 +180,33 @@ class Bark:
         )
         return self.semantic_params, self.coarse_params, self.fine_params
 
+    # -- voice cloning (reference inference_funcs.py:105 generate_voice) ---
+    def generate_voice(self, wav: np.ndarray, hubert_params, tokenizer_params,
+                       output_path: str = None, sample_rate: int = 16000):
+        """Reference wav @16 kHz → Bark voice-prompt dict: semantic tokens
+        via HuBERT layer-9 features + the LSTM semantic tokenizer
+        (``models/bark/hubert.py``); coarse/fine codes via EnCodec when the
+        codec is available (gated otherwise, like ``codes_to_audio``)."""
+        from tts_tpu.models.bark.hubert import semantic_tokens_from_audio
+
+        semantic = semantic_tokens_from_audio(
+            np.asarray(wav, np.float32), hubert_params, tokenizer_params
+        )
+        prompt = {"semantic_prompt": semantic}
+        if self.encodec is not None:
+            import torch as _torch
+
+            with _torch.no_grad():
+                frames = self.encodec.encode(
+                    _torch.from_numpy(np.asarray(wav, np.float32))[None, None]
+                )
+            codes = _torch.cat([f[0] for f in frames], dim=-1)[0].numpy()  # [n_q, T]
+            prompt["coarse_prompt"] = codes[:2]
+            prompt["fine_prompt"] = codes
+        if output_path:
+            np.savez(output_path, **prompt)
+        return prompt
+
     # -- stage 1: text → semantic (reference inference_funcs.py:178) -------
     def generate_text_semantic(self, text_tokens: np.ndarray, rng, max_gen_duration_s: float = 8.0,
                                temperature: float = 0.7, top_k: int = 50, top_p: float = 0.95):
