@@ -165,9 +165,14 @@ def test_hifigan_vocoder_train(tmp_path):
         "run_eval": True,
         "seq_len": 2048,
         "eval_split_size": 2,
-        "data_path": os.path.join(FIXTURE, "wavs"),
+        "data_path": str(tmp_path / "wavs"),
         "output_path": str(tmp_path / "run"),
     }
+    # 8 clips keep the GAN smoke inside a CPU budget (the full 128-wav
+    # fixture made 63 steps/epoch x train+resume ~45 min on one core)
+    (tmp_path / "wavs").mkdir()
+    for name in sorted(os.listdir(os.path.join(FIXTURE, "wavs")))[:8]:
+        os.symlink(os.path.join(FIXTURE, "wavs", name), tmp_path / "wavs" / name)
     cfg_path = tmp_path / "config.json"
     cfg_path.write_text(json.dumps(config))
     run_dir = str(tmp_path / "run")
@@ -216,6 +221,28 @@ def test_xtts_gpt_train_with_dataset(tmp_path):
     assert "best_model.msgpack" in files, files
 
 
+def _two_speaker_dataset_cfg(tmp_path):
+    """Coqui-format split of the fixture into two pseudo-speakers (the
+    class-balanced sampler needs >=2 classes; LJSpeech has one)."""
+    root = tmp_path / "data2spk"
+    root.mkdir()
+    os.symlink(os.path.join(FIXTURE, "wavs"), root / "wavs")
+    rows = open(os.path.join(FIXTURE, "metadata.csv")).read().splitlines()[:8]
+    lines = ["audio_file|text|speaker_name"]
+    for i, row in enumerate(rows):
+        name, text = row.split("|")[0], row.split("|")[1]
+        lines.append(f"wavs/{name}.wav|{text}|spk_{i % 2}")
+    (root / "metadata.csv").write_text("\n".join(lines) + "\n")
+    return [{
+        "formatter": "coqui",
+        "dataset_name": "twospk",
+        "path": str(root),
+        "meta_file_train": "metadata.csv",
+        "meta_file_val": "",
+        "language": "en",
+    }]
+
+
 def test_speaker_encoder_train(tmp_path):
     """Speaker-encoder bespoke loop (GE2E) on the fixture speakers."""
     from tts_tpu.bin.train_encoder import main as train_main
@@ -233,7 +260,7 @@ def test_speaker_encoder_train(tmp_path):
         "voice_len": 1.0,
         "loss": "ge2e",
         "lr": 1e-4,
-        "datasets": _dataset_cfg(_mini_fixture(tmp_path, 8)),
+        "datasets": _two_speaker_dataset_cfg(tmp_path),
     }
     cfg_path = tmp_path / "config.json"
     cfg_path.write_text(json.dumps(config))

@@ -66,6 +66,9 @@ _CONFIG_REGISTRY: Dict[str, str] = {
     # encoder
     "speaker_encoder": "tts_tpu.encoder.configs:SpeakerEncoderConfig",
     "emotion_encoder": "tts_tpu.encoder.configs:EmotionEncoderConfig",
+    # bespoke encoder-loop configs name the net directly (train_encoder)
+    "lstm": "tts_tpu.encoder.configs:SpeakerEncoderConfig",
+    "resnet": "tts_tpu.encoder.configs:SpeakerEncoderConfig",
     # vc
     "freevc": "tts_tpu.vc.configs:FreeVCConfig",
 }
