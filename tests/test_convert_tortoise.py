@@ -160,3 +160,43 @@ def test_unified_voice_parity():
     np.testing.assert_allclose(
         np.asarray(mlog), ml.permute(0, 2, 1).numpy(), atol=5e-4
     )
+
+
+def test_tortoise_univnet_vocoder_parity():
+    """Tortoise-bundled UnivNet (reference tortoise/vocoder.py:277) vs our
+    UnivnetGenerator in tortoise mode + convert_tortoise_univnet."""
+    RefVoc = import_reference("TTS.tts.layers.tortoise.vocoder").UnivNetGenerator
+
+    import jax.numpy as jnp
+
+    from tts_tpu.utils.convert import convert_tortoise_univnet
+    from tts_tpu.vocoder.models.univnet_generator import UnivnetGenerator
+
+    torch.manual_seed(0)
+    ref = RefVoc(
+        noise_dim=8, channel_size=12, dilations=[1, 3, 9, 27], strides=[4, 4, 2],
+        lReLU_slope=0.2, kpnet_conv_size=3, hop_length=32, n_mel_channels=100,
+    )
+    ref.eval()  # the reference overrides eval() and returns None
+    state = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+
+    model = UnivnetGenerator(
+        in_channels=8, hidden_channels=12, cond_channels=100,
+        upsample_factors=(4, 4, 2), lvc_layers_each_block=4,
+        kpnet_hidden_channels=64, pad_mode="reflect",
+        kpnet_lrelu_slope=0.2, final_lrelu_slope=0.2,
+        kpnet_residual_style="per_block",
+    )
+    params = convert_tortoise_univnet(state)
+
+    rng = np.random.RandomState(1)
+    c = rng.randn(2, 100, 6).astype(np.float32)  # torch layout [B, M, L]
+    z = rng.randn(2, 8, 6).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(c), torch.from_numpy(z)).numpy()  # [B, 1, T]
+    got = model.apply(
+        params, jnp.asarray(np.swapaxes(c, 1, 2)), jnp.asarray(np.swapaxes(z, 1, 2))
+    )  # [B, T, 1]
+    np.testing.assert_allclose(
+        np.asarray(got)[:, :, 0], want[:, 0, :], atol=2e-5, rtol=1e-4
+    )

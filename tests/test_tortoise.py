@@ -22,12 +22,23 @@ def test_tortoise_pipeline():
     model.init_params(jax.random.PRNGKey(0))
     text = jnp.asarray(np.random.RandomState(0).randint(1, 29, (1, 8)))
     cond = jnp.asarray(np.random.RandomState(1).randn(1, 32, 80).astype(np.float32))
-    out = model.inference(text, cond, rng=jax.random.PRNGKey(2), max_mel_tokens=10)
+    dcond = jnp.asarray(np.random.RandomState(2).randn(1, 24, 20).astype(np.float32))
+    out = model.inference(
+        text, cond, diffusion_cond_mels=dcond, rng=jax.random.PRNGKey(2),
+        max_mel_tokens=10,
+    )
     assert out["codes"].shape == (1, 10)
-    assert out["mel"].shape == (1, 40, 20)
+    n_keep = out["mel"].shape[1]
+    assert n_keep <= 10 * 4 * 24000 // 22050 and n_keep % 1 == 0
+    assert out["mel"].shape[2] == 20
     assert np.isfinite(np.asarray(out["mel"])).all()
     codes = np.asarray(out["codes"])
     assert ((codes >= 0) & (codes < 20)).all()
+    # no stand-in: diffusion conditioning is mandatory
+    import pytest
+
+    with pytest.raises(ValueError):
+        model.inference(text, cond, rng=jax.random.PRNGKey(2), max_mel_tokens=4)
 
 
 def test_dpm_solver_matches_ddim_ode_limit():
@@ -70,3 +81,99 @@ def test_dpm_solver_matches_ddim_ode_limit():
         p = float(jnp.abs(p_arr - ref).mean())
         assert np.isfinite(np.asarray(p_arr)).all()
         assert p < d, (n, p, d)
+
+
+REF_TOKENIZER_JSON = "/root/reference/TTS/tts/utils/assets/tortoise/tokenizer.json"
+
+
+def test_voice_bpe_tokenizer_parity():
+    """Our greedy-BPE VoiceBpeTokenizer vs the HF ``tokenizers`` runtime on
+    the reference vocab (reference ``tortoise/tokenizer.py:25-29``)."""
+    import pytest
+
+    tokenizers = pytest.importorskip("tokenizers")
+    from tts_tpu.models.tortoise.tokenizer import VoiceBpeTokenizer
+
+    ref = tokenizers.Tokenizer.from_file(REF_TOKENIZER_JSON)
+    ours = VoiceBpeTokenizer()  # bundled asset
+
+    texts = [
+        "Hello world.",
+        "The quick brown fox jumps over the lazy dog!",
+        "I owe you $13.50 — pay up, mister; it's overdue.",
+        "Dr. Smith lives on St. George's Rd.",
+        "He said: \"twenty-two llamas?!\"",
+        "aaa bbbb ccccc zzz qqq xyzzy",
+        "1,234,567 and 3rd and 2nd and 1st",
+    ]
+    for txt in texts:
+        pre = ours.preprocess_text(txt).replace(" ", "[SPACE]")
+        ref_ids = ref.encode(pre).ids
+        assert ours.encode(txt) == ref_ids, txt
+        # decode matches the reference decode semantics (tokenizer.py:30-36)
+        ref_dec = ref.decode(ref_ids, skip_special_tokens=False).replace(" ", "")
+        ref_dec = ref_dec.replace("[SPACE]", " ").replace("[STOP]", "").replace("[UNK]", "")
+        assert ours.decode(ref_ids) == ref_dec, txt
+
+
+def test_voice_bpe_tokenizer_hf_format():
+    """Loading an HF-format tokenizer.json directly yields the same ids as
+    the bundled asset (user-supplied vocab path)."""
+    from tts_tpu.models.tortoise.tokenizer import VoiceBpeTokenizer
+
+    ours = VoiceBpeTokenizer()
+    hf = VoiceBpeTokenizer(vocab_file=REF_TOKENIZER_JSON)
+    for txt in ["Testing, one two three.", "it's a-okay y'all"]:
+        assert ours.encode(txt) == hf.encode(txt)
+
+
+def _torch_mel_oracle(wav, sr, n_mels, fmax, htk, power):
+    """torch.stft-based mirror of the reference mel pipelines
+    (torchaudio MelSpectrogram / TTS.utils.audio.torch_transforms.TorchSTFT:
+    center=True, reflect pad, hann, slaney area-norm filterbank)."""
+    import torch
+
+    from tts_tpu.audio.mel import mel_filterbank
+
+    x = torch.from_numpy(np.asarray(wav, np.float32))
+    o = torch.stft(
+        x, 1024, 256, 1024, torch.hann_window(1024), center=True,
+        pad_mode="reflect", onesided=True, return_complex=True,
+    )
+    if power == 2:
+        S = o.abs() ** 2
+    else:
+        S = torch.sqrt(torch.clamp(o.real**2 + o.imag**2, min=1e-8))
+    basis = torch.from_numpy(
+        mel_filterbank(sr, 1024, n_mels, fmin=0.0, fmax=fmax, htk=htk, norm="slaney")
+    ).float()
+    mel = basis @ S
+    return torch.log(torch.clamp(mel, min=1e-5)).numpy()
+
+
+def test_tortoise_tacotron_mel_parity():
+    from tts_tpu.models.tortoise.audio import tacotron_mel
+
+    wav = np.random.RandomState(0).randn(2, 4096).astype(np.float32) * 0.3
+    ref = _torch_mel_oracle(wav, 22050, 80, 8000.0, True, 2)
+    norms = np.linspace(0.5, 2.0, 80).astype(np.float32)
+    got = np.asarray(tacotron_mel(jnp.asarray(wav), mel_norms=norms))
+    ref = ref / norms[None, :, None]
+    assert got.shape == (2, ref.shape[2], 80)
+    np.testing.assert_allclose(np.swapaxes(got, 1, 2), ref, atol=2e-3, rtol=2e-3)
+
+
+def test_tortoise_univnet_mel_parity():
+    from tts_tpu.models.tortoise.audio import (
+        normalize_tacotron_mel,
+        wav_to_univnet_mel,
+    )
+
+    wav = np.random.RandomState(1).randn(1, 4800).astype(np.float32) * 0.3
+    ref = _torch_mel_oracle(wav, 24000, 100, 12000.0, False, 1)
+    got = np.asarray(wav_to_univnet_mel(jnp.asarray(wav)))
+    assert got.shape == (1, ref.shape[2], 100)
+    np.testing.assert_allclose(np.swapaxes(got, 1, 2), ref, atol=2e-3, rtol=2e-3)
+    # normalized variant maps the tacotron range onto [-1, 1]
+    normed = np.asarray(normalize_tacotron_mel(jnp.asarray(ref)))
+    assert normed.max() <= 1.01 and normed.min() >= -1.01

@@ -65,7 +65,10 @@ def main():
         "--config_dataset_path", type=str, required=True,
         help="Training config with the dataset definition to evaluate on.",
     )
-    parser.add_argument("--eval", type=bool, default=True, help="Include the eval split.")
+    parser.add_argument(
+        "--eval", action=argparse.BooleanOptionalAction, default=True,
+        help="Include the eval split (--no-eval to exclude).",
+    )
     args = parser.parse_args()
 
     c_dataset = load_config(args.config_dataset_path)

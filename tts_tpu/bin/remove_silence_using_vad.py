@@ -19,8 +19,8 @@ def main():
     parser.add_argument("--sample_rate", type=int, default=22050)
     parser.add_argument("--threshold", type=float, default=0.35, help="VAD speech threshold")
     parser.add_argument(
-        "--trim_just_beginning_and_end", type=bool, default=True,
-        help="True keeps internal pauses (reference default); False cuts them too",
+        "--trim_just_beginning_and_end", action=argparse.BooleanOptionalAction, default=True,
+        help="keep internal pauses (reference default); --no-trim_just_beginning_and_end cuts them too",
     )
     args = parser.parse_args()
 

@@ -12,6 +12,7 @@ reference bundles a UnivNet — ours plugs ``tts_tpu.vocoder``).
 from __future__ import annotations
 
 import math
+import os
 from typing import Dict, Optional
 
 import flax.linen as nn
@@ -21,8 +22,72 @@ import numpy as np
 
 from tts_tpu.models.xtts.gpt_core import GPT2Core, causal_mask, sample_logits
 
+from .audio import (
+    denormalize_tacotron_mel,
+    format_conditioning,
+    pad_or_truncate,
+    wav_to_univnet_mel,
+)
 from .config import TortoiseArgs, TortoiseConfig
 from .layers import CLVP, AttentionBlock, DiffusionTts
+from .tokenizer import VoiceBpeTokenizer
+
+CALM_TOKEN = 83  # mel code for silence (reference models/tortoise.py:712)
+LOG_MEL_PAD = -11.512925  # log(1e-5): silence frame fed to the vocoder
+
+
+def fix_autoregressive_codes(codes: np.ndarray, stop_token: int,
+                             calm_token: int = CALM_TOKEN) -> np.ndarray:
+    """Re-code the tail of AR outputs the way the DVAE expects (reference
+    ``models/tortoise.py:89 fix_autoregressive_output``): everything from the
+    first stop token on becomes the "calm"/silence code and the final three
+    codes are the DVAE's trained zero-padding suffix (45, 45, 248).
+
+    Vectorized over the batch: [B, T] int codes → [B, T].
+    """
+    codes = np.array(codes)
+    # reduced-dim safety: the DVAE-specific codes must stay inside the vocab
+    suffix = np.minimum([45, 45, 248], stop_token - 1)
+    calm_token = min(calm_token, stop_token - 1)
+    is_stop = codes == stop_token
+    any_stop = is_stop.any(axis=1)
+    first_stop = np.where(any_stop, is_stop.argmax(axis=1), codes.shape[1])
+    tail = np.arange(codes.shape[1])[None, :] >= first_stop[:, None]
+    codes = np.where(tail, calm_token, codes)
+    codes[any_stop, -3:] = suffix
+    return codes
+
+
+def trim_index_at_calm(codes_row: np.ndarray, calm_token: int = CALM_TOKEN,
+                       breathing_room: int = 8) -> int:
+    """Position of the first code where more than ``breathing_room``
+    consecutive calm codes have accumulated (reference
+    ``models/tortoise.py:783-790``); the latents are cut there so the
+    diffusion model stops at end-of-speech."""
+    calm = np.asarray(codes_row) == calm_token
+    run = 0
+    for i, c in enumerate(calm):
+        run = run + 1 if c else 0
+        if run > breathing_room:
+            return i
+    return len(calm)
+
+
+def random_latent_converter_apply(params: Dict[str, np.ndarray], rng,
+                                  channels: int) -> jnp.ndarray:
+    """Inference of the reference ``RandomLatentConverter``
+    (``random_latent_generator.py:39``): 5 EqualLinear layers (lr_mul=0.1,
+    scaled weights, fused leaky-relu ×√2) then a plain Linear, applied to a
+    standard-normal draw."""
+    x = jax.random.normal(rng, (1, channels))
+    lr_mul = 0.1
+    for i in range(5):
+        w, b = params[f"layers.{i}.weight"], params[f"layers.{i}.bias"]
+        scale = (1.0 / math.sqrt(w.shape[1])) * lr_mul
+        x = x @ (w * scale).T
+        x = jax.nn.leaky_relu(x + b * lr_mul, 0.2) * math.sqrt(2.0)
+    w, b = params["layers.5.weight"], params["layers.5.bias"]
+    return x @ w.T + b
 
 
 class TortoiseConditioningEncoder(nn.Module):
@@ -305,9 +370,22 @@ class Tortoise:
             out_channels=a.diff_out_channels, num_heads=a.diff_num_heads,
         )
         self.clvp = CLVP()
+        from tts_tpu.vocoder.models.univnet_generator import UnivnetGenerator
+
+        # the bundled UnivNet vocoder variant (reference tortoise/vocoder.py:277)
+        self.vocoder = UnivnetGenerator(
+            cond_channels=100, pad_mode="reflect", kpnet_lrelu_slope=0.2,
+            final_lrelu_slope=0.2, kpnet_residual_style="per_block",
+        )
+        self.tokenizer = VoiceBpeTokenizer()
         self.ar_params = None
         self.diff_params = None
         self.clvp_params = None  # optional reranker (converted checkpoint)
+        self.vocoder_params = None
+        self.rlg_auto_state = None  # random-voice latent generators
+        self.rlg_diff_state = None
+        self.mel_norms = None  # per-channel norms for the AR conditioning mel
+        self.output_sample_rate = config.audio.output_sample_rate
 
     @classmethod
     def init_from_config(cls, config: TortoiseConfig, samples=None):
@@ -340,28 +418,84 @@ class Tortoise:
         text = jnp.broadcast_to(text_tokens, (k, text_tokens.shape[-1]))
         return self.clvp.apply(self.clvp_params, text, candidate_codes)
 
-    def inference(self, text_tokens: jnp.ndarray, cond_mels: jnp.ndarray, rng=None,
-                  max_mel_tokens: int = 100, diffusion_iterations: Optional[int] = None,
-                  diffusion_cond_mels: Optional[jnp.ndarray] = None,
-                  num_samples: int = 1):
-        """text tokens + conditioning mels → (mel, codes).
+    def get_conditioning_latents(self, voice_samples):
+        """Reference ``tortoise.py:405 get_conditioning_latents`` (averaging
+        mode 0): ``voice_samples`` is a list of ``(wav_22050, wav_24000)``
+        numpy pairs → (auto_latent [1,1,D], diffusion_latent [1,2*MC]).
+        Per-clip latents are averaged (reference ``autoregressive.py:442``
+        / ``diffusion_decoder.py:271`` — with mode-0 equal-length clips the
+        time-concat mean equals the mean of per-clip means)."""
+        a = self.config.model_args
+        auto_lats, diff_lats = [], []
+        for wav22, wav24 in voice_samples:
+            cond = format_conditioning(wav22, mel_norms=self.mel_norms)
+            auto_lats.append(self.autoregressive.apply(
+                self.ar_params, cond, method=self.autoregressive.get_conditioning
+            ))
+            clip = pad_or_truncate(np.asarray(wav24, np.float32).reshape(-1), 102400)
+            dmel = wav_to_univnet_mel(jnp.asarray(clip)[None])
+            diff_lats.append(self.diffusion.apply(
+                self.diff_params, dmel, method=self.diffusion.get_conditioning
+            ))
+        auto = jnp.mean(jnp.stack(auto_lats), axis=0)
+        diff = jnp.mean(jnp.stack(diff_lats), axis=0)
+        return auto, diff
 
-        ``diffusion_cond_mels``: 100-ch univnet-domain mels of the voice
-        clips (reference ``wav_to_univnet_mel``); falls back to resampling
-        the 80-ch AR mels when absent.  ``num_samples > 1`` draws k AR
-        candidates and picks the best by CLVP (when loaded) or by AR
-        length heuristic.
+    def get_random_conditioning_latents(self, rng):
+        """Random-voice latents via the converted RLG nets (reference
+        ``tortoise.py:482``); falls back to scaled normal draws when the
+        ``rlg_auto.pth``/``rlg_diffuser.pth`` weights are not loaded."""
+        r1, r2 = jax.random.split(rng)
+        D = self.config.model_args.ar_model_dim
+        MC2 = 2 * self.config.model_args.diff_model_channels
+        if self.rlg_auto_state is not None and self.rlg_diff_state is not None:
+            auto = random_latent_converter_apply(self.rlg_auto_state, r1, D)
+            diff = random_latent_converter_apply(self.rlg_diff_state, r2, MC2)
+            return auto[:, None, :], diff
+        return (jax.random.normal(r1, (1, 1, D)) * 0.02,
+                jax.random.normal(r2, (1, MC2)) * 0.02)
+
+    def inference(self, text_tokens: jnp.ndarray, cond_mels: Optional[jnp.ndarray] = None,
+                  rng=None, max_mel_tokens: int = 100,
+                  diffusion_iterations: Optional[int] = None,
+                  auto_latent: Optional[jnp.ndarray] = None,
+                  diffusion_latent: Optional[jnp.ndarray] = None,
+                  diffusion_cond_mels: Optional[jnp.ndarray] = None,
+                  num_samples: int = 1, vocode: bool = True):
+        """text tokens + voice conditioning → mel (+ wav when the bundled
+        vocoder weights are loaded) — reference ``tortoise.py:599``.
+
+        Conditioning: either precomputed latents (``auto_latent``
+        [1,1,D] + ``diffusion_latent`` [1,2*MC]) or mels (``cond_mels``
+        [B,T,80] tacotron-domain for the AR; ``diffusion_cond_mels``
+        [B,T,100] univnet-domain, reference ``wav_to_univnet_mel``).
+        ``num_samples > 1`` draws k AR candidates and picks the best by
+        CLVP (when loaded) or by AR length heuristic.
         """
         a = self.config.model_args
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         r1, r2 = jax.random.split(rng)
-        cond_latent = self.autoregressive.apply(
-            self.ar_params, cond_mels, method=self.autoregressive.get_conditioning
-        )
+        if auto_latent is None:
+            if cond_mels is None:
+                raise ValueError("pass auto_latent or cond_mels")
+            auto_latent = self.autoregressive.apply(
+                self.ar_params, cond_mels, method=self.autoregressive.get_conditioning
+            )
+        if diffusion_latent is None:
+            if diffusion_cond_mels is None:
+                raise ValueError(
+                    "pass diffusion_latent or diffusion_cond_mels (univnet-"
+                    "domain, reference tortoise.py:446) — 80-ch AR mels are "
+                    "not a valid substitute"
+                )
+            diffusion_latent = self.diffusion.apply(
+                self.diff_params, diffusion_cond_mels,
+                method=self.diffusion.get_conditioning,
+            )
         B = text_tokens.shape[0]
         k = max(1, num_samples)
         text_rep = jnp.repeat(text_tokens, k, axis=0)
-        cond_rep = jnp.repeat(cond_latent, k, axis=0)
+        cond_rep = jnp.repeat(auto_latent, k, axis=0)
         gen = self.autoregressive.apply(
             self.ar_params, cond_rep, text_rep, r1,
             max_new_tokens=max_mel_tokens,
@@ -369,32 +503,36 @@ class Tortoise:
             repetition_penalty=a.repetition_penalty,
             method=self.autoregressive.generate,
         )
+        codes = np.asarray(gen["codes"])
         if k > 1 and B == 1:
+            fixed = fix_autoregressive_codes(codes, a.ar_stop_mel_token)
             if self.clvp_params is not None:
-                scores = self.rerank(text_tokens[0], gen["codes"])
+                scores = np.asarray(self.rerank(text_tokens[0], jnp.asarray(fixed)))
             else:
-                scores = gen["lengths"].astype(jnp.float32)  # prefer non-degenerate
-            best = jnp.argmax(scores)
-            codes = gen["codes"][best][None]
-            latents = gen["latents"][best][None]
+                scores = np.asarray(gen["lengths"], np.float32)  # prefer non-degenerate
+            best = int(np.argmax(scores))
+            codes = codes[best][None]
             lengths = gen["lengths"][best][None]
         else:
-            codes, latents, lengths = gen["codes"], gen["latents"], gen["lengths"]
+            lengths = gen["lengths"]
+        codes = fix_autoregressive_codes(codes, a.ar_stop_mel_token)
 
-        # diffusion conditioning latent (reference get_conditioning_latents)
-        if diffusion_cond_mels is None:
-            # channel-resample the AR mels as a stand-in for univnet mels
-            idx = jnp.clip(
-                (jnp.arange(a.diff_in_channels) * cond_mels.shape[-1]) // a.diff_in_channels,
-                0, cond_mels.shape[-1] - 1,
-            )
-            diffusion_cond_mels = cond_mels[..., idx]
-        diff_cond = self.diffusion.apply(
-            self.diff_params, diffusion_cond_mels, method=self.diffusion.get_conditioning
+        # Teacher-forced re-run over the fixed codes for the diffusion
+        # conditioning latents (reference tortoise.py:761 return_latent=True)
+        _, _, mel_latents = self.autoregressive.apply(
+            self.ar_params, auto_latent, text_tokens, jnp.asarray(codes),
         )
-        T_mel = latents.shape[1] * 4  # 4 output frames per code (24 kHz domain)
+        latents = mel_latents[:, :-2]  # strip the start/stop positions
+
+        # cut at end-of-speech so the diffusion model can terminate
+        calm = min(CALM_TOKEN, a.ar_stop_mel_token - 1)
+        n_keep = max(1, trim_index_at_calm(codes[0], calm_token=calm))
+        latents = latents[:, :n_keep]
+
+        # 22.05 kHz code frames → 24 kHz output frames (tortoise.py:132)
+        T_mel = latents.shape[1] * 4 * 24000 // 22050
         embeddings = self.diffusion.apply(
-            self.diff_params, latents, diff_cond, T_mel,
+            self.diff_params, latents, diffusion_latent, T_mel,
             method=self.diffusion.timestep_independent,
         )
         sampler = SAMPLERS.get(getattr(a, "sampler", "ddim"), ddim_sample)
@@ -404,7 +542,90 @@ class Tortoise:
             in_channels=a.diff_in_channels, temperature=a.diffusion_temperature,
             cond_free=a.cond_free, cond_free_k=a.cond_free_k,
         )
-        return {"mel": mel, "codes": codes, "code_lengths": lengths}
+        mel = denormalize_tacotron_mel(mel)
+        out = {"mel": mel, "codes": jnp.asarray(codes), "code_lengths": lengths}
+        if vocode and self.vocoder_params is not None:
+            r3 = jax.random.fold_in(r2, 1)
+            out["wav"] = self.vocode(mel, r3)
+        return out
+
+    def vocode(self, mel: jnp.ndarray, rng) -> jnp.ndarray:
+        """Denormalized log-mel [B, T, 100] → wav [B, T*256] via the bundled
+        UnivNet (reference ``tortoise/vocoder.py:363 inference``: 10 silence
+        frames appended against edge artifacts, trimmed post-hoc)."""
+        B, T, _ = mel.shape
+        pad = jnp.full((B, 10, mel.shape[-1]), LOG_MEL_PAD, mel.dtype)
+        melp = jnp.concatenate([mel, pad], axis=1)
+        noise = jax.random.normal(rng, (B, melp.shape[1], 64))
+        wav = self.vocoder.apply(self.vocoder_params, melp, noise)[..., 0]
+        wav = wav[:, : 256 * T]
+        return jnp.clip(wav, -1.0, 1.0)
+
+    def synthesize(self, text: str, config=None, speaker_id: Optional[str] = None,
+                   speaker_wav=None, voice_dirs=None, language=None, rng=None,
+                   **kwargs):
+        """Full text→speech (reference ``tortoise.py:503 synthesize``):
+        resolves the voice (reference wav paths, a voice directory, or the
+        random-voice latent generators), tokenizes, and runs the pipeline.
+        Returns ``{"wav": np.ndarray}`` at 24 kHz for the Synthesizer
+        dispatch (``utils/synthesizer.py``)."""
+        import glob as _glob
+
+        from tts_tpu.audio.numpy_transforms import load_wav
+
+        a = self.config.model_args
+        rng = rng if rng is not None else jax.random.PRNGKey(
+            int(kwargs.pop("seed", 0))
+        )
+        wav_paths = []
+        if speaker_wav is not None:
+            wav_paths = [speaker_wav] if isinstance(speaker_wav, str) else list(speaker_wav)
+        elif voice_dirs is not None and speaker_id not in (None, "random"):
+            dirs = [voice_dirs] if isinstance(voice_dirs, str) else list(voice_dirs)
+            for d in dirs:
+                wav_paths += sorted(_glob.glob(os.path.join(d, speaker_id, "*.wav")))
+            if not wav_paths:
+                raise ValueError(f"no reference wavs for voice {speaker_id!r} in {dirs}")
+        if wav_paths:
+            samples = [
+                (load_wav(filename=p, sample_rate=22050, resample=True),
+                 load_wav(filename=p, sample_rate=24000, resample=True))
+                for p in wav_paths
+            ]
+            auto_latent, diffusion_latent = self.get_conditioning_latents(samples)
+        else:  # "random" voice
+            r_v, rng = jax.random.split(rng)
+            auto_latent, diffusion_latent = self.get_random_conditioning_latents(r_v)
+
+        ids = self.tokenizer.encode(text)
+        ids = ids + [a.ar_stop_text_token]  # reference tortoise.py:677 pad
+        if len(ids) >= 400:
+            raise ValueError(
+                "Too much text for one Tortoise pass; split into sentences "
+                f"(got {len(ids)} tokens, reference cap 400)"
+            )
+        text_tokens = jnp.asarray(np.asarray(ids, np.int32)[None])
+        out = self.inference(
+            text_tokens,
+            rng=rng,
+            auto_latent=auto_latent,
+            diffusion_latent=diffusion_latent,
+            max_mel_tokens=kwargs.pop("max_mel_tokens", 500),
+            diffusion_iterations=kwargs.pop(
+                "diffusion_iterations", a.diffusion_iterations),
+            num_samples=kwargs.pop(
+                "num_autoregressive_samples", a.num_autoregressive_samples),
+        )
+        if "wav" not in out:
+            raise RuntimeError(
+                "tortoise vocoder weights not loaded (vocoder.pth missing "
+                "from the checkpoint dir)"
+            )
+        return {
+            "wav": np.asarray(out["wav"][0]),
+            "text_inputs": ids,
+            "conditioning_latents": (auto_latent, diffusion_latent),
+        }
 
 
 def _load_or_convert(path_torch: str, convert_fn, cache_suffix="_flax.msgpack"):
@@ -427,20 +648,23 @@ def _load_or_convert(path_torch: str, convert_fn, cache_suffix="_flax.msgpack"):
 
 def load_tortoise_checkpoint(model: "Tortoise", checkpoint_dir: str) -> "Tortoise":
     """Load the reference tortoise-v2 zoo layout (``autoregressive.pth``,
-    ``diffusion_decoder.pth``, ``clvp2.pth``), converting each to flax on
-    first use (reference ``models/tortoise.py load_checkpoint``)."""
-    import os
-
+    ``diffusion_decoder.pth``, ``clvp2.pth``, ``vocoder.pth``,
+    ``mel_norms.pth``, ``rlg_auto.pth``, ``rlg_diffuser.pth``), converting
+    each to flax on first use (reference ``models/tortoise.py
+    load_checkpoint``)."""
     from tts_tpu.utils.convert import (
         convert_clvp,
         convert_diffusion_decoder,
+        convert_tortoise_univnet,
         convert_unified_voice,
+        load_torch_checkpoint,
     )
 
     a = model.config.model_args
     ar = os.path.join(checkpoint_dir, "autoregressive.pth")
     diff = os.path.join(checkpoint_dir, "diffusion_decoder.pth")
     clvp = os.path.join(checkpoint_dir, "clvp2.pth")
+    voc = os.path.join(checkpoint_dir, "vocoder.pth")
     if os.path.isfile(ar):
         model.ar_params = {"params": _load_or_convert(
             ar, lambda s: convert_unified_voice(s, layers=a.ar_layers))["params"]}
@@ -449,6 +673,24 @@ def load_tortoise_checkpoint(model: "Tortoise", checkpoint_dir: str) -> "Tortois
             diff, lambda s: convert_diffusion_decoder(s, num_layers=a.diff_num_layers))["params"]}
     if os.path.isfile(clvp):
         model.clvp_params = {"params": _load_or_convert(clvp, convert_clvp)["params"]}
+    if os.path.isfile(voc):
+        model.vocoder_params = {"params": _load_or_convert(
+            voc, convert_tortoise_univnet)["params"]}
+    norms = os.path.join(checkpoint_dir, "mel_norms.pth")
+    if os.path.isfile(norms):
+        loaded = load_torch_checkpoint(norms)
+        model.mel_norms = np.asarray(
+            loaded if not isinstance(loaded, dict) else next(iter(loaded.values())),
+            np.float32,
+        )
+    for attr, name in (("rlg_auto_state", "rlg_auto.pth"),
+                       ("rlg_diff_state", "rlg_diffuser.pth")):
+        p = os.path.join(checkpoint_dir, name)
+        if os.path.isfile(p):
+            setattr(model, attr, {
+                k: np.asarray(v, np.float32)
+                for k, v in load_torch_checkpoint(p).items()
+            })
     return model
 
 

@@ -105,6 +105,24 @@ def _hira_to_kata(text: str) -> str:
 
 
 _TAGGER = None
+_WARNED_KANJI = False
+
+
+def _warn_kanji_passthrough() -> None:
+    """Emit one warning when kanji pass through untransliterated because no
+    morphological analyzer (fugashi/MeCab) is importable — reference uses
+    cutlet romaji here (``xtts/tokenizer.py:578``)."""
+    global _WARNED_KANJI
+    if not _WARNED_KANJI:
+        import warnings
+
+        warnings.warn(
+            "Japanese input contains kanji but fugashi/MeCab is not installed; "
+            "kanji pass through untransliterated. Install fugashi (+unidic) for "
+            "reference-equivalent romaji.",
+            stacklevel=3,
+        )
+        _WARNED_KANJI = True
 
 
 def _text_to_kata(text: str) -> str:
@@ -124,6 +142,8 @@ def _text_to_kata(text: str) -> str:
                 _TAGGER = False
     text = _hira_to_kata(text)
     if _TAGGER is False or not re.search(r"[一-鿿]", text):
+        if _TAGGER is False and re.search(r"[一-鿿]", text):
+            _warn_kanji_passthrough()
         return text
     try:  # fugashi word objects expose .feature.kana / MeCab parses to CSV
         words = []

@@ -853,6 +853,131 @@ def convert_univnet_generator(state, num_blocks=3, kpnet_res_blocks=3):
     return {"params": p}
 
 
+def convert_tortoise_univnet(state, num_blocks=3, kpnet_res_blocks=3, lvc_convs=4):
+    """Tortoise-bundled UnivNet vocoder (reference
+    ``TTS/tts/layers/tortoise/vocoder.py:277`` — ``vocoder.pth`` under the
+    ``model_g`` subkey).  Use with ``UnivnetGenerator(pad_mode="reflect",
+    kpnet_lrelu_slope=0.2, final_lrelu_slope=0.2,
+    kpnet_residual_style="per_block", cond_channels=100)``."""
+    if "model_g" in state:
+        state = state["model_g"]
+    state = fold_weight_norm(state)
+    p = {
+        "first_conv": _plain_conv(state, "conv_pre"),
+        "last_conv": _plain_conv(state, "conv_post.1"),
+    }
+    for i in range(num_blocks):
+        k = f"res_stack.{i}"
+        blk = {
+            "upsample": _convtranspose(state, f"{k}.convt_pre.1"),
+            "kernel_predictor": {
+                "input_conv": _plain_conv(state, f"{k}.kernel_predictor.input_conv.0"),
+                "kernel_conv": _plain_conv(state, f"{k}.kernel_predictor.kernel_conv"),
+                "bias_conv": _plain_conv(state, f"{k}.kernel_predictor.bias_conv"),
+            },
+        }
+        for d in range(lvc_convs):
+            blk[f"conv_{d}"] = _plain_conv(state, f"{k}.conv_blocks.{d}.1")
+        for r in range(kpnet_res_blocks):
+            blk["kernel_predictor"][f"res_{r}a"] = _plain_conv(
+                state, f"{k}.kernel_predictor.residual_convs.{r}.1"
+            )
+            blk["kernel_predictor"][f"res_{r}b"] = _plain_conv(
+                state, f"{k}.kernel_predictor.residual_convs.{r}.3"
+            )
+        p[f"lvc_{i}"] = blk
+    return {"params": p}
+
+
+# ---------------------------------------------------------------------------
+# EnCodec decoder (Bark waveform stage; HF transformers EncodecModel or the
+# original `encodec` package checkpoint layout)
+# ---------------------------------------------------------------------------
+
+def _normalize_encodec_keys(state):
+    """Map the original ``encodec`` package state-dict names onto the HF
+    ``EncodecModel`` ones (same structure, different nesting)."""
+    out = {}
+    for k, v in state.items():
+        k = k.replace("decoder.model.", "decoder.layers.")
+        k = k.replace("encoder.model.", "encoder.layers.")
+        k = k.replace(".conv.conv.", ".conv.")
+        k = k.replace(".convtr.convtr.", ".conv.")
+        k = k.replace("quantizer.vq.layers.", "quantizer.layers.")
+        k = k.replace("._codebook.", ".codebook.")
+        out[k] = v
+    return out
+
+
+def convert_encodec_decoder(state, upsampling_ratios=(8, 5, 4, 2),
+                            num_residual_layers=1, num_lstm_layers=2,
+                            num_quantizers=None):
+    """HF ``EncodecModel`` (or original ``encodec``) state dict → flax
+    ``EncodecDecoder`` params + RVQ codebooks.
+
+    Returns ``(params, codebooks [n_q, bins, D])`` — encoder weights are
+    ignored (Bark only decodes).
+    """
+    state = fold_weight_norm(_normalize_encodec_keys(state))
+    p = {
+        "layer_0": {"conv": _plain_conv(state, "decoder.layers.0.conv")},
+    }
+    for l in range(num_lstm_layers):
+        p[f"lstm_{l}"] = _lstm_cell(state, "decoder.layers.1.lstm", f"_l{l}")
+    idx = 2
+    for _ in upsampling_ratios:
+        idx += 1  # ELU
+        p[f"layer_{idx}"] = {
+            "conv": _convtranspose(state, f"decoder.layers.{idx}.conv")
+        }
+        for _ in range(num_residual_layers):
+            idx += 1
+            p[f"layer_{idx}"] = {
+                "block_1": {"conv": _plain_conv(state, f"decoder.layers.{idx}.block.1.conv")},
+                "block_3": {"conv": _plain_conv(state, f"decoder.layers.{idx}.block.3.conv")},
+                "shortcut": {"conv": _plain_conv(state, f"decoder.layers.{idx}.shortcut.conv")},
+            }
+        idx += 1
+    idx += 1
+    p[f"layer_{idx}"] = {"conv": _plain_conv(state, f"decoder.layers.{idx}.conv")}
+
+    cb_keys = sorted(
+        (k for k in state if k.startswith("quantizer.layers.") and k.endswith(".codebook.embed")),
+        key=lambda k: int(k.split(".")[2]),
+    )
+    if num_quantizers is not None:
+        cb_keys = cb_keys[:num_quantizers]
+    codebooks = np.stack([state[k] for k in cb_keys]) if cb_keys else None
+    return {"params": p}, codebooks
+
+
+def convert_encodec_encoder(state, upsampling_ratios=(8, 5, 4, 2),
+                            num_residual_layers=1, num_lstm_layers=2):
+    """HF/original EnCodec state dict → flax ``EncodecEncoder`` params
+    (``encoder.layers.*``, same ModuleList-index naming as the decoder)."""
+    state = fold_weight_norm(_normalize_encodec_keys(state))
+    p = {
+        "layer_0": {"conv": _plain_conv(state, "encoder.layers.0.conv")},
+    }
+    idx = 0
+    for _ in reversed(list(upsampling_ratios)):
+        for _ in range(num_residual_layers):
+            idx += 1
+            p[f"layer_{idx}"] = {
+                "block_1": {"conv": _plain_conv(state, f"encoder.layers.{idx}.block.1.conv")},
+                "block_3": {"conv": _plain_conv(state, f"encoder.layers.{idx}.block.3.conv")},
+                "shortcut": {"conv": _plain_conv(state, f"encoder.layers.{idx}.shortcut.conv")},
+            }
+        idx += 2  # ELU + strided conv
+        p[f"layer_{idx}"] = {"conv": _plain_conv(state, f"encoder.layers.{idx}.conv")}
+    lstm_idx = idx + 1
+    for l in range(num_lstm_layers):
+        p[f"lstm_{l}"] = _lstm_cell(state, f"encoder.layers.{lstm_idx}.lstm", f"_l{l}")
+    out_idx = lstm_idx + 2
+    p[f"layer_{out_idx}"] = {"conv": _plain_conv(state, f"encoder.layers.{out_idx}.conv")}
+    return {"params": p}
+
+
 # ---------------------------------------------------------------------------
 # WaveGrad (reference TTS/vocoder/models/wavegrad.py:36)
 # ---------------------------------------------------------------------------

@@ -53,6 +53,11 @@ def synthesis(
         if ap is not None:
             style_mel = ap.melspectrogram(np.asarray(style_wav, np.float32))
             aux_input["style_mel"] = jnp.asarray(style_mel.T[None])  # [1, T, M]
+        else:
+            raise ValueError(
+                "style_wav was given but no AudioProcessor is available to "
+                "compute the style mel; pass `ap` or precompute the style."
+            )
     if style_text is not None:
         aux_input["style_text"] = style_text
 

@@ -29,20 +29,30 @@ class KernelPredictor(nn.Module):
     kpnet_hidden_channels: int = 64
     kpnet_conv_size: int = 3
     kpnet_dropout: float = 0.0
+    lrelu_slope: float = 0.1  # tortoise-bundled variant uses 0.2
+    # "shared": one residual add around the whole 3-block stack (reference
+    # vocoder/layers/lvc_block.py:75); "per_block": residual add after each
+    # block (tortoise-bundled variant, tts/layers/tortoise/vocoder.py:108)
+    residual_style: str = "shared"
 
     @nn.compact
     def __call__(self, c, train: bool = False):  # c: [B, L, C_cond]
         B, L, _ = c.shape
         kh = self.kpnet_hidden_channels
+        s = self.lrelu_slope
         pad = (self.kpnet_conv_size - 1) // 2
         h = nn.Conv(kh, (5,), padding=[(2, 2)], name="input_conv")(c)
-        h = nn.leaky_relu(h, 0.1)
+        h = nn.leaky_relu(h, s)
         r = h
         for i in range(3):
             r = nn.Dropout(self.kpnet_dropout, deterministic=not train)(r)
-            r = nn.leaky_relu(nn.Conv(kh, (self.kpnet_conv_size,), padding=[(pad, pad)], name=f"res_{i}a")(r), 0.1)
-            r = nn.leaky_relu(nn.Conv(kh, (self.kpnet_conv_size,), padding=[(pad, pad)], name=f"res_{i}b")(r), 0.1)
-        h = h + r
+            r = nn.leaky_relu(nn.Conv(kh, (self.kpnet_conv_size,), padding=[(pad, pad)], name=f"res_{i}a")(r), s)
+            r = nn.leaky_relu(nn.Conv(kh, (self.kpnet_conv_size,), padding=[(pad, pad)], name=f"res_{i}b")(r), s)
+            if self.residual_style == "per_block":
+                r = h + r
+                h = r
+        if self.residual_style != "per_block":
+            h = h + r
         l_w = self.conv_in_channels * self.conv_out_channels * self.conv_kernel_size * self.conv_layers
         l_b = self.conv_out_channels * self.conv_layers
         k = nn.Conv(l_w, (self.kpnet_conv_size,), padding=[(pad, pad)], name="kernel_conv")(h)
@@ -87,6 +97,8 @@ class LVCBlock(nn.Module):
     kpnet_hidden_channels: int = 64
     kpnet_conv_size: int = 3
     kpnet_dropout: float = 0.0
+    kpnet_lrelu_slope: float = 0.1
+    kpnet_residual_style: str = "shared"
 
     @nn.compact
     def __call__(self, x, c, train: bool = False):
@@ -98,6 +110,8 @@ class LVCBlock(nn.Module):
             kpnet_hidden_channels=self.kpnet_hidden_channels,
             kpnet_conv_size=self.kpnet_conv_size,
             kpnet_dropout=self.kpnet_dropout,
+            lrelu_slope=self.kpnet_lrelu_slope,
+            residual_style=self.kpnet_residual_style,
             name="kernel_predictor",
         )(c, train=train)
         x = nn.leaky_relu(x, 0.2)
@@ -140,6 +154,18 @@ class UnivnetGenerator(nn.Module):
     kpnet_hidden_channels: int = 64
     kpnet_conv_size: int = 3
     dropout: float = 0.0
+    # the tortoise-bundled variant (reference tts/layers/tortoise/vocoder.py:277)
+    # uses reflect-padded edge convs and 0.2 slopes throughout
+    pad_mode: str = "zeros"
+    kpnet_lrelu_slope: float = 0.1
+    final_lrelu_slope: float = 0.1
+    kpnet_residual_style: str = "shared"
+
+    def _edge_conv(self, h, features: int, name: str):
+        if self.pad_mode == "reflect":
+            h = jnp.pad(h, ((0, 0), (3, 3), (0, 0)), mode="reflect")
+            return nn.Conv(features, (7,), padding="VALID", name=name)(h)
+        return nn.Conv(features, (7,), padding=[(3, 3)], name=name)(h)
 
     @nn.compact
     def __call__(self, c, x=None, train: bool = False):
@@ -147,7 +173,7 @@ class UnivnetGenerator(nn.Module):
         total = int(np.prod(self.upsample_factors))
         if x is None:
             x = jax.random.normal(self.make_rng("noise"), (c.shape[0], c.shape[1], self.in_channels))
-        h = nn.Conv(self.hidden_channels, (7,), padding=[(3, 3)], name="first_conv")(x)
+        h = self._edge_conv(x, self.hidden_channels, "first_conv")
         cond_hop = 1
         for n, f in enumerate(self.upsample_factors):
             cond_hop *= f
@@ -160,8 +186,10 @@ class UnivnetGenerator(nn.Module):
                 kpnet_hidden_channels=self.kpnet_hidden_channels,
                 kpnet_conv_size=self.kpnet_conv_size,
                 kpnet_dropout=self.dropout,
+                kpnet_lrelu_slope=self.kpnet_lrelu_slope,
+                kpnet_residual_style=self.kpnet_residual_style,
                 name=f"lvc_{n}",
             )(h, c, train=train)
-        h = nn.leaky_relu(h, 0.1)  # reference LRELU_SLOPE (univnet_generator.py:10)
-        h = nn.Conv(self.out_channels, (7,), padding=[(3, 3)], name="last_conv")(h)
+        h = nn.leaky_relu(h, self.final_lrelu_slope)  # reference LRELU_SLOPE
+        h = self._edge_conv(h, self.out_channels, "last_conv")
         return jnp.tanh(h)
