@@ -119,3 +119,76 @@ def test_align_and_redact():
     # no brackets → untouched
     same = aligner.redact(audio, bare, audio_sample_rate=16000)
     assert same is audio
+
+
+def test_align_matches_reference_loop():
+    """Behavioral equivalence of our vectorized align/redact against the
+    reference's frame-popping loop (wav2vec_alignment.py:55-150), driven by
+    the same synthetic logits."""
+    import types
+
+    ref_mod = import_reference("TTS.tts.layers.tortoise.wav2vec_alignment")
+
+    vocab = {"~": 0}
+    for i, c in enumerate(" abcdefghijklmnopqrstuvwxyz", start=1):
+        vocab[c] = i
+    inv = {v: k for k, v in vocab.items()}
+
+    bare = "keep this cut this and keep that"
+    spf = 160
+    # synthetic frame tokens: each char twice, pad frames between words,
+    # plus noise frames that match nothing
+    ids = []
+    for ch in bare:
+        ids += [vocab[ch], vocab[ch], 0]
+    ids += [0] * 7
+    frames = len(ids)
+    logits = np.zeros((frames, len(vocab)), np.float32)
+    logits[np.arange(frames), ids] = 5.0
+
+    audio_np = np.random.RandomState(0).randn(frames * spf).astype(np.float32)
+
+    ours = Wav2VecAlignment(lambda wav: logits, vocab)
+    got = ours.align(audio_np, bare, audio_sample_rate=16000)
+
+    # reference oracle: bypass __init__ (it downloads weights), patch the
+    # pieces align() touches
+    ref = ref_mod.Wav2VecAlignment.__new__(ref_mod.Wav2VecAlignment)
+    ref.device = "cpu"
+
+    class _Model:
+        def to(self, d):
+            return self
+
+        def cpu(self):
+            return self
+
+        def __call__(self, x):
+            return types.SimpleNamespace(logits=torch.from_numpy(logits[None]))
+
+    class _Tok:
+        def encode(self, text):
+            return [vocab.get(c, 0) for c in text]
+
+        def decode(self, ids_):
+            out, prev = [], None
+            for t in ids_:
+                if t != prev and t != 0:
+                    out.append(inv[int(t)])
+                prev = t
+            return "".join(out)
+
+    ref.model = _Model()
+    ref.tokenizer = _Tok()
+    import torchaudio as ta_stub
+
+    ta_stub.functional = types.SimpleNamespace(resample=lambda a, s, t: a)
+
+    want = ref.align(torch.from_numpy(audio_np), bare, audio_sample_rate=16000)
+    assert got == [int(w) for w in want], (got[:8], [int(w) for w in want][:8])
+
+    # redact equivalence
+    text = "keep this [cut this] and keep that"
+    got_r = ours.redact(audio_np, text, audio_sample_rate=16000)
+    want_r = ref.redact(torch.from_numpy(audio_np)[None], text, audio_sample_rate=16000)
+    np.testing.assert_array_equal(got_r, want_r[0].numpy())

@@ -144,93 +144,98 @@ class Wav2VecAlignment:
     def _encode(self, text: str) -> List[int]:
         return [self.vocab[c] for c in text if c in self.vocab]
 
-    def align(self, audio: np.ndarray, expected_text: str,
-              audio_sample_rate: int = 24000) -> List[int]:
-        """Per-character sample offsets of ``expected_text`` in ``audio``
-        (reference ``align``, wav2vec_alignment.py:55)."""
+    def _ctc_frame_ids(self, audio: np.ndarray, sample_rate: int) -> np.ndarray:
+        """Greedy per-frame token ids for 16 kHz-normalized audio."""
         from tts_tpu.audio.numpy_transforms import resample_wav
 
-        orig_len = len(audio)
         wav = np.asarray(audio, np.float32)
-        if audio_sample_rate != 16000:
-            wav = resample_wav(wav, audio_sample_rate, 16000)
+        if sample_rate != 16000:
+            wav = resample_wav(wav, sample_rate, 16000)
         wav = (wav - wav.mean()) / np.sqrt(wav.var() + 1e-7)
         logits = np.asarray(self.logits_fn(wav[None]))
         if logits.ndim == 3:
             logits = logits[0]
+        return logits.argmax(-1).astype(np.int64)
 
-        pred_string = self._decode(logits.argmax(-1).tolist())
-        fixed_expectation = max_alignment(expected_text.lower(), pred_string)
-        w2v_compression = orig_len // logits.shape[0]
-        # encode per character, keeping ~ placeholders aligned with chars
-        expected_tokens = [self.vocab.get(c, -2) for c in fixed_expectation]
-        expected_chars = list(fixed_expectation)
-        if len(expected_tokens) <= 1:
+    @staticmethod
+    def _fill_gaps(offsets: np.ndarray) -> np.ndarray:
+        """Replace ``-1`` entries by integer linear interpolation between
+        the surrounding anchors (vectorized; exact // arithmetic so results
+        are deterministic ints)."""
+        miss = offsets < 0
+        if not miss.any():
+            return offsets
+        idx = np.arange(len(offsets))
+        anchors = idx[~miss]
+        prev = anchors[np.searchsorted(anchors, idx, side="right") - 1]
+        nxt = anchors[np.searchsorted(anchors, idx, side="left").clip(max=len(anchors) - 1)]
+        a, b = offsets[prev], offsets[nxt]
+        span = np.maximum(nxt - prev, 1)
+        interp = a + (idx - prev) * (b - a) // span
+        return np.where(miss, interp, offsets)
+
+    def align(self, audio: np.ndarray, expected_text: str,
+              audio_sample_rate: int = 24000) -> List[int]:
+        """Per-character sample offsets of ``expected_text`` in ``audio``.
+
+        Behavior-compatible with the reference aligner
+        (``wav2vec_alignment.py:55``): characters the CTC pass cannot match
+        are interpolated between their matched neighbours; a character whose
+        token never appears in the remaining frames is an error.
+        """
+        samples = len(audio)
+        frame_ids = self._ctc_frame_ids(audio, audio_sample_rate)
+        samples_per_frame = samples // len(frame_ids)
+
+        heard = self._decode(frame_ids.tolist())
+        # project the expected text onto what was actually heard; unheard
+        # characters become "~" and are later interpolated
+        matched_text = max_alignment(expected_text.lower(), heard)
+        if len(matched_text) <= 1:
             return [0]
-        expected_tokens.pop(0)
-        expected_chars.pop(0)
 
-        alignments = [0]
-
-        def pop_till_you_win():
-            if not expected_tokens:
-                return None
-            popped = expected_tokens.pop(0)
-            popped_char = expected_chars.pop(0)
-            while popped_char == "~":
-                alignments.append(-1)
-                if not expected_tokens:
-                    return None
-                popped = expected_tokens.pop(0)
-                popped_char = expected_chars.pop(0)
-            return popped
-
-        next_expected = pop_till_you_win()
-        for i, frame in enumerate(logits):
-            if next_expected == int(frame.argmax()):
-                alignments.append(i * w2v_compression)
-                if expected_tokens:
-                    next_expected = pop_till_you_win()
-                else:
-                    break
-        pop_till_you_win()
-        if expected_tokens or len(alignments) != len(expected_text):
-            raise RuntimeError(
-                f"alignment failed: {len(expected_tokens)} tokens left, "
-                f"{len(alignments)}/{len(expected_text)} chars aligned"
-            )
-
-        # interpolate the unmatched (-1) positions (reference :111-122)
-        alignments.append(orig_len)
-        for i in range(len(alignments)):
-            if alignments[i] == -1:
-                next_found = next(
-                    j for j in range(i + 1, len(alignments)) if alignments[j] != -1
+        # one offset per character: 0 for the first, -1 for unheard, else
+        # the next frame (left to right) whose greedy token matches
+        offsets = np.full(len(matched_text), -1, np.int64)
+        offsets[0] = 0
+        cursor = 0  # frames before this are consumed
+        for pos, ch in enumerate(matched_text[1:], start=1):
+            if ch == "~":
+                continue
+            token = self.vocab.get(ch, -2)
+            hits = np.flatnonzero(frame_ids[cursor:] == token)
+            if not hits.size:
+                raise RuntimeError(
+                    f"alignment failed at char {pos} ({ch!r}): token {token} "
+                    f"not found after frame {cursor} "
+                    f"({(offsets >= 0).sum()}/{len(expected_text)} chars aligned)"
                 )
-                for j in range(i, next_found):
-                    gap = alignments[next_found] - alignments[i - 1]
-                    alignments[j] = (j - i + 1) * gap // (next_found - i + 1) + alignments[i - 1]
-        return alignments[:-1]
+            cursor += int(hits[0]) + 1
+            offsets[pos] = (cursor - 1) * samples_per_frame
+
+        # interpolate the unheard characters; the audio end anchors the tail
+        offsets = self._fill_gaps(np.append(offsets, samples))[:-1]
+        return offsets.tolist()
 
     def redact(self, audio: np.ndarray, expected_text: str,
                audio_sample_rate: int = 24000) -> np.ndarray:
-        """Cut ``[bracketed]`` spans out of the audio (reference ``redact``)."""
+        """Cut ``[bracketed]`` spans out of the audio (reference ``redact``
+        semantics: non-nested brackets; each kept span ends at its last
+        character's start offset)."""
+        import re
+
         if "[" not in expected_text:
             return audio
-        splitted = expected_text.split("[")
-        fully_split = [splitted[0]]
-        for spl in splitted[1:]:
-            assert "]" in spl, 'every "[" must pair with a "]" (no nesting)'
-            fully_split.extend(spl.split("]"))
-
-        non_redacted = []
-        last = 0
-        for i, frag in enumerate(fully_split):
-            if i % 2 == 0:
-                non_redacted.append((last, max(0, last + len(frag) - 1)))
-            last += len(frag)
-
-        bare_text = "".join(fully_split)
-        alignments = self.align(audio, bare_text, audio_sample_rate)
-        pieces = [audio[alignments[a]: alignments[b]] for a, b in non_redacted]
-        return np.concatenate([p for p in pieces if len(p)]) if pieces else audio
+        parts = re.split(r"\[([^\[\]]*)\]", expected_text)  # even: keep
+        assert "[" not in "".join(parts) and "]" not in "".join(parts), (
+            'every "[" must pair with a "]" (no nesting)'
+        )
+        starts = np.cumsum([0] + [len(p) for p in parts])
+        keep = [
+            (starts[i], max(0, starts[i] + len(p) - 1))
+            for i, p in enumerate(parts) if i % 2 == 0
+        ]
+        offsets = self.align(audio, "".join(parts), audio_sample_rate)
+        pieces = [audio[offsets[a]: offsets[b]] for a, b in keep]
+        pieces = [p for p in pieces if len(p)]
+        return np.concatenate(pieces) if pieces else audio
