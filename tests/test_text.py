@@ -190,3 +190,48 @@ def test_hindi_numbers():
     assert hi_number_to_words(105) == "एक सौ पाँच"
     assert hi_number_to_words(250000) == "दो लाख पचास हज़ार"
     assert expand_numbers_hi("१२ सेब") == "बारह सेब"
+
+
+def test_english_g2p_fallback():
+    """Built-in rule-based English G2P engages when espeak is absent, so
+    `use_phonemes: true` configs produce IPA rather than graphemes
+    (reference would silently degrade: espeak_wrapper.py:47)."""
+    from tts_tpu.config.shared import BaseTTSConfig
+    from tts_tpu.text.en_g2p import EnglishG2P, word_to_arpabet
+    from tts_tpu.text.phonemizers import (
+        DEF_LANG_TO_PHONEMIZER,
+        ESpeak,
+        get_phonemizer_by_name,
+    )
+    from tts_tpu.text.tokenizer import TTSTokenizer
+
+    # rules: regular words come out as plausible ARPAbet
+    assert word_to_arpabet("cat") == ["K", "AE1", "T"]
+    assert word_to_arpabet("make") == ["M", "EY1", "K"]
+    assert word_to_arpabet("ship")[0] == "SH"
+    assert word_to_arpabet("night") == ["N", "AY1", "T"]
+    g = EnglishG2P()
+    ipa = g.phonemize("hello world")
+    assert "ɛ" in ipa and "ɜ" in ipa  # actual IPA, not letters
+    assert ipa.count("ˈ") == 2  # one primary stress per word
+
+    # English always resolves to SOME phonemizer in this registry
+    assert "en" in DEF_LANG_TO_PHONEMIZER
+
+    # requesting espeak for English on an espeak-less machine falls back
+    if not ESpeak.is_available():
+        with pytest.warns(UserWarning, match="rule-based English G2P"):
+            ph = get_phonemizer_by_name("espeak", language="en")
+        assert ph.name() == "en_g2p"
+        out = ph.phonemize("the quick brown fox", separator="|")
+        assert "ð" in out
+
+    # end to end: a phoneme config builds a tokenizer that emits phoneme ids
+    cfg = BaseTTSConfig(
+        text_cleaner="english_cleaners", use_phonemes=True, phoneme_language="en"
+    )
+    tok, _ = TTSTokenizer.init_from_config(cfg)
+    ids = tok.text_to_ids("hello world")
+    text_back = tok.ids_to_text(ids)
+    assert "h" != text_back[:1] or "ˈ" in text_back  # phonemes, not letters
+    assert any(c in text_back for c in "ɛɜʃðæ")

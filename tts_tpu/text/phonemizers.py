@@ -26,6 +26,7 @@ __all__ = [
     "ZH_CN_Phonemizer",
     "KO_KR_Phonemizer",
     "BN_Phonemizer",
+    "EN_Phonemizer",
     "MultiPhonemizer",
     "PHONEMIZERS",
     "DEF_LANG_TO_PHONEMIZER",
@@ -447,12 +448,49 @@ class BEL_Phonemizer(BasePhonemizer):
         return belarusian_text_to_phonemes(text)
 
 
+class EN_Phonemizer(BasePhonemizer):
+    """Pure-Python English G2P (``tts_tpu.text.en_g2p``): exceptions lexicon
+    + optional CMUdict + NRL-style letter-to-sound rules → IPA.  The
+    dependency-free fallback for ``use_phonemes`` English configs when
+    neither espeak binary is installed (reference behavior would silently
+    fall back to graphemes)."""
+
+    def __init__(self, language: str = "en-us", punctuations=Punctuation.default_puncs(),
+                 keep_puncs=True, **kwargs):
+        if language == "en":
+            language = "en-us"
+        super().__init__(language, punctuations=punctuations, keep_puncs=keep_puncs)
+        from .en_g2p import EnglishG2P
+
+        self._g2p = EnglishG2P()
+
+    @staticmethod
+    def name():
+        return "en_g2p"
+
+    @classmethod
+    def is_available(cls) -> bool:
+        return True  # dependency-free
+
+    @classmethod
+    def version(cls) -> str:
+        return "0.0.1"
+
+    @staticmethod
+    def supported_languages() -> Dict:
+        return {"en-us": "English (fallback G2P)", "en-gb": "English (fallback G2P)"}
+
+    def _phonemize(self, text: str, separator: str = "|") -> str:
+        return self._g2p.phonemize(text, separator="")
+
+
 # registry
 # ---------------------------------------------------------------------------
 
 PHONEMIZERS = {
     b.name(): b
-    for b in (ESpeak, Gruut, KO_KR_Phonemizer, BN_Phonemizer, JA_JP_Phonemizer, BEL_Phonemizer)
+    for b in (ESpeak, Gruut, KO_KR_Phonemizer, BN_Phonemizer, JA_JP_Phonemizer,
+              BEL_Phonemizer, EN_Phonemizer)
     if b.is_available()
 }
 
@@ -472,13 +510,39 @@ if BN_Phonemizer.is_available():
 DEF_LANG_TO_PHONEMIZER["ja-jp"] = JA_JP_Phonemizer.name()
 if BEL_Phonemizer.is_available():
     DEF_LANG_TO_PHONEMIZER["be"] = BEL_Phonemizer.name()
+# English always has a G2P: pure-Python fallback when espeak/gruut are absent
+for _en in ("en", "en-us", "en-gb"):
+    DEF_LANG_TO_PHONEMIZER.setdefault(_en, EN_Phonemizer.name())
+
+_WARNED_EN_FALLBACK = False
+
+
+def _warn_en_fallback(requested: str) -> None:
+    global _WARNED_EN_FALLBACK
+    if not _WARNED_EN_FALLBACK:
+        import warnings
+
+        warnings.warn(
+            f"{requested} is not installed; falling back to the built-in "
+            "rule-based English G2P (tts_tpu.text.en_g2p). Phoneme quality "
+            "is below espeak — install espeak-ng for full fidelity.",
+        )
+        _WARNED_EN_FALLBACK = True
 
 
 def get_phonemizer_by_name(name: str, **kwargs) -> BasePhonemizer:
     """Instantiate a phonemizer backend by registry name
-    (reference ``phonemizers/__init__.py:49``)."""
+    (reference ``phonemizers/__init__.py:49``).  A request for espeak on a
+    machine without the binary falls back to the built-in English G2P when
+    the language is English (with a warning) instead of failing or silently
+    degrading to graphemes."""
     if name == "espeak":
+        if not ESpeak.is_available() and str(kwargs.get("language", "")).startswith("en"):
+            _warn_en_fallback("espeak")
+            return EN_Phonemizer(**kwargs)
         return ESpeak(**kwargs)
+    if name == "en_g2p":
+        return EN_Phonemizer(**kwargs)
     if name == "gruut":
         return Gruut(**kwargs)
     if name == "zh_cn_phonemizer":
