@@ -82,3 +82,52 @@ def test_ring_single_device(qkv):
     out = sequence_sharded_attention(q, k, v, mesh, causal=True)
     ref = _full_attention(q, k, v, True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_gpt_trainer_seq_parallel_train_step():
+    """gpt_seq_parallel=True: one XTTS fine-tune step runs with the GPT
+    core sharded (data, seq) over a virtual mesh, and its loss matches the
+    single-device step (ring attention is exact)."""
+    import numpy as np
+
+    from tts_tpu.models.xtts import XttsArgs, XttsConfig
+    from tts_tpu.models.xtts.trainer import GPTTrainer
+
+    def _cfg(seq_parallel):
+        cfg = XttsConfig()
+        cfg.model_args = XttsArgs(
+            gpt_layers=2, gpt_n_model_channels=64, gpt_n_heads=4,
+            gpt_number_text_tokens=40, gpt_num_audio_tokens=18,
+            gpt_start_audio_token=16, gpt_stop_audio_token=17,
+            gpt_start_text_token=38, gpt_stop_text_token=0,
+            gpt_max_text_tokens=24, gpt_max_audio_tokens=32,
+            decoder_input_dim=64, gpt_seq_parallel=seq_parallel,
+        )
+        cfg.batch_size = 2
+        return cfg
+
+    rng = np.random.RandomState(0)
+    batch = {
+        "text_input": rng.randint(1, 40, (2, 11)).astype(np.int32),
+        "text_lengths": np.asarray([11, 8], np.int32),
+        "mel_input": rng.randn(2, 16, 80).astype(np.float32),
+        "mel_lengths": np.asarray([16, 12], np.int32),
+        "cond_mels": rng.randn(2, 16, 80).astype(np.float32),
+    }
+
+    mesh = get_mesh(data=2, model=1, seq=4)
+    tr = GPTTrainer(_cfg(True))
+    step, _, state = tr.make_train_step(tr.config, jax.random.PRNGKey(0), mesh=mesh)
+    new_state, metrics = jax.jit(step)(state, batch, jax.random.PRNGKey(1))
+    loss_sp = float(metrics["loss"])
+    assert np.isfinite(loss_sp)
+
+    tr0 = GPTTrainer(_cfg(False))
+    step0, _, state0 = tr0.make_train_step(tr0.config, jax.random.PRNGKey(0))
+    _, metrics0 = jax.jit(step0)(state0, batch, jax.random.PRNGKey(1))
+    np.testing.assert_allclose(loss_sp, float(metrics0["loss"]), rtol=2e-4)
+
+    # missing mesh is a clear error, not silent single-device fallback
+    tr_err = GPTTrainer(_cfg(True))
+    with pytest.raises(ValueError, match="seq"):
+        tr_err.make_train_step(tr_err.config, jax.random.PRNGKey(0))

@@ -47,6 +47,12 @@ class XttsArgs(Config):
     # rematerialize GPT block activations during fine-tuning
     # (jax.checkpoint: ~1/3 extra FLOPs for O(layers) less HBM)
     gpt_use_remat: bool = False
+    # sequence-parallel fine-tuning: run the GPT core under shard_map with
+    # the (cond+text+mel) sequence sharded over the mesh "seq" axis and
+    # ring attention rotating K/V over ICI (parallel/ring_attention.py).
+    # Requires passing a mesh with a "seq" axis to
+    # GPTTrainer.make_train_step; see docs/parallelism.md.
+    gpt_seq_parallel: bool = False
 
     # fine-tune dataset limits (reference ``gpt_trainer.py`` GPTArgs :41-48)
     min_conditioning_length: int = 66150

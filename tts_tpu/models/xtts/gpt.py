@@ -169,7 +169,7 @@ class XttsGPT(nn.Module):
         pos = jax.lax.dynamic_slice_in_dim(self.mel_pos_embedding, offset, mel_ids.shape[1], 0)
         return emb + pos[None]
 
-    def __call__(
+    def build_sequence(
         self,
         text_inputs: jnp.ndarray,  # [B, T_text] (no special tokens)
         text_lengths: jnp.ndarray,
@@ -177,11 +177,12 @@ class XttsGPT(nn.Module):
         code_lengths: jnp.ndarray,
         cond_mels: Optional[jnp.ndarray] = None,  # [B, T_cond, 80]
         cond_latents: Optional[jnp.ndarray] = None,
-        return_latent: bool = False,
-        train: bool = False,
-    ) -> Dict[str, jnp.ndarray]:
-        """Teacher-forced forward → text/mel logits + mel latents
-        (reference ``gpt.py:370``)."""
+    ):
+        """Embedding phase of the teacher-forced forward: wrapped token
+        sequences → concatenated GPT input [B, L_c+T_text+T_mel, D].
+        Split out from :meth:`__call__` so the transformer core can run
+        under ``shard_map`` (sequence-parallel ring attention; the pre/post
+        phases stay data-parallel)."""
         B = text_inputs.shape[0]
         if cond_latents is None:
             cond_latents = self.get_style_emb(cond_mels)
@@ -213,10 +214,18 @@ class XttsGPT(nn.Module):
         text_emb = self._embed_text(text_wrapped)
         mel_emb = self._embed_mel(mel_wrapped)
         h = jnp.concatenate([cond_latents, text_emb, mel_emb], axis=1)
-        T = h.shape[1]
-        h, _ = self.gpt(h, attn_mask=causal_mask(T))
-        h = self.final_norm(h)
+        return h, {"text_wrapped": text_wrapped, "mel_wrapped": mel_wrapped, "L_c": L_c}
 
+    def finalize(
+        self,
+        h: jnp.ndarray,  # transformer-core output [B, L, D]
+        text_wrapped: jnp.ndarray,
+        mel_wrapped: jnp.ndarray,
+        L_c: int,
+        return_latent: bool = False,
+    ) -> Dict[str, jnp.ndarray]:
+        """Head phase of the teacher-forced forward (after the core)."""
+        h = self.final_norm(h)
         T_text = text_wrapped.shape[1]
         text_latents = h[:, L_c : L_c + T_text]
         mel_latents = h[:, L_c + T_text :]
@@ -237,6 +246,26 @@ class XttsGPT(nn.Module):
             "mel_targets": mel_targets,
             "latents": mel_latents[:, :-1],
         }
+
+    def __call__(
+        self,
+        text_inputs: jnp.ndarray,  # [B, T_text] (no special tokens)
+        text_lengths: jnp.ndarray,
+        audio_codes: jnp.ndarray,  # [B, T_mel] codes (no special tokens)
+        code_lengths: jnp.ndarray,
+        cond_mels: Optional[jnp.ndarray] = None,  # [B, T_cond, 80]
+        cond_latents: Optional[jnp.ndarray] = None,
+        return_latent: bool = False,
+        train: bool = False,
+    ) -> Dict[str, jnp.ndarray]:
+        """Teacher-forced forward → text/mel logits + mel latents
+        (reference ``gpt.py:370``)."""
+        h, aux = self.build_sequence(
+            text_inputs, text_lengths, audio_codes, code_lengths,
+            cond_mels=cond_mels, cond_latents=cond_latents,
+        )
+        h, _ = self.gpt(h, attn_mask=causal_mask(h.shape[1]))
+        return self.finalize(h, return_latent=return_latent, **aux)
 
     # ------------------------------------------------------------------
     def prefill(

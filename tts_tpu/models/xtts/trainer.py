@@ -92,25 +92,79 @@ class GPTTrainer:
     def extract_codes(self, dvae_params, mel: jnp.ndarray) -> jnp.ndarray:
         return self.dvae.apply(dvae_params, mel, method=self.dvae.get_codebook_indices)
 
-    def loss_fn(self, gpt_params, dvae_params, batch, train: bool = True):
+    def loss_fn(self, gpt_params, dvae_params, batch, train: bool = True,
+                core_fn=None):
+        """``core_fn(gpt_params, h) -> h`` overrides the transformer core —
+        the sequence-parallel path injects a shard_map'd ring-attention
+        core here while embeddings/heads stay data-parallel."""
         mel = batch["mel_input"]  # [B, T, 80] cloning-domain mel
         codes = jax.lax.stop_gradient(self.extract_codes(dvae_params, mel))
         code_lengths = batch["mel_lengths"] // 4
-        out = self.xtts.gpt.apply(
-            gpt_params,
-            batch["text_input"],
-            batch["text_lengths"],
-            codes,
-            code_lengths,
-            cond_mels=batch["cond_mels"],
-            train=train,
-        )
+        gpt = self.xtts.gpt
+        if core_fn is None:
+            out = gpt.apply(
+                gpt_params,
+                batch["text_input"],
+                batch["text_lengths"],
+                codes,
+                code_lengths,
+                cond_mels=batch["cond_mels"],
+                train=train,
+            )
+        else:
+            h, aux = gpt.apply(
+                gpt_params,
+                batch["text_input"],
+                batch["text_lengths"],
+                codes,
+                code_lengths,
+                cond_mels=batch["cond_mels"],
+                method=gpt.build_sequence,
+            )
+            h = core_fn(gpt_params, h)
+            out = gpt.apply(gpt_params, h, method=gpt.finalize, **aux)
         text_ce = _masked_ce(out["text_logits"], out["text_targets"], batch["text_lengths"])
         mel_ce = _masked_ce(out["mel_logits"], out["mel_targets"], code_lengths)
         loss = self.text_ce_weight * text_ce + self.mel_ce_weight * mel_ce
         return loss, {"loss": loss, "loss_text_ce": text_ce, "loss_mel_ce": mel_ce}
 
-    def make_train_step(self, config, rng):
+    def make_seq_parallel_core(self, mesh, seq_axis: str = "seq"):
+        """Transformer core under ``shard_map``: sequence sharded over
+        ``seq_axis``, batch over ``data``, ring attention rotating K/V
+        (the sequence-parallel capability the reference lacks — SURVEY §5).
+        Returns ``core_fn`` for :meth:`loss_fn`."""
+        from jax.sharding import PartitionSpec as P
+
+        from tts_tpu.parallel import shard_map_compat
+
+        from .gpt_core import GPT2Core
+
+        a = self.config.model_args
+        core = GPT2Core(
+            layers=a.gpt_layers, dim=a.gpt_n_model_channels, heads=a.gpt_n_heads,
+            use_pallas=False, remat=a.gpt_use_remat, seq_axis=seq_axis,
+        )
+        n_seq = mesh.shape[seq_axis]
+
+        def core_fn(gpt_params, h):
+            T = h.shape[1]
+            pad = (-T) % n_seq
+            hp = jnp.pad(h, ((0, 0), (0, pad), (0, 0)))
+            sub = {"params": gpt_params["params"]["gpt"]}
+            fn = shard_map_compat(
+                lambda p, x: core.apply(p, x)[0],
+                mesh,
+                in_specs=(P(), P("data", seq_axis, None)),
+                out_specs=P("data", seq_axis, None),
+            )
+            return fn(sub, hp)[:, :T]
+
+        return core_fn
+
+    def make_train_step(self, config, rng, mesh=None):
+        """``mesh`` (with ``data``/``seq`` axes) is required when
+        ``config.model_args.gpt_seq_parallel`` is set; the GPT core then
+        runs sequence-parallel (ring attention) under shard_map."""
         params = self.init_params(rng)
         sched = build_lr_schedule(
             getattr(config, "lr_scheduler", None), getattr(config, "lr", 5e-6),
@@ -128,9 +182,19 @@ class GPTTrainer:
         self._dvae_params = dvae_params
         mixed = is_mixed_precision(config)
 
+        core_fn = None
+        if getattr(config.model_args, "gpt_seq_parallel", False):
+            if mesh is None:
+                raise ValueError(
+                    "gpt_seq_parallel=True needs a mesh with 'data' and "
+                    "'seq' axes (tts_tpu.parallel.get_mesh(data=…, seq=…))"
+                )
+            core_fn = self.make_seq_parallel_core(mesh)
+
         def train_step(state: TrainState, batch, rng_):
             (loss, metrics), grads = mp_value_and_grad(
-                lambda p, b: self.loss_fn(p, dvae_params, b), has_aux=True, enabled=mixed
+                lambda p, b: self.loss_fn(p, dvae_params, b, core_fn=core_fn),
+                has_aux=True, enabled=mixed
             )(state.params["gpt"], batch)
             state = state.apply_updates(optimizers, {"gpt": grads})
             return state, metrics

@@ -100,6 +100,21 @@ def ring_self_attention(
     return out.astype(q.dtype)
 
 
+def shard_map_compat(fn, mesh, in_specs, out_specs):
+    """``shard_map`` across jax versions: prefers ``jax.shard_map`` and
+    disables replication checking under whichever kwarg name
+    (``check_rep``/``check_vma``) this jax exposes."""
+    try:
+        from jax import shard_map  # jax >= 0.4.35
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
+    import inspect
+
+    sig = inspect.signature(shard_map).parameters
+    check_kw = {k: False for k in ("check_rep", "check_vma") if k in sig}
+    return shard_map(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs, **check_kw)
+
+
 def sequence_sharded_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
