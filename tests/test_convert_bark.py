@@ -112,6 +112,44 @@ def test_bark_gpt_cached_decode_parity():
     assert toks == toks_ref, f"{toks} != {toks_ref}"
 
 
+def test_bark_generate_parity():
+    """BarkGPT.generate (the scanned AR loop itself) vs the reference cached
+    greedy loop — guards the position_offset advance inside the scan step."""
+    mod = import_reference("TTS.tts.layers.bark.model")
+    RefGPT, RefCfg = mod.GPT, mod.GPTConfig
+
+    torch.manual_seed(3)
+    ref = RefGPT(_gpt_cfg(RefCfg, False)).eval()
+    state = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    args = BarkGPTArgs(
+        block_size=300, input_vocab_size=50, output_vocab_size=40,
+        n_layer=2, n_head=2, n_embd=32, bias=False,
+    )
+    model = BarkGPT(args=args)
+    params = convert_bark_gpt(state, n_layer=2)
+
+    prompt = np.random.RandomState(4).randint(0, 40, (1, 6))
+    n_new = 7
+    toks_ref = []
+    with torch.no_grad():
+        logits, kv = ref(torch.from_numpy(prompt), use_cache=True)
+        for i in range(n_new):
+            tok = int(logits[0, -1].argmax())
+            toks_ref.append(tok)
+            pos = torch.tensor([[prompt.shape[1] + i]])
+            logits, kv = ref(torch.tensor([[tok]]), past_kv=kv, position_ids=pos, use_cache=True)
+
+    import jax
+
+    out = model.apply(
+        params, prompt, jax.random.PRNGKey(0), max_new_tokens=n_new,
+        eos_token=999, temperature=1.0, top_k=1, top_p=1.0,
+        method=model.generate,
+    )
+    got = [int(t) for t in np.asarray(out["tokens"][0])]
+    assert got == toks_ref, f"{got} != {toks_ref}"
+
+
 def test_bark_fine_parity():
     mod = import_reference("TTS.tts.layers.bark.model_fine")
     RefFine, RefCfg = mod.FineGPT, mod.FineGPTConfig

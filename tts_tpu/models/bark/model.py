@@ -3,9 +3,10 @@
 inference_funcs}.py``).
 
 text → semantic tokens (AR GPT) → coarse EnCodec codes (AR GPT) → fine
-codes (non-causal per-codebook GPT) → waveform via EnCodec (gated on the
-``encodec`` package being installed).  All generation loops are KV-cached
-``lax.scan``s reusing :class:`tts_tpu.models.xtts.gpt_core.GPT2Core`.
+codes (non-causal per-codebook GPT) → waveform via the flax EnCodec
+decoder (``models/bark/encodec.py`` — no torch on the compute path).  All
+generation loops are KV-cached ``lax.scan``s reusing
+:class:`tts_tpu.models.xtts.gpt_core.GPT2Core`.
 """
 
 from __future__ import annotations
@@ -94,8 +95,10 @@ class BarkGPT(nn.Module):
             tok = jnp.where(done, eos_token, tok)
             new_done = done | (tok == eos_token)
             out_len = out_len + (~new_done).astype(jnp.int32)
+            # position_offset must advance past the cache length (reference
+            # bark/model.py:212 position_ids = past_length + arange)
             logits, new_caches = self(
-                tok[:, None], caches=caches, cache_index=cur, position_offset=0,
+                tok[:, None], caches=caches, cache_index=cur, position_offset=cur,
                 cache_len=cur + 1,
             )
             return (new_caches, cur + 1, logits[:, -1], new_done, out_len), tok
@@ -162,7 +165,7 @@ class Bark:
         self.semantic_params = None
         self.coarse_params = None
         self.fine_params = None
-        self.encodec = None
+        self.encodec_vocoder = None  # flax EnCodec decoder bundle
 
     @classmethod
     def init_from_config(cls, config: BarkConfig, samples=None):
@@ -193,14 +196,13 @@ class Bark:
             np.asarray(wav, np.float32), hubert_params, tokenizer_params
         )
         prompt = {"semantic_prompt": semantic}
-        if self.encodec is not None:
-            import torch as _torch
+        if self.encodec_vocoder is not None and self.encodec_vocoder.can_encode:
+            # 16 kHz reference → 24 kHz → EnCodec codes (reference
+            # generate_voice: encodec.encode on the resampled clip)
+            from tts_tpu.audio.numpy_transforms import resample_wav
 
-            with _torch.no_grad():
-                frames = self.encodec.encode(
-                    _torch.from_numpy(np.asarray(wav, np.float32))[None, None]
-                )
-            codes = _torch.cat([f[0] for f in frames], dim=-1)[0].numpy()  # [n_q, T]
+            wav24 = resample_wav(np.asarray(wav, np.float32), sample_rate, 24000)
+            codes = self.encodec_vocoder.encode(wav24)  # [n_q, T]
             prompt["coarse_prompt"] = codes[:2]
             prompt["fine_prompt"] = codes
         if output_path:
@@ -272,22 +274,15 @@ class Bark:
         return np.asarray(idx[0]).T  # [n_fine, T]
 
     def codes_to_audio(self, fine_codes: np.ndarray) -> np.ndarray:
-        """EnCodec decode (gated on the optional ``encodec`` package)."""
-        try:
-            import torch
-            from encodec import EncodecModel
-        except ImportError as e:
+        """EnCodec decode via the flax decoder (``models/bark/encodec.py``;
+        reference ``inference_funcs.py:599 codec_decode`` through the torch
+        ``encodec`` package — here fully on-device)."""
+        if self.encodec_vocoder is None:
             raise RuntimeError(
-                "Bark waveform decoding requires the `encodec` package; "
-                "codes were generated successfully."
-            ) from e
-        if self.encodec is None:
-            self.encodec = EncodecModel.encodec_model_24khz()
-            self.encodec.set_target_bandwidth(6.0)
-        frames = [(torch.from_numpy(fine_codes[None]).long(), None)]
-        with torch.no_grad():
-            wav = self.encodec.decode(frames)
-        return wav[0, 0].numpy()
+                "EnCodec decoder weights not loaded (no encodec checkpoint "
+                "in the model dir); codes were generated successfully."
+            )
+        return self.encodec_vocoder.decode(np.asarray(fine_codes))
 
     def synthesize(self, text: str, config, rng=None, **kwargs) -> Dict:
         """Full 3-stage pipeline; tokenizes with the BERT tokenizer like the
@@ -303,6 +298,10 @@ class Bark:
         except Exception:
             # offline fallback: raw utf-8 bytes as token ids
             text_tokens = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.int64)
+        # Synthesizer dispatch kwargs Bark has no use for (no per-speaker
+        # conditioning without a voice prompt; language is implicit)
+        for k in ("speaker_id", "speaker_wav", "language", "voice_dirs"):
+            kwargs.pop(k, None)
         r1, r2, r3 = jax.random.split(rng, 3)
         semantic = self.generate_text_semantic(text_tokens, r1, **kwargs)
         coarse = self.generate_coarse(semantic, r2)
@@ -341,7 +340,69 @@ def load_bark_checkpoint(model: "Bark", checkpoint_dir: str) -> "Bark":
         path = os.path.join(checkpoint_dir, fname)
         if os.path.isfile(path):
             setattr(model, attr, {"params": _load_or_convert(path, fn)["params"]})
+    for fname in ("encodec_24khz.pth", "encodec.pth", "encodec_model_24khz.pth"):
+        path = os.path.join(checkpoint_dir, fname)
+        if os.path.isfile(path):
+            model.load_encodec(path)
+            break
     return model
+
+
+def load_bark_encodec(model: "Bark", path: str, decoder=None, encoder=None) -> "Bark":
+    """Convert an EnCodec 24 kHz checkpoint (HF ``EncodecModel`` or the
+    original ``encodec`` package state dict) into the flax decoder (+encoder
+    when present) used for the waveform stage and cloning prompts.
+    ``decoder``/``encoder`` override the default 24 kHz module dims
+    (reduced-dim tests)."""
+    from tts_tpu.models.bark.encodec import (
+        EncodecDecoder,
+        EncodecEncoder,
+        EncodecVocoder,
+    )
+    from tts_tpu.utils.convert import (
+        convert_encodec_decoder,
+        convert_encodec_encoder,
+        infer_encodec_dims,
+        load_torch_checkpoint,
+    )
+
+    state = load_torch_checkpoint(path)
+    if decoder is None:  # read the SEANet dims off the checkpoint
+        dims = infer_encodec_dims(state)
+        decoder = EncodecDecoder(**dims)
+        encoder = EncodecEncoder(**dims)
+    ratios = tuple(decoder.upsampling_ratios)
+    params, codebooks = convert_encodec_decoder(
+        state, upsampling_ratios=ratios,
+        num_residual_layers=decoder.num_residual_layers,
+        num_lstm_layers=decoder.num_lstm_layers,
+    )
+    enc_params = None
+    try:
+        enc_params = convert_encodec_encoder(
+            state, upsampling_ratios=ratios,
+            num_residual_layers=decoder.num_residual_layers,
+            num_lstm_layers=decoder.num_lstm_layers,
+        )
+    except KeyError:
+        pass  # decoder-only checkpoint
+    model.encodec_vocoder = EncodecVocoder(
+        params, codebooks, decoder=decoder, encoder_params=enc_params,
+        encoder=encoder,
+    )
+    return model
+
+
+Bark.load_encodec = load_bark_encodec
+
+
+def _bark_load_checkpoint(self, config=None, checkpoint_dir: str = None, **kwargs):
+    """Synthesizer dir-model contract (``utils/synthesizer.py
+    _load_tts_from_dir``)."""
+    return load_bark_checkpoint(self, checkpoint_dir)
+
+
+Bark.load_checkpoint = _bark_load_checkpoint
 
 
 Bark.load_checkpoint_dir = load_bark_checkpoint

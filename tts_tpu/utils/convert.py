@@ -36,7 +36,17 @@ def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
     state = torch.load(path, map_location="cpu", weights_only=True)
     if isinstance(state, dict) and "model" in state:
         state = state["model"]
-    return {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v) for k, v in state.items()}
+
+    def _to_np(v):
+        if hasattr(v, "numpy"):
+            return v.numpy()
+        if isinstance(v, dict):  # nested sub-state (e.g. tortoise vocoder "model_g")
+            return {k: _to_np(x) for k, x in v.items()}
+        return np.asarray(v)
+
+    if not isinstance(state, dict):  # bare tensor file (e.g. mel_norms.pth)
+        return _to_np(state)
+    return {k: _to_np(v) for k, v in state.items()}
 
 
 def fold_weight_norm(state: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
@@ -949,6 +959,41 @@ def convert_encodec_decoder(state, upsampling_ratios=(8, 5, 4, 2),
         cb_keys = cb_keys[:num_quantizers]
     codebooks = np.stack([state[k] for k in cb_keys]) if cb_keys else None
     return {"params": p}, codebooks
+
+
+def infer_encodec_dims(state) -> Dict[str, object]:
+    """Read the SEANet hyperparameters straight off a checkpoint so
+    reduced-dim test models and the real 24 kHz weights both load without
+    out-of-band configuration.  Returns kwargs for ``EncodecDecoder`` /
+    ``EncodecEncoder``."""
+    import re as _re
+
+    state = fold_weight_norm(_normalize_encodec_keys(state))
+    convs = sorted(
+        int(k.split(".")[2])
+        for k in state
+        if _re.match(r"decoder\.layers\.\d+\.conv\.weight$", k)
+    )
+    # [in-conv, upsample×len(ratios), out-conv]
+    w0 = state[f"decoder.layers.{convs[0]}.conv.weight"]  # [scaling*nf, hidden, K]
+    ups = convs[1:-1]
+    ratios = [int(state[f"decoder.layers.{i}.conv.weight"].shape[2]) // 2 for i in ups]
+    # gap between consecutive upsample convs = 1 ELU + num_res resblocks + 1
+    num_res = (ups[1] - ups[0] - 2) if len(ups) > 1 else 1
+    res_key = f"decoder.layers.{ups[0] + 1}.block.1.conv.weight"
+    lstm_layers = sum(
+        1 for k in state if k.startswith("decoder.layers.1.lstm.weight_ih_l")
+    )
+    return dict(
+        hidden_size=int(w0.shape[1]),
+        num_filters=int(w0.shape[0]) // (2 ** len(ratios)),
+        upsampling_ratios=tuple(ratios),
+        kernel_size=int(w0.shape[2]),
+        last_kernel_size=int(state[f"decoder.layers.{convs[-1]}.conv.weight"].shape[2]),
+        residual_kernel_size=int(state[res_key].shape[2]) if res_key in state else 3,
+        num_lstm_layers=lstm_layers,
+        num_residual_layers=max(1, num_res),
+    )
 
 
 def convert_encodec_encoder(state, upsampling_ratios=(8, 5, 4, 2),
