@@ -79,6 +79,15 @@ def main():
     except Exception:
         pass
 
+    # VITS GAN training step at LJSpeech dims (BASELINE.json lists DP
+    # training as a tracked config); non-fatal
+    train_ms = train_mfu = None
+    if not os.environ.get("BENCH_SKIP_TRAIN"):
+        try:
+            train_ms, train_mfu = measure_train_step(model, cfg)
+        except Exception as e:  # pragma: no cover
+            print(f"train-step measurement failed: {e}", file=sys.stderr)
+
     # XTTS streaming TTFA (the reference's headline metric); non-fatal
     xtts_ttfa_ms = None
     if not os.environ.get("BENCH_SKIP_XTTS"):
@@ -99,9 +108,58 @@ def main():
                 "vits_mfu": vits_mfu,
                 "xtts_ttfa_ms": xtts_ttfa_ms,
                 "xtts_ttfa_target_ms": 200.0,
+                "vits_train_step_ms": train_ms,
+                "vits_train_mfu": train_mfu,
             }
         )
     )
+
+
+def measure_train_step(model, cfg):
+    """One fused VITS GAN train step (D+G in one backward) at LJSpeech-like
+    shapes on the chip → (ms/step, train MFU)."""
+    import jax
+    import jax.numpy as jnp  # noqa: F401
+
+    from tts_tpu.models.vits.train import create_train_state, make_train_step
+
+    B = int(os.environ.get("BENCH_TRAIN_BATCH", "16"))
+    T_text, T_spec = 96, 256
+    hop = cfg.audio.hop_length
+    state = create_train_state(model, cfg, jax.random.PRNGKey(2))
+    train_step, _, _ = make_train_step(model, cfg)
+
+    rng = np.random.RandomState(3)
+    n_fft = cfg.audio.fft_size
+    batch = {
+        "text_input": rng.randint(0, 100, (B, T_text)).astype(np.int32),
+        "text_lengths": np.full((B,), T_text, np.int32),
+        "spec": np.abs(rng.randn(B, T_spec, n_fft // 2 + 1)).astype(np.float32),
+        "spec_lengths": np.full((B,), T_spec, np.int32),
+        "waveform": (0.1 * rng.randn(B, T_spec * hop, 1)).astype(np.float32),
+    }
+    step = jax.jit(train_step, donate_argnums=(0,))
+    key = jax.random.PRNGKey(4)
+    state, metrics = step(state, batch, key)  # compile
+    _ = float(metrics["loss"])  # forced sync (axon: transfers sync, not block_until_ready)
+    n_iter = 10
+    t0 = time.time()
+    for _ in range(n_iter):
+        state, metrics = step(state, batch, key)
+    _ = float(metrics["loss"])
+    dt = (time.time() - t0) / n_iter
+
+    mfu = None
+    try:
+        cost = jax.jit(train_step).lower(state, batch, key).compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        if flops > 0:
+            mfu = round(flops / dt / (197e12 / 2), 4)  # fp32 path
+    except Exception:
+        pass
+    return round(dt * 1000.0, 1), mfu
 
 
 if __name__ == "__main__":

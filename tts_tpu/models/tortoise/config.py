@@ -37,6 +37,10 @@ class TortoiseArgs(Config):
     diff_in_latent_channels: int = 1024
     diff_out_channels: int = 200
     diff_num_heads: int = 16
+    # bundled UnivNet vocoder (reference tortoise/vocoder.py:277 defaults)
+    voc_noise_dim: int = 64
+    voc_channel_size: int = 32
+    voc_strides: tuple = (8, 8, 4)
     # sampling
     num_autoregressive_samples: int = 16
     diffusion_iterations: int = 30

@@ -85,7 +85,10 @@ class AttentionBlock(nn.Module):
             buckets = jnp.asarray(
                 _relative_position_buckets(T, self.rel_num_buckets, self.rel_max_distance)
             )
-            dots = dots + jnp.transpose(table[buckets], (2, 0, 1))[None] * math.sqrt(ch)
+            # jnp.take: params restored from msgpack are host numpy arrays,
+            # and numpy fancy-indexing on a traced index array fails
+            bias = jnp.take(jnp.asarray(table), buckets, axis=0)
+            dots = dots + jnp.transpose(bias, (2, 0, 1))[None] * math.sqrt(ch)
         probs = jax.nn.softmax(dots, axis=-1)
         out = jnp.einsum("bhts,bshc->bthc", probs, v).reshape(B, T, C)
         return x + nn.Conv(C, (1,), name="proj_out")(out)

@@ -374,7 +374,9 @@ class Tortoise:
 
         # the bundled UnivNet vocoder variant (reference tortoise/vocoder.py:277)
         self.vocoder = UnivnetGenerator(
-            cond_channels=100, pad_mode="reflect", kpnet_lrelu_slope=0.2,
+            in_channels=a.voc_noise_dim, hidden_channels=a.voc_channel_size,
+            cond_channels=100, upsample_factors=tuple(a.voc_strides),
+            pad_mode="reflect", kpnet_lrelu_slope=0.2,
             final_lrelu_slope=0.2, kpnet_residual_style="per_block",
         )
         self.tokenizer = VoiceBpeTokenizer()
@@ -386,6 +388,15 @@ class Tortoise:
         self.rlg_diff_state = None
         self.mel_norms = None  # per-channel norms for the AR conditioning mel
         self.output_sample_rate = config.audio.output_sample_rate
+        self._jit = {}  # one fused XLA program per (stage, static-args)
+
+    def _jitted(self, key, make_fn):
+        """Cache a jitted stage function — eager flax ``apply`` dispatches
+        every primitive separately, which is pathological over the
+        remote-TPU tunnel."""
+        if key not in self._jit:
+            self._jit[key] = jax.jit(make_fn())
+        return self._jit[key]
 
     @classmethod
     def init_from_config(cls, config: TortoiseConfig, samples=None):
@@ -427,16 +438,15 @@ class Tortoise:
         time-concat mean equals the mean of per-clip means)."""
         a = self.config.model_args
         auto_lats, diff_lats = [], []
+        ar_cond = self._jitted("ar_cond", lambda: lambda p, m: self.autoregressive.apply(
+            p, m, method=self.autoregressive.get_conditioning))
+        diff_cond = self._jitted("diff_cond", lambda: lambda p, m: self.diffusion.apply(
+            p, wav_to_univnet_mel(m), method=self.diffusion.get_conditioning))
         for wav22, wav24 in voice_samples:
             cond = format_conditioning(wav22, mel_norms=self.mel_norms)
-            auto_lats.append(self.autoregressive.apply(
-                self.ar_params, cond, method=self.autoregressive.get_conditioning
-            ))
+            auto_lats.append(ar_cond(self.ar_params, cond))
             clip = pad_or_truncate(np.asarray(wav24, np.float32).reshape(-1), 102400)
-            dmel = wav_to_univnet_mel(jnp.asarray(clip)[None])
-            diff_lats.append(self.diffusion.apply(
-                self.diff_params, dmel, method=self.diffusion.get_conditioning
-            ))
+            diff_lats.append(diff_cond(self.diff_params, jnp.asarray(clip)[None]))
         auto = jnp.mean(jnp.stack(auto_lats), axis=0)
         diff = jnp.mean(jnp.stack(diff_lats), axis=0)
         return auto, diff
@@ -478,9 +488,8 @@ class Tortoise:
         if auto_latent is None:
             if cond_mels is None:
                 raise ValueError("pass auto_latent or cond_mels")
-            auto_latent = self.autoregressive.apply(
-                self.ar_params, cond_mels, method=self.autoregressive.get_conditioning
-            )
+            auto_latent = self._jitted("ar_cond", lambda: lambda p, m: self.autoregressive.apply(
+                p, m, method=self.autoregressive.get_conditioning))(self.ar_params, cond_mels)
         if diffusion_latent is None:
             if diffusion_cond_mels is None:
                 raise ValueError(
@@ -488,21 +497,23 @@ class Tortoise:
                     "domain, reference tortoise.py:446) — 80-ch AR mels are "
                     "not a valid substitute"
                 )
-            diffusion_latent = self.diffusion.apply(
-                self.diff_params, diffusion_cond_mels,
-                method=self.diffusion.get_conditioning,
-            )
+            diffusion_latent = self._jitted(
+                "diff_cond_mel", lambda: lambda p, m: self.diffusion.apply(
+                    p, m, method=self.diffusion.get_conditioning)
+            )(self.diff_params, diffusion_cond_mels)
         B = text_tokens.shape[0]
         k = max(1, num_samples)
         text_rep = jnp.repeat(text_tokens, k, axis=0)
         cond_rep = jnp.repeat(auto_latent, k, axis=0)
-        gen = self.autoregressive.apply(
-            self.ar_params, cond_rep, text_rep, r1,
-            max_new_tokens=max_mel_tokens,
-            temperature=a.temperature, top_p=a.top_p,
-            repetition_penalty=a.repetition_penalty,
-            method=self.autoregressive.generate,
-        )
+        gen = self._jitted(
+            ("generate", max_mel_tokens, a.temperature, a.top_p, a.repetition_penalty),
+            lambda: lambda p, c, t, r: self.autoregressive.apply(
+                p, c, t, r, max_new_tokens=max_mel_tokens,
+                temperature=a.temperature, top_p=a.top_p,
+                repetition_penalty=a.repetition_penalty,
+                method=self.autoregressive.generate,
+            ),
+        )(self.ar_params, cond_rep, text_rep, r1)
         codes = np.asarray(gen["codes"])
         if k > 1 and B == 1:
             fixed = fix_autoregressive_codes(codes, a.ar_stop_mel_token)
@@ -519,9 +530,9 @@ class Tortoise:
 
         # Teacher-forced re-run over the fixed codes for the diffusion
         # conditioning latents (reference tortoise.py:761 return_latent=True)
-        _, _, mel_latents = self.autoregressive.apply(
-            self.ar_params, auto_latent, text_tokens, jnp.asarray(codes),
-        )
+        _, _, mel_latents = self._jitted(
+            "teacher_forced", lambda: lambda p, cl, t, c: self.autoregressive.apply(p, cl, t, c)
+        )(self.ar_params, auto_latent, text_tokens, jnp.asarray(codes))
         latents = mel_latents[:, :-2]  # strip the start/stop positions
 
         # cut at end-of-speech so the diffusion model can terminate
@@ -531,18 +542,27 @@ class Tortoise:
 
         # 22.05 kHz code frames → 24 kHz output frames (tortoise.py:132)
         T_mel = latents.shape[1] * 4 * 24000 // 22050
-        embeddings = self.diffusion.apply(
-            self.diff_params, latents, diffusion_latent, T_mel,
-            method=self.diffusion.timestep_independent,
+        sampler_name = getattr(a, "sampler", "ddim")
+        steps = diffusion_iterations or a.diffusion_iterations
+        sampler = SAMPLERS.get(sampler_name, ddim_sample)
+
+        def _make_diffuse():
+            def fn(p, lat, dlat, rng_d):
+                emb = self.diffusion.apply(
+                    p, lat, dlat, T_mel, method=self.diffusion.timestep_independent
+                )
+                mel = sampler(
+                    self.diffusion, p, emb, T_mel, rng_d, steps=steps,
+                    in_channels=a.diff_in_channels,
+                    temperature=a.diffusion_temperature,
+                    cond_free=a.cond_free, cond_free_k=a.cond_free_k,
+                )
+                return denormalize_tacotron_mel(mel)
+            return fn
+
+        mel = self._jitted(("diffuse", sampler_name, steps, T_mel), _make_diffuse)(
+            self.diff_params, latents, diffusion_latent, r2
         )
-        sampler = SAMPLERS.get(getattr(a, "sampler", "ddim"), ddim_sample)
-        mel = sampler(
-            self.diffusion, self.diff_params, embeddings, T_mel, r2,
-            steps=diffusion_iterations or a.diffusion_iterations,
-            in_channels=a.diff_in_channels, temperature=a.diffusion_temperature,
-            cond_free=a.cond_free, cond_free_k=a.cond_free_k,
-        )
-        mel = denormalize_tacotron_mel(mel)
         out = {"mel": mel, "codes": jnp.asarray(codes), "code_lengths": lengths}
         if vocode and self.vocoder_params is not None:
             r3 = jax.random.fold_in(r2, 1)
@@ -553,12 +573,16 @@ class Tortoise:
         """Denormalized log-mel [B, T, 100] → wav [B, T*256] via the bundled
         UnivNet (reference ``tortoise/vocoder.py:363 inference``: 10 silence
         frames appended against edge artifacts, trimmed post-hoc)."""
+        a = self.config.model_args
+        hop = int(np.prod(a.voc_strides))
         B, T, _ = mel.shape
         pad = jnp.full((B, 10, mel.shape[-1]), LOG_MEL_PAD, mel.dtype)
         melp = jnp.concatenate([mel, pad], axis=1)
-        noise = jax.random.normal(rng, (B, melp.shape[1], 64))
-        wav = self.vocoder.apply(self.vocoder_params, melp, noise)[..., 0]
-        wav = wav[:, : 256 * T]
+        noise = jax.random.normal(rng, (B, melp.shape[1], a.voc_noise_dim))
+        wav = self._jitted(
+            "vocode", lambda: lambda p, m, z: self.vocoder.apply(p, m, z)
+        )(self.vocoder_params, melp, noise)[..., 0]
+        wav = wav[:, : hop * T]
         return jnp.clip(wav, -1.0, 1.0)
 
     def synthesize(self, text: str, config=None, speaker_id: Optional[str] = None,
@@ -695,3 +719,13 @@ def load_tortoise_checkpoint(model: "Tortoise", checkpoint_dir: str) -> "Tortois
 
 
 Tortoise.load_checkpoint_dir = load_tortoise_checkpoint
+
+
+def _tortoise_load_checkpoint(self, config=None, checkpoint_dir: str = None, **kwargs):
+    """Synthesizer dir-model contract (``utils/synthesizer.py
+    _load_tts_from_dir``): converts the reference tortoise-v2 zoo file
+    layout on first use."""
+    return load_tortoise_checkpoint(self, checkpoint_dir)
+
+
+Tortoise.load_checkpoint = _tortoise_load_checkpoint

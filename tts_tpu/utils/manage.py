@@ -126,7 +126,10 @@ class ModelManager:
         "G_100000.pth",  # fairseq MMS
     )
     # multi-file models are loaded from the directory itself
-    _DIR_MARKERS = ("vocab.json", "vocab.txt", "dvae.pth", "tokenizer.json")
+    # multi-file model dirs: XTTS (vocab/dvae), Tortoise (autoregressive),
+    # Bark (text_2) — reference layouts from the zoo entries
+    _DIR_MARKERS = ("vocab.json", "vocab.txt", "dvae.pth", "tokenizer.json",
+                    "autoregressive.pth", "text_2.pt")
 
     @classmethod
     def _find_files(cls, output_path: str) -> Tuple[str, Optional[str]]:
