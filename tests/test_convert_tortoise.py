@@ -200,3 +200,84 @@ def test_tortoise_univnet_vocoder_parity():
     np.testing.assert_allclose(
         np.asarray(got)[:, :, 0], want[:, 0, :], atol=2e-5, rtol=1e-4
     )
+
+
+def test_unified_voice_greedy_generate_parity():
+    """Full AR inference parity: the reference KV-cached HF-generate stack
+    (post_init_gpt2_config → GPT2InferenceModel.generate, greedy) vs our
+    lax.scan generate with top_k=1, token for token (VERDICT r2 task 1:
+    AR-token parity through the whole pipeline, not just submodules)."""
+    import jax
+    import jax.numpy as jnp
+
+    ar_mod = import_reference("TTS.tts.layers.tortoise.autoregressive")
+
+    from tts_tpu.models.tortoise.model import UnifiedVoice
+    from tts_tpu.utils.convert import convert_unified_voice
+
+    # Two shims so the reference runs on MODERN transformers the way it ran
+    # on the transformers it shipped with (the behavior the zoo checkpoints
+    # were deployed with): (a) GenerationMixin is no longer mixed into
+    # PreTrainedModel (≥4.50); (b) generate() now passes an empty-but-truthy
+    # DynamicCache on the FIRST call, which makes the reference's
+    # `if past_key_values:` trim the whole prompt to one token — i.e. the
+    # unmodified reference silently ignores text+conditioning on modern HF.
+    from transformers.generation import GenerationMixin
+
+    base = ar_mod.GPT2InferenceModel
+
+    class _RefGen(base, GenerationMixin):
+        def prepare_inputs_for_generation(self, input_ids, past_key_values=None, **kw2):
+            if past_key_values is not None and hasattr(past_key_values, "get_seq_length") \
+                    and past_key_values.get_seq_length() == 0:
+                past_key_values = None
+            return super().prepare_inputs_for_generation(
+                input_ids, past_key_values=past_key_values, **kw2
+            )
+
+    ar_mod.GPT2InferenceModel = _RefGen
+
+    torch.manual_seed(7)
+    kw = dict(layers=2, model_dim=32, heads=2, number_text_tokens=40,
+              number_mel_codes=30, start_mel_token=28, stop_mel_token=29,
+              max_text_tokens=24, max_mel_tokens=48, max_conditioning_inputs=1)
+    ref = ar_mod.UnifiedVoice(**kw)
+    ref.eval()
+    ref.post_init_gpt2_config(kv_cache=True)
+    state = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+
+    ours = UnifiedVoice(
+        layers=2, model_dim=32, heads=2, number_text_tokens=40,
+        number_mel_codes=30, start_mel_token=28, stop_mel_token=29,
+        start_text_token=40, stop_text_token=0,
+        max_text_tokens=24, max_mel_tokens=48,
+    )
+    params = convert_unified_voice(state, layers=2)
+
+    rng = np.random.RandomState(8)
+    text = rng.randint(1, 39, (1, 9)).astype(np.int64)
+    cond = rng.randn(1, 80, 20).astype(np.float32)  # torch [B, 80, T]
+
+    with torch.no_grad():
+        ref_lat = ref.get_conditioning(torch.from_numpy(cond))
+        want = ref.inference_speech(
+            ref_lat, torch.from_numpy(text), do_sample=False,
+            num_return_sequences=1, max_generate_length=16,
+        )[0].numpy()
+
+    lat = ours.apply(params, jnp.asarray(np.swapaxes(cond, 1, 2)), method=ours.get_conditioning)
+    # inference_speech pads one stop internally; our generate wraps the raw
+    # tokens the same way, so pass them unpadded (the full pipeline's extra
+    # tortoise.py:677 pad is applied by synthesize(), not here)
+    # temperature → 0 makes top-p sampling greedy, matching HF do_sample=False
+    gen = ours.apply(
+        params, lat, jnp.asarray(text), jax.random.PRNGKey(0),
+        max_new_tokens=16, temperature=1e-4, top_p=1.0, repetition_penalty=1.0,
+        method=ours.generate,
+    )
+    got = np.asarray(gen["codes"][0])
+
+    # compare up to and including the first stop token of the HF output
+    # (our scan pads with stop after termination)
+    n = len(want)
+    assert (got[:n] == want).all(), (got[:n], want)

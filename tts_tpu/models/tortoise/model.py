@@ -224,6 +224,9 @@ class UnifiedVoice(nn.Module):
             return (new_caches, cur + 1, pos + 1, self.mel_head(h[:, -1]), h[:, -1],
                     rep, new_done, n), (tok, last_h)
 
+        # generated code k takes mel position k (start token at 0) — pinned
+        # token-for-token against the reference HF inference stack by the
+        # greedy parity test
         carry0 = (caches, jnp.asarray(L_pre, jnp.int32), jnp.asarray(1, jnp.int32),
                   logits0, h[:, -1], jnp.zeros((B, self.number_mel_codes), jnp.int32),
                   jnp.zeros((B,), bool), jnp.zeros((B,), jnp.int32))
