@@ -16,8 +16,10 @@ def dt_small():
         num_chars=24,
         n_hidden_conformer_encoder=32, n_layers_conformer_encoder=1, n_heads_conformer_encoder=2,
         n_hidden_conformer_decoder=32, n_layers_conformer_decoder=1, n_heads_conformer_decoder=2,
-        duration_predictor_hidden=16, pitch_predictor_hidden=16, energy_predictor_hidden=16,
+        n_hidden_variance_adaptor=32,
         bottleneck_size_u_reference_encoder=16, bottleneck_size_p_reference_encoder=4,
+        ref_enc_filters_reference_encoder=[8, 8, 16, 16, 24, 24],
+        ref_enc_gru_size_reference_encoder=16, token_num_reference_encoder=5,
     )
     cfg.audio.num_mels = 20
     cfg.vocoder.upsample_rates_decoder = [4, 4]

@@ -27,8 +27,13 @@ class AlignmentNetwork(nn.Module):
         keys: jnp.ndarray,  # [B, T_en, C_k]
         mask: Optional[jnp.ndarray] = None,  # [B, T_de] 1 = valid mel frame
         attn_prior: Optional[jnp.ndarray] = None,  # [B, T_de, T_en]
+        key_mask: Optional[jnp.ndarray] = None,  # [B, T_en] 1 = valid token
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """Returns (attn ``[B, T_de, T_en]`` softmaxed over T_en, attn_logp)."""
+        """Returns (attn ``[B, T_de, T_en]`` softmaxed over T_en, attn_logp).
+
+        ``key_mask`` reproduces the reference semantics used by
+        DelightfulTTS (``generic/aligner.py:89``): −inf fill of masked KEY
+        positions after the prior, before the softmax."""
         k = Conv1d(self.in_key_channels * 2, 3, name="key_conv1")(keys)
         k = Conv1d(self.attn_channels, 1, name="key_conv2")(nn.relu(k))
 
@@ -45,6 +50,8 @@ class AlignmentNetwork(nn.Module):
         attn_logp = -self.temperature * dist
         if attn_prior is not None:
             attn_logp = nn.log_softmax(attn_logp, axis=-1) + jnp.log(attn_prior + 1e-8)
+        if key_mask is not None:
+            attn_logp = jnp.where(key_mask[:, None, :] > 0, attn_logp, -jnp.inf)
         attn = nn.softmax(attn_logp, axis=-1)
         if mask is not None:
             attn = attn * mask[:, :, None]

@@ -38,21 +38,41 @@ class VocoderConfig(Config):
 
 @dataclass
 class DelightfulTtsArgs(Config):
+    """Mirrors reference ``DelightfulTtsArgs`` (delightful_tts.py:579)."""
+
     num_chars: Optional[int] = 100
     spec_segment_size: int = 32
     # conformer
     n_hidden_conformer_encoder: int = 512
     n_layers_conformer_encoder: int = 6
     n_heads_conformer_encoder: int = 8
+    dropout_conformer_encoder: float = 0.1
+    kernel_size_conv_mod_conformer_encoder: int = 7
+    lrelu_slope: float = 0.3
     n_hidden_conformer_decoder: int = 512
     n_layers_conformer_decoder: int = 6
     n_heads_conformer_decoder: int = 8
+    dropout_conformer_decoder: float = 0.1
+    kernel_size_conv_mod_conformer_decoder: int = 11
     # prosody reference encoders
     bottleneck_size_p_reference_encoder: int = 4
     bottleneck_size_u_reference_encoder: int = 512
+    ref_enc_filters_reference_encoder: List[int] = field(
+        default_factory=lambda: [32, 32, 64, 64, 128, 128]
+    )
+    ref_enc_size_reference_encoder: int = 3
+    ref_enc_strides_reference_encoder: List[int] = field(
+        default_factory=lambda: [1, 2, 1, 2, 1]
+    )
     ref_enc_gru_size_reference_encoder: int = 32
     token_num_reference_encoder: int = 32
-    # predictors
+    predictor_kernel_size_reference_encoder: int = 5
+    # variance adaptors
+    n_hidden_variance_adaptor: int = 512
+    kernel_size_variance_adaptor: int = 5
+    dropout_variance_adaptor: float = 0.5
+    emb_kernel_size_variance_adaptor: int = 3
+    # legacy compact-variant knobs (kept for config compatibility)
     duration_predictor_hidden: int = 256
     pitch_predictor_hidden: int = 256
     energy_predictor_hidden: int = 256
@@ -62,6 +82,8 @@ class DelightfulTtsArgs(Config):
     speaker_embedding_channels: int = 384
     use_d_vector_file: bool = False
     d_vector_dim: int = 0
+    length_scale: float = 1.0
+    pad_id: int = 0
 
 
 @dataclass

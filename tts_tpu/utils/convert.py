@@ -900,6 +900,228 @@ def convert_tortoise_univnet(state, num_blocks=3, kpnet_res_blocks=3, lvc_convs=
 
 
 # ---------------------------------------------------------------------------
+# FreeVC (reference TTS/vc/models/freevc.py:330)
+# ---------------------------------------------------------------------------
+
+def convert_freevc(state, config=None):
+    """Reference FreeVC checkpoint → flax params for
+    :class:`tts_tpu.vc.models.freevc.FreeVCModule` (WavLM ships separately
+    and converts via :func:`convert_wavlm`)."""
+    n_flows = 4
+    n_wn_layers = 16
+    state = fold_weight_norm(state)
+    p = {
+        "enc_p": {
+            "pre": _dense(state, "enc_p.pre"),
+            "enc": convert_wn(state, "enc_p.enc.", n_wn_layers, has_cond=False),
+            "proj": _dense(state, "enc_p.proj"),
+        },
+        "enc_q": convert_vits_posterior(
+            _subdict(state, "enc_q."), num_layers=n_wn_layers, has_cond=True
+        )["params"],
+        # freevc interleaves parameterless Flip modules: coupling layers sit
+        # at flows.{0,2,4,6} (VITS flips inline, flows.{0..3})
+        "flow": convert_vits_flow(
+            {
+                k.replace(f"flows.{2 * i}.", f"flows.{i}."): v
+                for k, v in _subdict(state, "flow.").items()
+                for i in [int(k.split(".")[1]) // 2]
+            },
+            num_flows=n_flows, num_layers=4, has_cond=True,
+        )["params"],
+        # freevc names its speaker-conditioning conv "cond" (vits: cond_layer)
+        "dec": convert_hifigan_generator({
+            ("cond_layer." + k[len("cond."):] if k.startswith("cond.") else k): v
+            for k, v in _subdict(state, "dec.").items()
+        })["params"],
+    }
+    if "enc_spk.lstm.weight_ih_l0" in state:
+        spk = {"linear": _dense(state, "enc_spk.linear")}
+        l = 0
+        while f"enc_spk.lstm.weight_ih_l{l}" in state:
+            spk[f"lstm_{l}"] = _lstm_cell(state, "enc_spk.lstm", f"_l{l}")
+            l += 1
+        p["enc_spk"] = spk
+    return {"params": p}
+
+
+# ---------------------------------------------------------------------------
+# DelightfulTTS reference-depth acoustic model
+# (reference TTS/tts/layers/delightful_tts/* — see models/delightful_tts/acoustic.py)
+# ---------------------------------------------------------------------------
+
+def _bsconv(state, key):
+    return {
+        "pointwise": _plain_conv(state, f"{key}.pointwise"),
+        "depthwise": _plain_conv(state, f"{key}.depthwise"),
+    }
+
+
+def _delightful_ff(state, key):
+    return {
+        "ln": _layernorm(state, f"{key}.ln"),
+        "conv_1": _plain_conv(state, f"{key}.conv_1"),
+        "conv_2": _plain_conv(state, f"{key}.conv_2"),
+    }
+
+
+def _delightful_conv_mod(state, key):
+    return {
+        "ln_1": _layernorm(state, f"{key}.ln_1"),
+        "conv_1": _plain_conv(state, f"{key}.conv_1.conv"),
+        "depthwise": _plain_conv(state, f"{key}.depthwise.conv"),
+        "ln_2": {"scale": state[f"{key}.ln_2.weight"], "bias": state[f"{key}.ln_2.bias"]},
+        "conv_2": _plain_conv(state, f"{key}.conv_2.conv"),
+    }
+
+
+def _delightful_rel_mha(state, key):
+    return {
+        "query_proj": _dense(state, f"{key}.query_proj"),
+        "key_proj": _dense(state, f"{key}.key_proj"),
+        "value_proj": _dense(state, f"{key}.value_proj"),
+        "pos_proj": _dense(state, f"{key}.pos_proj"),
+        "out_proj": _dense(state, f"{key}.out_proj"),
+        "u_bias": state[f"{key}.u_bias"],
+        "v_bias": state[f"{key}.v_bias"],
+    }
+
+
+def _delightful_conformer_block(state, key, has_conditioning=True):
+    p = {
+        "ff": _delightful_ff(state, f"{key}.ff"),
+        "conformer_conv_1": _delightful_conv_mod(state, f"{key}.conformer_conv_1"),
+        "ln": _layernorm(state, f"{key}.ln"),
+        "slf_attn": {"attention": _delightful_rel_mha(state, f"{key}.slf_attn.attention")},
+        "conformer_conv_2": _delightful_conv_mod(state, f"{key}.conformer_conv_2"),
+    }
+    if has_conditioning and f"{key}.conditioning.conv.pointwise.weight" in state:
+        p["conditioning"] = {
+            "conv": _bsconv(state, f"{key}.conditioning.conv"),
+            "embedding_proj": _dense(state, f"{key}.conditioning.embedding_proj"),
+        }
+    return p
+
+
+def convert_delightful_conformer(state, prefix, n_layers):
+    return {
+        f"block_{i}": _delightful_conformer_block(state, f"{prefix}layer_stack.{i}")
+        for i in range(n_layers)
+    }
+
+
+def convert_delightful_reference_encoder(state, prefix, n_convs):
+    p = {}
+    for i in range(n_convs):
+        p[f"conv_{i}"] = (
+            # CoordConv1d keeps an unused inherited weight; the real conv is
+            # at .conv (reference conv_layers.py:476)
+            {"conv": _plain_conv(state, f"{prefix}convs.0.conv")}
+            if i == 0
+            else _plain_conv(state, f"{prefix}convs.{i}")
+        )
+        p[f"norm_{i}"] = {
+            "scale": state[f"{prefix}norms.{i}.weight"],
+            "bias": state[f"{prefix}norms.{i}.bias"],
+        }
+    p["gru"] = _gru_cell(state, f"{prefix}gru")
+    return p
+
+
+def convert_delightful_utt_prosody(state, prefix, n_convs):
+    return {
+        "encoder": convert_delightful_reference_encoder(state, f"{prefix}encoder.", n_convs),
+        "encoder_prj": _dense(state, f"{prefix}encoder_prj"),
+        "stl": {
+            "embed": state[f"{prefix}stl.embed"],
+            "attention": {
+                "W_query": _dense(state, f"{prefix}stl.attention.W_query"),
+                "W_key": _dense(state, f"{prefix}stl.attention.W_key"),
+                "W_value": _dense(state, f"{prefix}stl.attention.W_value"),
+            },
+        },
+        "encoder_bottleneck": _dense(state, f"{prefix}encoder_bottleneck"),
+    }
+
+
+def convert_delightful_phon_prosody(state, prefix, n_convs):
+    return {
+        "encoder": convert_delightful_reference_encoder(state, f"{prefix}encoder.", n_convs),
+        "encoder_prj": _dense(state, f"{prefix}encoder_prj"),
+        "attention": {"attention": _delightful_rel_mha(state, f"{prefix}attention.attention")},
+        "encoder_bottleneck": _dense(state, f"{prefix}encoder_bottleneck"),
+    }
+
+
+def convert_delightful_variance_predictor(state, prefix):
+    return {
+        "conv_0": {"conv": _bsconv(state, f"{prefix}layers.0.conv")},
+        "ln_0": _layernorm(state, f"{prefix}layers.2"),
+        "conv_1": {"conv": _bsconv(state, f"{prefix}layers.4.conv")},
+        "ln_1": _layernorm(state, f"{prefix}layers.6"),
+        "linear_layer": _dense(state, f"{prefix}linear_layer"),
+    }
+
+
+def convert_delightful_adaptor(state, prefix, kind):
+    return {
+        "predictor": convert_delightful_variance_predictor(state, f"{prefix}{kind}_predictor."),
+        "emb": _plain_conv(state, f"{prefix}{kind}_emb"),
+    }
+
+
+def convert_delightful_prosody_predictor(state, prefix):
+    return {
+        "conv_0": {"conv": _bsconv(state, f"{prefix}layers.0.conv")},
+        "ln_0": _layernorm(state, f"{prefix}layers.2"),
+        "conv_1": {"conv": _bsconv(state, f"{prefix}layers.4.conv")},
+        "ln_1": _layernorm(state, f"{prefix}layers.6"),
+        "predictor_bottleneck": _dense(state, f"{prefix}predictor_bottleneck"),
+    }
+
+
+def convert_delightful_acoustic(state, n_layers_enc, n_layers_dec, n_ref_convs=6):
+    """Full reference ``AcousticModel`` state dict → flax params for
+    :class:`tts_tpu.models.delightful_tts.acoustic_model.AcousticModel`."""
+    p = {
+        "src_word_emb": {"embeddings": state["src_word_emb.embeddings"]},
+        "encoder": convert_delightful_conformer(state, "encoder.", n_layers_enc),
+        "decoder": convert_delightful_conformer(state, "decoder.", n_layers_dec),
+        "pitch_adaptor": convert_delightful_adaptor(state, "pitch_adaptor.", "pitch"),
+        "energy_adaptor": convert_delightful_adaptor(state, "energy_adaptor.", "energy"),
+        "duration_predictor": convert_delightful_variance_predictor(
+            state, "duration_predictor."),
+        "utterance_prosody_encoder": convert_delightful_utt_prosody(
+            state, "utterance_prosody_encoder.", n_ref_convs),
+        "utterance_prosody_predictor": convert_delightful_prosody_predictor(
+            state, "utterance_prosody_predictor."),
+        "phoneme_prosody_encoder": convert_delightful_phon_prosody(
+            state, "phoneme_prosody_encoder.", n_ref_convs),
+        "phoneme_prosody_predictor": convert_delightful_prosody_predictor(
+            state, "phoneme_prosody_predictor."),
+        "u_bottle_out": _dense(state, "u_bottle_out"),
+        "p_bottle_out": _dense(state, "p_bottle_out"),
+        "to_mel": _dense(state, "to_mel"),
+        "aligner": convert_aligner(state, "aligner."),
+    }
+    if "emb_g.weight" in state:
+        p["emb_g"] = {"embedding": state["emb_g.weight"]}
+    return {"params": p}
+
+
+def convert_aligner(state, prefix="aligner."):
+    """Reference AlignmentNetwork → flax params (same mapping as the
+    ForwardTTS aligner)."""
+    return {
+        "key_conv1": _conv(state, f"{prefix}key_layer.0"),
+        "key_conv2": _conv(state, f"{prefix}key_layer.2"),
+        "query_conv1": _conv(state, f"{prefix}query_layer.0"),
+        "query_conv2": _conv(state, f"{prefix}query_layer.2"),
+        "query_conv3": _conv(state, f"{prefix}query_layer.4"),
+    }
+
+
+# ---------------------------------------------------------------------------
 # EnCodec decoder (Bark waveform stage; HF transformers EncodecModel or the
 # original `encodec` package checkpoint layout)
 # ---------------------------------------------------------------------------
