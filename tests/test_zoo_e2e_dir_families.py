@@ -245,3 +245,74 @@ def test_xtts_dir_through_manager(zoo_home, monkeypatch, tmp_path):
     wav = np.asarray(tts.tts("hi.", language="en", speaker_wav=ref_path,
                              split_sentences=False))
     assert wav.ndim == 1 and wav.size > 100 and np.isfinite(wav).all()
+
+
+def test_freevc_through_manager(zoo_home, monkeypatch, tmp_path):
+    """voice_conversion_models zoo entry: reference-layout freevc torch
+    checkpoint → convert-on-first-use → TTS().voice_conversion, with a tiny
+    WavLM standing in for the content extractor."""
+    _env(zoo_home, monkeypatch)
+    import jax
+    import jax.numpy as jnp
+    import scipy.io.wavfile
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_convert_freevc import GIN, HID, INTER, SPEC, SSL, _ref_model
+
+    d = os.path.join(zoo_home["home"], "tts_tpu",
+                     "voice_conversion_models--multilingual--vctk--freevc24")
+    os.makedirs(d, exist_ok=True)
+    ref = _ref_model()
+    torch.save({"model": ref.state_dict()}, os.path.join(d, "model_file.pth"))
+    cfg = {
+        "model": "freevc",
+        "model_args": {
+            "ssl_dim": SSL, "inter_channels": INTER, "hidden_channels": HID,
+            "gin_channels": GIN, "spec_channels": SPEC, "use_spk": False,
+            "resblock": "1", "resblock_kernel_sizes": [3],
+            "resblock_dilation_sizes": [[1, 3, 5]],
+            "upsample_rates": [4, 4], "upsample_kernel_sizes": [8, 8],
+            "upsample_initial_channel": 32,
+        },
+        "audio": {"input_sample_rate": 16000, "output_sample_rate": 24000},
+    }
+    with open(os.path.join(d, "config.json"), "w") as f:
+        json.dump(cfg, f)
+
+    with open(zoo_home["models_file"]) as f:
+        mj = json.load(f)
+    mj["voice_conversion_models"] = {"multilingual": {"vctk": {"freevc24": {
+        "github_rls_url": "https://invalid.example/never.zip",
+        "default_vocoder": None,
+    }}}}
+    with open(zoo_home["models_file"], "w") as f:
+        json.dump(mj, f)
+
+    sr = 16000
+    for name, seed in (("src.wav", 0), ("tgt.wav", 1)):
+        rngw = np.random.RandomState(seed)
+        t = np.arange(sr) / sr
+        wav = 0.3 * np.sin(2 * np.pi * (200 + 40 * seed) * t) + 0.02 * rngw.randn(sr)
+        scipy.io.wavfile.write(str(tmp_path / name), sr, (wav * 32767).astype(np.int16))
+
+    from tts_tpu.api import TTS
+    from tts_tpu.vc.modules.wavlm import WavLM, WavLMConfig
+
+    tts = TTS(model_name="voice_conversion_models/multilingual/vctk/freevc24")
+    # substitute a tiny random WavLM for the (absent) WavLM-Large download
+    wl_cfg = WavLMConfig(
+        encoder_layers=1, encoder_embed_dim=SSL, encoder_ffn_embed_dim=SSL,
+        encoder_attention_heads=2,
+        conv_feature_layers=((8, 10, 5), (8, 4, 4), (SSL, 4, 4), (SSL, 2, 2), (SSL, 2, 2)),
+        conv_pos=8, conv_pos_groups=2,
+    )
+    wl = WavLM(wl_cfg)
+    wl_params = wl.init(jax.random.PRNGKey(1), np.zeros((1, 1600), np.float32))
+    tts.voice_converter.vc_model.content_extractor = jax.jit(
+        lambda w: wl.apply(wl_params, w))
+
+    out = np.asarray(tts.voice_conversion(
+        source_wav=str(tmp_path / "src.wav"), target_wav=str(tmp_path / "tgt.wav")
+    ))
+    assert out.ndim == 1 and out.size > 500 and np.isfinite(out).all()
+    assert os.path.isfile(os.path.join(d, "model_file_flax.msgpack"))

@@ -126,7 +126,15 @@ def _convert_wavernn(state, config):
     )
 
 
+def _convert_freevc(state, config):
+    from tts_tpu.utils.convert import convert_freevc
+
+    return convert_freevc(state, config)
+
+
 CONVERTERS: Dict[str, Callable] = {
+    "freevc": _convert_freevc,
+    "freevc24": _convert_freevc,
     "vits": _convert_vits,
     "glow_tts": _convert_glow_tts,
     "tacotron2": _convert_tacotron2,

@@ -17,7 +17,6 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from tts_tpu.encoder.model import LSTMSpeakerEncoder
 from tts_tpu.layers.wavenet import WN
 from tts_tpu.models.vits.modules import PosteriorEncoder, ResidualCouplingBlocks
 from tts_tpu.ops import rand_segments, sequence_mask
@@ -48,6 +47,45 @@ class ContentEncoder(nn.Module):
         stats = nn.Dense(self.out_channels * 2, name="proj")(h) * x_mask
         m, logs = jnp.split(stats, 2, axis=-1)
         return m, logs, x_mask
+
+
+class FreeVCSpeakerEncoder(nn.Module):
+    """Reference in-model speaker encoder (``freevc.py:256``): plain
+    3-layer LSTM over mels [B, T, 80] → final hidden of the last layer →
+    Linear → ReLU → L2 normalize."""
+
+    mel_n_channels: int = 80
+    num_layers: int = 3
+    hidden_size: int = 256
+    embedding_size: int = 256
+
+    @nn.compact
+    def __call__(self, mels):  # [B, T, M] → [B, E]
+        h = mels
+        carry = None
+        for l in range(self.num_layers):
+            cell = nn.OptimizedLSTMCell(self.hidden_size, name=f"lstm_{l}")
+            carry, h = nn.RNN(cell, return_carry=True)(h)
+        final_h = carry[1]  # LSTM carry = (c, h)
+        e = nn.relu(nn.Dense(self.embedding_size, name="linear")(final_h))
+        return e / jnp.maximum(jnp.linalg.norm(e, axis=1, keepdims=True), 1e-12)
+
+
+def embed_utterance_partials(apply_fn, mel, partial_frames: int = 128,
+                             partial_hop: int = 64):
+    """Reference ``SpeakerEncoder.embed_utterance`` (``freevc.py:277``):
+    mean embedding over 128-frame windows hopped by 64 (+ the final
+    window), single window for short inputs.  ``apply_fn([N, F, M]) →
+    [N, E]``; ``mel`` is [1, T, M]."""
+    T = mel.shape[1]
+    last = mel[:, -partial_frames:]
+    if T > partial_frames:
+        starts = list(range(0, T - partial_frames, partial_hop))
+        windows = [mel[0, s : s + partial_frames] for s in starts]
+        windows.append(last[0])
+        embeds = apply_fn(jnp.stack(windows))
+        return jnp.mean(embeds, axis=0, keepdims=True)
+    return apply_fn(last)
 
 
 class FreeVCModule(nn.Module):
@@ -87,11 +125,12 @@ class FreeVCModule(nn.Module):
             upsample_initial_channel=a.upsample_initial_channel,
             upsample_factors=tuple(a.upsample_rates),
             cond_channels=a.gin_channels,
+            conv_post_bias=False,  # reference freevc.py:127
             name="dec",
         )
         if not a.use_spk:
-            self.enc_spk = LSTMSpeakerEncoder(
-                input_dim=80, proj_dim=a.gin_channels, lstm_dim=768, num_lstm_layers=3,
+            self.enc_spk = FreeVCSpeakerEncoder(
+                hidden_size=a.gin_channels, embedding_size=a.gin_channels,
                 name="enc_spk",
             )
 
