@@ -33,7 +33,13 @@ def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
     via ``weights_only=True``; replaces reference ``utils/io.py`` RenamingUnpickler)."""
     import torch
 
-    state = torch.load(path, map_location="cpu", weights_only=True)
+    from tts_tpu.utils.io import _is_remote, _open
+
+    if _is_remote(path):
+        with _open(path, "rb", cache=True) as f:
+            state = torch.load(f, map_location="cpu", weights_only=True)
+    else:
+        state = torch.load(path, map_location="cpu", weights_only=True)
     if isinstance(state, dict) and "model" in state:
         state = state["model"]
 
