@@ -29,6 +29,12 @@ jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
 
+# Tests measure correctness, not speed: skip XLA's expensive optimization
+# passes (~35% off every cold compile, the dominant suite cost).  Set
+# TTS_FULL_OPT=1 to compile the normal way.
+if not os.environ.get("TTS_FULL_OPT"):
+    jax.config.update("jax_disable_most_optimizations", True)
+
 import pytest  # noqa: E402
 
 

@@ -13,6 +13,7 @@ from typing import Any, Dict, Optional
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from tts_tpu.ops import generate_path, maximum_path, rand_segments, sequence_mask
 from tts_tpu.vocoder.models.hifigan_generator import HifiganGenerator
@@ -372,21 +373,25 @@ class Vits:
 
     def init_params(self, rng: jax.Array, t_en: int = 17, t_de: int = 64):
         a = self.args
-        x = jnp.zeros((1, t_en), jnp.int32)
-        xl = jnp.full((1,), t_en, jnp.int32)
-        y = jnp.zeros((1, t_de, a.out_channels), jnp.float32)
-        yl = jnp.full((1,), t_de, jnp.int32)
-        wav_len = t_de * int(jnp.prod(jnp.asarray(a.upsample_rates_decoder)))
-        wav = jnp.zeros((1, wav_len, 1), jnp.float32)
-        r1, r2, r3, r4 = jax.random.split(rng, 4)
-        gen_params = self.module.init(
-            {"params": r1, "noise": r2, "segments": r3, "dropout": r4}, x, xl, y, yl, wav
-        )
-        seg_wav = jnp.zeros(
-            (1, a.spec_segment_size * int(jnp.prod(jnp.asarray(a.upsample_rates_decoder))), 1)
-        )
-        disc_params = self.discriminator.init(r1, seg_wav, seg_wav)
-        return gen_params, disc_params
+        hop = int(np.prod(a.upsample_rates_decoder))
+
+        # one fused jitted init graph: eager flax init dispatches every op
+        # separately, which dominates cold-cache test/start-up time
+        def _init(rng_):
+            x = jnp.zeros((1, t_en), jnp.int32)
+            xl = jnp.full((1,), t_en, jnp.int32)
+            y = jnp.zeros((1, t_de, a.out_channels), jnp.float32)
+            yl = jnp.full((1,), t_de, jnp.int32)
+            wav = jnp.zeros((1, t_de * hop, 1), jnp.float32)
+            r1, r2, r3, r4 = jax.random.split(rng_, 4)
+            gen_params = self.module.init(
+                {"params": r1, "noise": r2, "segments": r3, "dropout": r4}, x, xl, y, yl, wav
+            )
+            seg_wav = jnp.zeros((1, a.spec_segment_size * hop, 1))
+            disc_params = self.discriminator.init(r1, seg_wav, seg_wav)
+            return gen_params, disc_params
+
+        return jax.jit(_init)(rng)
 
     def forward(self, params, batch, rngs, train: bool = True):
         return self.module.apply(
