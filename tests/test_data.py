@@ -121,3 +121,16 @@ def test_bucket_batch_sampler():
     # within a batch, lengths are close (same bucket)
     for b in batches:
         assert max(lengths[i] for i in b) - min(lengths[i] for i in b) <= 20
+
+
+def test_process_pool_prefetch(ljspeech_dataset):
+    """worker_mode="process": batches built in forked workers match the
+    single-process path exactly (GIL-free loader, reference DataLoader
+    worker-process parity)."""
+    ds = ljspeech_dataset
+    want = list(ds.batches(2, shuffle=False, num_workers=0))
+    got = list(ds.batches(2, shuffle=False, num_workers=2, worker_mode="process"))
+    assert len(got) == len(want)
+    for a, b in zip(got, want):
+        np.testing.assert_array_equal(a["text_input"], b["text_input"])
+        np.testing.assert_allclose(a["mel_input"], b["mel_input"], atol=1e-6)

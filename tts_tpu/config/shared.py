@@ -144,6 +144,9 @@ class BaseTrainingConfig(Config):
     use_grad_scaler: bool = False
     # dataloading
     num_loader_workers: int = 0
+    # "thread" (BLAS-parallel DSP) or "process" (GIL-free forked workers for
+    # heavy text/F0 pipelines; reference uses torch DataLoader processes)
+    loader_worker_mode: str = "thread"
     num_eval_loader_workers: int = 0
     use_noise_augment: bool = False
     shuffle: bool = True

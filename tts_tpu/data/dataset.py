@@ -81,6 +81,14 @@ def audio_length_samples(path: str, target_sr: Optional[int] = None) -> float:
     return float(n)
 
 
+_FORKED_DATASET = None
+
+
+def _build_batch_forked(batch_idxs):
+    ds = _FORKED_DATASET
+    return ds.collate([ds[int(i)] for i in batch_idxs])
+
+
 def round_up(x: int, multiple: int) -> int:
     return ((x + multiple - 1) // multiple) * multiple
 
@@ -247,6 +255,7 @@ class TTSDataset:
         weights: Optional[np.ndarray] = None,
         num_workers: int = 0,
         prefetch: int = 2,
+        worker_mode: str = "thread",
     ) -> Iterator[dict]:
         """Yield padded batches, bucketed by length for static shapes.
 
@@ -278,7 +287,10 @@ class TTSDataset:
         if shuffle:
             rng.shuffle(batches)
         if num_workers and num_workers > 0 and len(batches) > 1:
-            yield from self._prefetched(batches, num_workers, prefetch)
+            if worker_mode == "process":
+                yield from self._prefetched_processes(batches, num_workers, prefetch)
+            else:
+                yield from self._prefetched(batches, num_workers, prefetch)
         else:
             for batch_idxs in batches:
                 yield self.collate([self[int(i)] for i in batch_idxs])
@@ -301,6 +313,37 @@ class TTSDataset:
                     pending.append(pool.submit(build, batches[next_submit]))
                     next_submit += 1
                 yield fut.result()
+
+    def _prefetched_processes(self, batches, num_workers: int, prefetch: int) -> Iterator[dict]:
+        """Assemble batches in forked worker PROCESSES (GIL-free; the
+        thread-pool path only overlaps inside BLAS/np releases, so heavy
+        text/F0 pipelines still starve the device — reference uses torch
+        DataLoader worker processes).  Fork start method: children inherit
+        the dataset without pickling; only the finished numpy batches cross
+        the pipe."""
+        import multiprocessing as mp
+
+        global _FORKED_DATASET
+        ctx = mp.get_context("fork")
+        _FORKED_DATASET = self
+        try:
+            with ctx.Pool(processes=num_workers) as pool:
+                depth = max(1, prefetch)
+                idx_lists = [[int(i) for i in b] for b in batches]
+                pending = [
+                    pool.apply_async(_build_batch_forked, (b,)) for b in idx_lists[:depth]
+                ]
+                next_submit = depth
+                while pending:
+                    res = pending.pop(0)
+                    if next_submit < len(idx_lists):
+                        pending.append(
+                            pool.apply_async(_build_batch_forked, (idx_lists[next_submit],))
+                        )
+                        next_submit += 1
+                    yield res.get()
+        finally:
+            _FORKED_DATASET = None
 
     def collate(self, items: List[dict]) -> dict:
         """Pad a list of items into one static-shape numpy batch."""

@@ -416,6 +416,9 @@ class Trainer:
             workers = int(getattr(config, "num_loader_workers", 0))
             if workers > 0 and "num_workers" in supported:
                 batch_kwargs["num_workers"] = workers
+                mode = getattr(config, "loader_worker_mode", "thread")
+                if mode and "worker_mode" in supported:
+                    batch_kwargs["worker_mode"] = mode
         except (TypeError, ValueError):
             pass
         for batch in train_ds.batches(config.batch_size, **batch_kwargs):
