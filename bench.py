@@ -73,7 +73,10 @@ def main():
         if isinstance(cost, list):
             cost = cost[0]
         flops = float(cost.get("flops", 0.0))
-        peak = 197e12 if DTYPE == "bfloat16" else 197e12 / 2  # fp32 runs bf16x3-ish
+        # v5e publishes 197 TFLOP/s bf16 and no official fp32 figure; the
+        # fp32 MFU denominator is an ESTIMATE at half the bf16 peak (XLA
+        # lowers f32 matmuls to multi-pass bf16 on the MXU)
+        peak = 197e12 if DTYPE == "bfloat16" else 197e12 / 2
         if flops > 0:
             vits_mfu = round(flops / dt / peak, 4)
     except Exception:
@@ -156,7 +159,8 @@ def measure_train_step(model, cfg):
             cost = cost[0]
         flops = float(cost.get("flops", 0.0))
         if flops > 0:
-            mfu = round(flops / dt / (197e12 / 2), 4)  # fp32 path
+            # same estimated fp32 peak as the inference MFU above
+            mfu = round(flops / dt / (197e12 / 2), 4)
     except Exception:
         pass
     return round(dt * 1000.0, 1), mfu

@@ -6,7 +6,7 @@ weight-compatible with converted checkpoints via
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import flax.linen as nn
 import jax
@@ -23,7 +23,6 @@ from .acoustic import (
     UtteranceLevelProsodyEncoder,
     VarianceAdaptor,
     VariancePredictor,
-    _instance_norm,
     _lengths_to_pad_mask,
     positional_encoding,
 )

@@ -13,9 +13,6 @@ trained jointly with the fused GAN step over random mel segments.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
-
-import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
@@ -23,7 +20,7 @@ from tts_tpu.layers import losses as L
 from tts_tpu.vocoder.models.hifigan_generator import HifiganGenerator
 
 from .acoustic_model import AcousticModel
-from .config import DelightfulTtsArgs, DelightfulTTSConfig
+from .config import DelightfulTTSConfig
 
 
 class DelightfulTTS:
