@@ -18,8 +18,8 @@ def dt_small():
         n_hidden_conformer_decoder=32, n_layers_conformer_decoder=1, n_heads_conformer_decoder=2,
         n_hidden_variance_adaptor=32,
         bottleneck_size_u_reference_encoder=16, bottleneck_size_p_reference_encoder=4,
-        ref_enc_filters_reference_encoder=[8, 8, 16, 16, 24, 24],
-        ref_enc_gru_size_reference_encoder=16, token_num_reference_encoder=5,
+        ref_enc_filters_reference_encoder=[4, 4, 8, 8, 8, 8],
+        ref_enc_gru_size_reference_encoder=8, token_num_reference_encoder=3,
     )
     cfg.audio.num_mels = 20
     cfg.vocoder.upsample_rates_decoder = [4, 4]
@@ -27,6 +27,7 @@ def dt_small():
     cfg.vocoder.upsample_initial_channel_decoder = 32
     cfg.vocoder.resblock_kernel_sizes_decoder = [3]
     cfg.vocoder.resblock_dilation_sizes_decoder = [[1, 3]]
+    cfg.vocoder.periods_discriminator = [2, 3]
     model = DelightfulTTS(cfg)
     params = model.init_params(jax.random.PRNGKey(0))
     return model, params, cfg

@@ -10,7 +10,7 @@ import pytest
 import scipy.io.wavfile
 
 
-def _write_wav(path, seconds=1.0, sr=16000, seed=0):
+def _write_wav(path, seconds=0.5, sr=16000, seed=0):
     rng = np.random.RandomState(seed)
     t = np.arange(int(seconds * sr)) / sr
     wav = 0.3 * np.sin(2 * np.pi * 220 * t) + 0.05 * rng.randn(len(t))
@@ -34,8 +34,8 @@ def test_freevc_voice_conversion_end_to_end(tmp_path):
     a.n_layers_q = 1
     a.n_flows = 1
     a.gin_channels = 16
-    a.upsample_rates = [10, 8, 4]
-    a.upsample_kernel_sizes = [16, 16, 8]
+    a.upsample_rates = [10, 4, 2]
+    a.upsample_kernel_sizes = [16, 8, 4]
     a.upsample_initial_channel = 32
     a.resblock_kernel_sizes = [3]
     a.resblock_dilation_sizes = [[1, 3]]

@@ -96,12 +96,12 @@ def test_gpt_trainer_seq_parallel_train_step():
     def _cfg(seq_parallel):
         cfg = XttsConfig()
         cfg.model_args = XttsArgs(
-            gpt_layers=2, gpt_n_model_channels=64, gpt_n_heads=4,
+            gpt_layers=1, gpt_n_model_channels=32, gpt_n_heads=2,
             gpt_number_text_tokens=40, gpt_num_audio_tokens=18,
             gpt_start_audio_token=16, gpt_stop_audio_token=17,
             gpt_start_text_token=38, gpt_stop_text_token=0,
             gpt_max_text_tokens=24, gpt_max_audio_tokens=32,
-            decoder_input_dim=64, gpt_seq_parallel=seq_parallel,
+            decoder_input_dim=32, gpt_seq_parallel=seq_parallel,
         )
         cfg.batch_size = 2
         return cfg
