@@ -18,6 +18,7 @@ def bark_tiny():
     cfg.SEMANTIC_PAD_TOKEN = 100
     cfg.SEMANTIC_INFER_TOKEN = 255
     cfg.COARSE_INFER_TOKEN = 140
+    cfg.COARSE_SEMANTIC_PAD_TOKEN = 102
     cfg.semantic_config = BarkGPTArgs(
         block_size=640, input_vocab_size=256, output_vocab_size=256,
         n_layer=1, n_head=2, n_embd=32,
@@ -87,3 +88,38 @@ def test_bark_waveform_via_flax_encodec(bark_tiny, tmp_path):
     # encode side: wav → codes for cloning prompts
     codes = bark_tiny.encodec_vocoder.encode(np.random.RandomState(0).randn(64) * 0.1, n_q=4)
     assert codes.shape[0] == 4 and (codes >= 0).all() and (codes < 32).all()
+
+
+def test_bark_voice_prompt_paths(bark_tiny, tmp_path):
+    """Voice prompts flow through all three stages (reference history_prompt
+    semantics: semantic history window, trimmed+interleaved coarse history,
+    fine in-context frames stripped from the output)."""
+    c = bark_tiny.config
+    rngnp = np.random.RandomState(0)
+    prompt = {
+        "semantic_prompt": rngnp.randint(0, c.SEMANTIC_VOCAB_SIZE, 40).astype(np.int64),
+        "coarse_prompt": rngnp.randint(0, c.CODEBOOK_SIZE,
+                                       (c.N_COARSE_CODEBOOKS, 120)).astype(np.int64),
+        "fine_prompt": rngnp.randint(0, c.CODEBOOK_SIZE,
+                                     (c.N_FINE_CODEBOOKS, 120)).astype(np.int64),
+    }
+    np.savez(tmp_path / "alice.npz", **prompt)
+
+    out = bark_tiny.synthesize(
+        "hi", c, rng=jax.random.PRNGKey(5), max_gen_duration_s=0.3,
+        speaker_id="alice", voice_dirs=str(tmp_path),
+    )
+    assert out["semantic"].ndim == 1
+    assert out["coarse"].shape[0] == c.N_COARSE_CODEBOOKS
+    # fine history frames are stripped: output length matches coarse length
+    assert out["fine"].shape == (c.N_FINE_CODEBOOKS, out["coarse"].shape[1])
+    assert (out["fine"] < 32).all() and (out["fine"] >= 0).all()
+
+    # unknown speaker fails loudly instead of using the default voice
+    with pytest.raises(ValueError, match="voice prompt"):
+        bark_tiny.synthesize("hi", c, speaker_id="bob", voice_dirs=str(tmp_path),
+                             max_gen_duration_s=0.2)
+
+    # coarse respects the alternating codebook slices even without history
+    coarse = out["coarse"]
+    assert (coarse < c.CODEBOOK_SIZE).all()

@@ -177,3 +177,29 @@ def test_tortoise_univnet_mel_parity():
     # normalized variant maps the tacotron range onto [-1, 1]
     normed = np.asarray(normalize_tacotron_mel(jnp.asarray(ref)))
     assert normed.max() <= 1.01 and normed.min() >= -1.01
+
+
+def test_tortoise_speaker_errors():
+    """Named speakers without voice material fail loudly; best-of-k with
+    batch > 1 is rejected up front."""
+    import pytest
+
+    cfg = TortoiseConfig()
+    cfg.model_args = TortoiseArgs(
+        ar_layers=1, ar_model_dim=32, ar_heads=2,
+        ar_number_text_tokens=255, ar_number_mel_codes=20,
+        ar_start_mel_token=18, ar_stop_mel_token=19, ar_start_text_token=255,
+        diff_model_channels=32, diff_num_layers=3, diff_in_channels=20,
+        diff_in_latent_channels=32, diff_num_heads=2, diffusion_iterations=2,
+    )
+    model = Tortoise(cfg)
+    with pytest.raises(ValueError, match="voice_dirs"):
+        model.synthesize("Hi.", cfg, speaker_id="emma")
+
+    model.init_params(jax.random.PRNGKey(0))
+    text = jnp.asarray(np.random.RandomState(0).randint(1, 250, (2, 5)))
+    cond = jnp.asarray(np.random.RandomState(1).randn(2, 16, 80).astype(np.float32))
+    dcond = jnp.asarray(np.random.RandomState(2).randn(2, 12, 20).astype(np.float32))
+    with pytest.raises(ValueError, match="batch size 1"):
+        model.inference(text, cond, diffusion_cond_mels=dcond, num_samples=2,
+                        max_mel_tokens=4)

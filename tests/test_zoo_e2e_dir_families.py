@@ -111,7 +111,8 @@ def _build_bark_dir(d):
         "SEMANTIC_VOCAB_SIZE": 100, "CODEBOOK_SIZE": 16,
         "TEXT_ENCODING_OFFSET": 104, "TEXT_PAD_TOKEN": 250,
         "SEMANTIC_PAD_TOKEN": 100, "SEMANTIC_INFER_TOKEN": 255,
-        "COARSE_INFER_TOKEN": 140, "N_FINE_CODEBOOKS": 4,
+        "COARSE_INFER_TOKEN": 140, "COARSE_SEMANTIC_PAD_TOKEN": 102,
+        "N_FINE_CODEBOOKS": 4,
         "semantic_config": BARK_GPT,
         "coarse_config": BARK_GPT,
         "fine_config": {**BARK_GPT, "input_vocab_size": 32,

@@ -70,9 +70,14 @@ class BarkGPT(nn.Module):
         top_p: float = 0.95,
         logit_slice: Optional[int] = None,
         merge_context: bool = False,
+        codebook_cycle: Optional[tuple] = None,
     ) -> Dict[str, jnp.ndarray]:
         """KV-cached AR sampling; ``logit_slice`` restricts sampling to the
-        first N classes (semantic/coarse vocab subsets)."""
+        first N classes (semantic/coarse vocab subsets).
+        ``codebook_cycle=(base, size, n)`` instead restricts step ``s`` to
+        the vocab window ``[base + (s%n)·size, base + (s%n+1)·size)`` — the
+        reference coarse loop's alternating codebook slices
+        (``inference_funcs.py:447 logit_start_idx``)."""
         a = self.args
         B = prompt.shape[0]
         L_pre = prompt.shape[1] - (256 if merge_context else 0)
@@ -86,10 +91,16 @@ class BarkGPT(nn.Module):
         last_logits = logits[:, -1]
         positions = jnp.arange(max_len)
 
-        def step(carry, rng_t):
+        def step(carry, xs):
+            rng_t, s_idx = xs
             caches, cur, last_logits, done, out_len = carry
             lg = last_logits
-            if logit_slice is not None:
+            if codebook_cycle is not None:
+                base, size, n_cb = codebook_cycle
+                lo = base + (s_idx % n_cb) * size
+                v = jnp.arange(lg.shape[-1])
+                lg = jnp.where((v >= lo) & (v < lo + size), lg, -jnp.inf)
+            elif logit_slice is not None:
                 lg = lg[:, :logit_slice]
             tok = sample_logits(rng_t, lg, temperature=temperature, top_k=top_k, top_p=top_p)
             tok = jnp.where(done, eos_token, tok)
@@ -106,7 +117,9 @@ class BarkGPT(nn.Module):
         carry0 = (caches, jnp.asarray(L_pre, jnp.int32), last_logits,
                   jnp.zeros((B,), bool), jnp.zeros((B,), jnp.int32))
         rngs = jax.random.split(rng, max_new_tokens)
-        (caches, _, _, done, out_len), toks = jax.lax.scan(step, carry0, rngs)
+        (caches, _, _, done, out_len), toks = jax.lax.scan(
+            step, carry0, (rngs, jnp.arange(max_new_tokens))
+        )
         return {"tokens": jnp.moveaxis(toks, 0, 1), "lengths": out_len}
 
 
@@ -190,17 +203,17 @@ class Bark:
         via HuBERT layer-9 features + the LSTM semantic tokenizer
         (``models/bark/hubert.py``); coarse/fine codes via EnCodec when the
         codec is available (gated otherwise, like ``codes_to_audio``)."""
+        from tts_tpu.audio.numpy_transforms import resample_wav
         from tts_tpu.models.bark.hubert import semantic_tokens_from_audio
 
-        semantic = semantic_tokens_from_audio(
-            np.asarray(wav, np.float32), hubert_params, tokenizer_params
-        )
+        wav16 = np.asarray(wav, np.float32)
+        if sample_rate != 16000:  # HuBERT operates at 16 kHz
+            wav16 = resample_wav(wav16, sample_rate, 16000)
+        semantic = semantic_tokens_from_audio(wav16, hubert_params, tokenizer_params)
         prompt = {"semantic_prompt": semantic}
         if self.encodec_vocoder is not None and self.encodec_vocoder.can_encode:
-            # 16 kHz reference → 24 kHz → EnCodec codes (reference
+            # reference clip → 24 kHz → EnCodec codes (reference
             # generate_voice: encodec.encode on the resampled clip)
-            from tts_tpu.audio.numpy_transforms import resample_wav
-
             wav24 = resample_wav(np.asarray(wav, np.float32), sample_rate, 24000)
             codes = self.encodec_vocoder.encode(wav24)  # [n_q, T]
             prompt["coarse_prompt"] = codes[:2]
@@ -211,12 +224,19 @@ class Bark:
 
     # -- stage 1: text → semantic (reference inference_funcs.py:178) -------
     def generate_text_semantic(self, text_tokens: np.ndarray, rng, max_gen_duration_s: float = 8.0,
-                               temperature: float = 0.7, top_k: int = 50, top_p: float = 0.95):
+                               temperature: float = 0.7, top_k: int = 50, top_p: float = 0.95,
+                               semantic_history=None):
         c = self.config
         text = np.asarray(text_tokens) + c.TEXT_ENCODING_OFFSET
         text = text[:256]
         text = np.pad(text, (0, 256 - len(text)), constant_values=c.TEXT_PAD_TOKEN)
-        history = np.full(256, c.SEMANTIC_PAD_TOKEN)
+        if semantic_history is not None:
+            # reference inference_funcs.py:214: last 256 tokens, right-padded
+            history = np.asarray(semantic_history, np.int64)[-256:]
+            history = np.pad(history, (0, 256 - len(history)),
+                             constant_values=c.SEMANTIC_PAD_TOKEN)
+        else:
+            history = np.full(256, c.SEMANTIC_PAD_TOKEN)
         prompt = jnp.asarray(
             np.concatenate([text, history, [c.SEMANTIC_INFER_TOKEN]])[None], jnp.int32
         )
@@ -232,23 +252,66 @@ class Bark:
 
     # -- stage 2: semantic → coarse (reference inference_funcs.py:330) -----
     def generate_coarse(self, semantic_tokens: np.ndarray, rng, temperature: float = 0.7,
-                        top_k: int = 50, top_p: float = 0.95):
+                        top_k: int = 50, top_p: float = 0.95, history=None,
+                        max_coarse_history: int = 630, sliding_window_len: int = 60):
+        """Reference sliding-window loop: per window the prompt is the
+        256-token (padded) semantic context + COARSE_INFER + the last
+        ≤630 generated coarse tokens, and each step's logits are restricted
+        to the alternating codebook slice.  ``history``:
+        ``(semantic_prompt [T], coarse_prompt [N_COARSE, T'])`` voice clone
+        prompts (reference history trimming incl. the off-by-two
+        time-alignment hack)."""
         c = self.config
         ratio = c.COARSE_RATE_HZ / c.SEMANTIC_RATE_HZ * c.N_COARSE_CODEBOOKS
-        n_steps = int(round(len(semantic_tokens) * ratio / c.N_COARSE_CODEBOOKS)) * c.N_COARSE_CODEBOOKS
-        n_steps = max(n_steps, c.N_COARSE_CODEBOOKS)
+        max_sem_hist = int(np.floor(max_coarse_history / ratio))
         sem = np.asarray(semantic_tokens, np.int32)
-        prompt = jnp.asarray(
-            np.concatenate([sem, [c.COARSE_INFER_TOKEN]])[None], jnp.int32
-        )
-        out = self.coarse_model.apply(
-            self.coarse_params, prompt, rng, max_new_tokens=n_steps,
-            eos_token=c.coarse_config.output_vocab_size - 1, temperature=temperature,
-            top_k=top_k, top_p=top_p,
-            logit_slice=c.SEMANTIC_VOCAB_SIZE + 2 * c.CODEBOOK_SIZE,
-            method=self.coarse_model.generate,
-        )
-        toks = np.array(out["tokens"][0])[:n_steps]
+        if history is not None:
+            sem_hist = np.asarray(history[0], np.int32)
+            cb2d = np.asarray(history[1], np.int32)
+            # interleave codebooks with per-codebook vocab offsets
+            flat = (cb2d + np.arange(cb2d.shape[0])[:, None] * c.CODEBOOK_SIZE).T.reshape(-1)
+            flat = flat + c.SEMANTIC_VOCAB_SIZE
+            n_sem = min(max_sem_hist, len(sem_hist) - len(sem_hist) % 2,
+                        int(np.floor(len(flat) / ratio)))
+            n_coarse = int(round(n_sem * ratio))
+            sem_hist = sem_hist[-n_sem:] if n_sem > 0 else sem_hist[:0]
+            flat = (flat[-n_coarse:] if n_coarse > 0 else flat[:0])[:-2]
+        else:
+            sem_hist = np.array([], np.int32)
+            flat = np.array([], np.int32)
+
+        n_steps = int(round(np.floor(len(sem) * ratio / c.N_COARSE_CODEBOOKS))
+                      * c.N_COARSE_CODEBOOKS)
+        n_steps = max(n_steps, c.N_COARSE_CODEBOOKS)
+        x_semantic = np.concatenate([sem_hist, sem]).astype(np.int32)
+        x_coarse = flat.astype(np.int32)
+        base_idx = len(sem_hist)
+        n_hist_coarse = len(flat)
+
+        n_step = 0
+        while n_step < n_steps:
+            sem_idx = base_idx + int(round(n_step / ratio))
+            window = x_semantic[max(0, sem_idx - max_sem_hist):][:256]
+            window = np.pad(window, (0, 256 - len(window)),
+                            constant_values=c.COARSE_SEMANTIC_PAD_TOKEN)
+            tail = x_coarse[-max_coarse_history:]
+            prompt = np.concatenate(
+                [window, [c.COARSE_INFER_TOKEN], tail]).astype(np.int32)
+            steps = int(min(sliding_window_len, n_steps - n_step))
+            rng, sub = jax.random.split(rng)
+            out = self.coarse_model.apply(
+                self.coarse_params, jnp.asarray(prompt[None]), sub,
+                max_new_tokens=steps,
+                eos_token=c.coarse_config.output_vocab_size - 1,
+                temperature=temperature, top_k=top_k, top_p=top_p,
+                codebook_cycle=(c.SEMANTIC_VOCAB_SIZE, c.CODEBOOK_SIZE,
+                                c.N_COARSE_CODEBOOKS),
+                method=self.coarse_model.generate,
+            )
+            x_coarse = np.concatenate([x_coarse, np.asarray(out["tokens"][0])[:steps]])
+            n_step += steps
+
+        toks = x_coarse[n_hist_coarse:][:n_steps]
         # de-interleave into [N_COARSE, T] and remove vocab offsets
         toks = np.ascontiguousarray(toks.reshape(-1, c.N_COARSE_CODEBOOKS).T)
         for i in range(c.N_COARSE_CODEBOOKS):
@@ -256,12 +319,22 @@ class Bark:
         return toks
 
     # -- stage 3: coarse → fine (reference inference_funcs.py:495) ---------
-    def generate_fine(self, coarse_codes: np.ndarray, rng, temperature: float = 0.5):
+    def generate_fine(self, coarse_codes: np.ndarray, rng, temperature: float = 0.5,
+                      history=None):
+        """``history``: fine voice prompt [N_FINE, T_hist] — the last ≤512
+        columns are prepended as in-context audio (reference
+        inference_funcs.py:520 ``x_fine_history``) and stripped after."""
         c = self.config
         n_fine = c.N_FINE_CODEBOOKS
         T = coarse_codes.shape[1]
         codes = np.full((n_fine, T), c.CODEBOOK_SIZE, np.int32)
         codes[: coarse_codes.shape[0]] = coarse_codes
+        n_hist = 0
+        if history is not None:
+            hist = np.asarray(history, np.int32)[:, -512:]
+            n_hist = hist.shape[1]
+            codes = np.concatenate([hist[:n_fine], codes], axis=1)
+            T = codes.shape[1]
         idx = jnp.asarray(codes.T[None], jnp.int32)  # [1, T, n_fine]
         for k in range(coarse_codes.shape[0], n_fine):
             logits = self.fine_model.apply(self.fine_params, k, idx)
@@ -270,8 +343,11 @@ class Bark:
                 sub, logits.reshape(-1, logits.shape[-1])[:, : c.CODEBOOK_SIZE],
                 temperature=temperature, top_k=0, top_p=1.0,
             ).reshape(1, T)
+            if n_hist:  # keep the in-context prompt frames fixed
+                keep = jnp.asarray(codes.T[None, :, :], jnp.int32)[:, :, k]
+                sampled = jnp.where(jnp.arange(T)[None] < n_hist, keep, sampled)
             idx = idx.at[:, :, k].set(sampled)
-        return np.asarray(idx[0]).T  # [n_fine, T]
+        return np.asarray(idx[0]).T[:, n_hist:]  # [n_fine, T_gen]
 
     def codes_to_audio(self, fine_codes: np.ndarray) -> np.ndarray:
         """EnCodec decode via the flax decoder (``models/bark/encodec.py``;
@@ -298,14 +374,48 @@ class Bark:
         except Exception:
             # offline fallback: raw utf-8 bytes as token ids
             text_tokens = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.int64)
-        # Synthesizer dispatch kwargs Bark has no use for (no per-speaker
-        # conditioning without a voice prompt; language is implicit)
-        for k in ("speaker_id", "speaker_wav", "language", "voice_dirs"):
-            kwargs.pop(k, None)
+        # resolve an optional voice prompt (reference speaker .npz dicts
+        # with semantic/coarse/fine histories — bark/inference_funcs.py:43
+        # load_voice; produced locally by generate_voice())
+        kwargs.pop("speaker_wav", None)  # cloning needs generate_voice() first
+        kwargs.pop("language", None)  # implicit in the text
+        speaker_id = kwargs.pop("speaker_id", None)
+        voice_dirs = kwargs.pop("voice_dirs", None)
+        prompt = kwargs.pop("history_prompt", None)
+        if prompt is None and speaker_id not in (None, "random") and voice_dirs:
+            import os as _os
+
+            dirs = [voice_dirs] if isinstance(voice_dirs, str) else list(voice_dirs)
+            for d in dirs:
+                cand = _os.path.join(d, f"{speaker_id}.npz")
+                if _os.path.isfile(cand):
+                    prompt = cand
+                    break
+            if prompt is None:
+                raise ValueError(
+                    f"no bark voice prompt {speaker_id}.npz in {dirs} "
+                    "(create one with Bark.generate_voice)"
+                )
+        if isinstance(prompt, str):
+            data = np.load(prompt)
+            prompt = {k: data[k] for k in data.files}
+        sem_hist = coarse_hist = fine_hist = None
+        if prompt is not None:
+            sem_hist = prompt.get("semantic_prompt")
+            fine_hist = prompt.get("fine_prompt")
+            coarse_hist = prompt.get("coarse_prompt")
+            if coarse_hist is None and fine_hist is not None:
+                coarse_hist = np.asarray(fine_hist)[: self.config.N_COARSE_CODEBOOKS]
         r1, r2, r3 = jax.random.split(rng, 3)
-        semantic = self.generate_text_semantic(text_tokens, r1, **kwargs)
-        coarse = self.generate_coarse(semantic, r2)
-        fine = self.generate_fine(coarse, r3)
+        semantic = self.generate_text_semantic(
+            text_tokens, r1, semantic_history=sem_hist, **kwargs
+        )
+        coarse = self.generate_coarse(
+            semantic, r2,
+            history=(sem_hist, coarse_hist)
+            if sem_hist is not None and coarse_hist is not None else None,
+        )
+        fine = self.generate_fine(coarse, r3, history=fine_hist)
         out = {"semantic": semantic, "coarse": coarse, "fine": fine}
         try:
             out["wav"] = self.codes_to_audio(fine)
@@ -370,7 +480,14 @@ def load_bark_encodec(model: "Bark", path: str, decoder=None, encoder=None) -> "
     if decoder is None:  # read the SEANet dims off the checkpoint
         dims = infer_encodec_dims(state)
         decoder = EncodecDecoder(**dims)
-        encoder = EncodecEncoder(**dims)
+    if encoder is None:  # mirror the decoder dims (SEANet is symmetric)
+        encoder = EncodecEncoder(**{
+            f: getattr(decoder, f)
+            for f in ("hidden_size", "num_filters", "upsampling_ratios",
+                      "kernel_size", "last_kernel_size", "residual_kernel_size",
+                      "num_lstm_layers", "compress", "dilation_growth_rate",
+                      "num_residual_layers", "pad_mode")
+        })
     ratios = tuple(decoder.upsampling_ratios)
     params, codebooks = convert_encodec_decoder(
         state, upsampling_ratios=ratios,

@@ -506,6 +506,11 @@ class Tortoise:
             )(self.diff_params, diffusion_cond_mels)
         B = text_tokens.shape[0]
         k = max(1, num_samples)
+        if k > 1 and B > 1:
+            raise ValueError(
+                "num_samples > 1 (CLVP best-of-k) supports batch size 1; "
+                "got B={} — run utterances separately".format(B)
+            )
         text_rep = jnp.repeat(text_tokens, k, axis=0)
         cond_rep = jnp.repeat(auto_latent, k, axis=0)
         gen = self._jitted(
@@ -538,13 +543,20 @@ class Tortoise:
         )(self.ar_params, auto_latent, text_tokens, jnp.asarray(codes))
         latents = mel_latents[:, :-2]  # strip the start/stop positions
 
-        # cut at end-of-speech so the diffusion model can terminate
+        # cut at end-of-speech so the diffusion model can terminate; round
+        # the cut UP to a bucket boundary (the trimmed-off latents encode
+        # the calm/silence continuation, so padded positions carry real
+        # context) — a data-dependent exact length would recompile the
+        # diffusion + vocoder programs for nearly every utterance on TPU
         calm = min(CALM_TOKEN, a.ar_stop_mel_token - 1)
-        n_keep = max(1, trim_index_at_calm(codes[0], calm_token=calm))
+        n_true = max(1, trim_index_at_calm(codes[0], calm_token=calm))
+        bucket = int(getattr(a, "diffusion_length_bucket", 32) or 1)
+        n_keep = min(-(-n_true // bucket) * bucket, latents.shape[1])
         latents = latents[:, :n_keep]
 
         # 22.05 kHz code frames → 24 kHz output frames (tortoise.py:132)
         T_mel = latents.shape[1] * 4 * 24000 // 22050
+        T_true = n_true * 4 * 24000 // 22050
         sampler_name = getattr(a, "sampler", "ddim")
         steps = diffusion_iterations or a.diffusion_iterations
         sampler = SAMPLERS.get(sampler_name, ddim_sample)
@@ -613,6 +625,12 @@ class Tortoise:
                 wav_paths += sorted(_glob.glob(os.path.join(d, speaker_id, "*.wav")))
             if not wav_paths:
                 raise ValueError(f"no reference wavs for voice {speaker_id!r} in {dirs}")
+        elif speaker_id not in (None, "random"):
+            raise ValueError(
+                f"speaker {speaker_id!r} requested but no speaker_wav or "
+                "voice_dirs given — pass voice_dirs (reference voice folders) "
+                "or use speaker_id='random'"
+            )
         if wav_paths:
             samples = [
                 (load_wav(filename=p, sample_rate=22050, resample=True),

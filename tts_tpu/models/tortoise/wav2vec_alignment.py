@@ -233,7 +233,7 @@ class Wav2VecAlignment:
         starts = np.cumsum([0] + [len(p) for p in parts])
         keep = [
             (starts[i], max(0, starts[i] + len(p) - 1))
-            for i, p in enumerate(parts) if i % 2 == 0
+            for i, p in enumerate(parts) if i % 2 == 0 and p
         ]
         offsets = self.align(audio, "".join(parts), audio_sample_rate)
         pieces = [audio[offsets[a]: offsets[b]] for a, b in keep]

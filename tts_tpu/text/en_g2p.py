@@ -83,7 +83,7 @@ EXCEPTIONS: Dict[str, str] = {
     "any": "EH1 N IY0", "many": "M EH1 N IY0", "some": "S AH1 M",
     "come": "K AH1 M", "comes": "K AH1 M Z", "give": "G IH1 V",
     "live": "L IH1 V", "love": "L AH1 V", "move": "M UW1 V",
-    "lose": "L UW1 Z", "whose'": "HH UW1 Z", "gone": "G AO1 N",
+    "lose": "L UW1 Z", "gone": "G AO1 N",
     "because": "B IH0 K AH1 Z", "eye": "AY1", "eyes": "AY1 Z",
     "only": "OW1 N L IY0", "other": "AH1 DH ER0", "mother": "M AH1 DH ER0",
     "father": "F AA1 DH ER0", "brother": "B R AH1 DH ER0",
@@ -107,7 +107,7 @@ EXCEPTIONS: Dict[str, str] = {
     "castle": "K AE1 S AH0 L", "half": "HH AE1 F", "calm": "K AA1 M",
     "talk": "T AO1 K", "walk": "W AO1 K", "folk": "F OW1 K",
     "yolk": "Y OW1 K", "salmon": "S AE1 M AH0 N", "sword": "S AO1 R D",
-    "two'": "T UW1", "knee": "N IY1", "know": "N OW1", "knew": "N UW1",
+    "knee": "N IY1", "know": "N OW1", "knew": "N UW1",
     "knight": "N AY1 T", "wrong": "R AO1 NG", "write": "R AY1 T",
     "written": "R IH1 T AH0 N", "hour": "AW1 ER0", "honest": "AA1 N AH0 S T",
     "honor": "AA1 N ER0", "ghost": "G OW1 S T", "school": "S K UW1 L",
@@ -122,7 +122,7 @@ EXCEPTIONS: Dict[str, str] = {
     "pleasure": "P L EH1 ZH ER0", "treasure": "T R EH1 ZH ER0",
     "vision": "V IH1 ZH AH0 N", "decision": "D IH0 S IH1 ZH AH0 N",
     "television": "T EH1 L AH0 V IH2 ZH AH0 N", "asia": "EY1 ZH AH0",
-    "says'": "S EH1 Z", "yes": "Y EH1 S", "quite": "K W AY1 T",
+    "yes": "Y EH1 S", "quite": "K W AY1 T",
     "eight": "EY1 T", "weight": "W EY1 T", "height": "HH AY1 T",
     "either": "IY1 DH ER0", "neither": "N IY1 DH ER0",
     "leather": "L EH1 DH ER0", "weather": "W EH1 DH ER0",
@@ -135,7 +135,7 @@ EXCEPTIONS: Dict[str, str] = {
     "leant": "L EH1 N T", "blood": "B L AH1 D", "flood": "F L AH1 D",
     "door": "D AO1 R", "floor": "F L AO1 R", "poor": "P UH1 R",
     "shoe": "SH UW1", "shoes": "SH UW1 Z", "canoe": "K AH0 N UW1",
-    "does'": "D AH1 Z", "goes": "G OW1 Z", "gone'": "G AO1 N",
+    "goes": "G OW1 Z", 
     "pint": "P AY1 N T", "minute": "M IH1 N AH0 T", "biscuit": "B IH1 S K AH0 T",
     "circuit": "S ER1 K AH0 T", "colonel": "K ER1 N AH0 L",
     "choir": "K W AY1 ER0", "one's": "W AH1 N Z", "anything": "EH1 N IY0 TH IH2 NG",
@@ -252,7 +252,6 @@ _RAW_RULES = [
     ("", "ew", "", "UW1"),
     ("", "er", " ", "ER0"),
     ("", "er", "", "ER1"),
-    ("", "ere", " ", "IH1 R"),
     ("#:", "e", " ", ""),  # silent magic-e
     ("^", "e", " ", ""),  # silent final e after consonant
     (" ", "e", " ", "IY1"),

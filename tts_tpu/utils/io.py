@@ -39,7 +39,9 @@ def _open(path, mode: str, cache: bool = False):
     """Local paths → builtin ``open``; URLs → fsspec (optionally through a
     local file cache for reads, like the reference ``load_fsspec``)."""
     if not _is_remote(path):
-        return open(path, mode)
+        if "b" in mode:
+            return open(path, mode)
+        return open(path, mode, encoding="utf-8")
     import fsspec
 
     if cache and "r" in mode:

@@ -245,8 +245,12 @@ class FreeVC:
             center=False,
         )
         feats = jnp.swapaxes(mel, 1, 2)
-        return self.module.apply(
-            self.params, feats, method=lambda m, f: m.enc_spk(f)
+        # reference embed_utterance: mean over 128-frame windows (freevc.py:277)
+        return embed_utterance_partials(
+            lambda windows: self.module.apply(
+                self.params, windows, method=lambda m, f: m.enc_spk(f)
+            ),
+            feats,
         )
 
     @classmethod
