@@ -1,6 +1,9 @@
-"""Trim silence from dataset wavs with the statistical VAD
-(reference ``TTS/bin/remove_silence_using_vad.py``; the reference wraps
-Silero-VAD — ``tts_tpu/utils/vad.py`` provides the offline equivalent)."""
+"""Trim silence from dataset wavs (reference
+``TTS/bin/remove_silence_using_vad.py``, which wraps Silero-VAD).
+
+Scoring backend: the statistical VAD by default, or the learned
+Silero-v5-layout network when ``--vad_model`` (or the
+``TTS_TPU_SILERO_VAD`` env var) points at the Silero checkpoint."""
 
 from __future__ import annotations
 
@@ -22,7 +25,17 @@ def main():
         "--trim_just_beginning_and_end", action=argparse.BooleanOptionalAction, default=True,
         help="keep internal pauses (reference default); --no-trim_just_beginning_and_end cuts them too",
     )
+    parser.add_argument(
+        "--vad_model", default=None,
+        help="path to a Silero-VAD checkpoint (.jit/.pth) for the learned backend",
+    )
     args = parser.parse_args()
+
+    model_params = None
+    if args.vad_model:
+        from tts_tpu.utils.vad_silero import load_silero_state_dict
+
+        model_params = load_silero_state_dict(args.vad_model)
 
     files = glob.glob(os.path.join(args.input_dir, "**", "*.wav"), recursive=True)
     print(f" > Processing {len(files)} files")
@@ -33,6 +46,7 @@ def main():
             wav, args.sample_rate,
             trim_just_beginning_and_end=args.trim_just_beginning_and_end,
             threshold=args.threshold,
+            model_params=model_params,
         )
         if not found:
             no_speech += 1

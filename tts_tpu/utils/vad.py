@@ -2,11 +2,14 @@
 the pretrained Silero-VAD via torch.hub — unavailable in a zero-egress
 build).
 
-This is a self-contained statistical VAD with the same *API shape*
-(segment timestamps + silence removal with margins): per-frame log-energy
-and spectral-flatness features, an adaptive noise floor tracked from the
-quietest frames, hysteresis on/off thresholds, and hangover smoothing so
-plosive gaps don't split words.
+Two scoring backends share the segment API here:
+
+* a self-contained statistical VAD (per-frame log-energy and spectral-
+  flatness features, adaptive noise floor, hysteresis + hangover) that
+  needs no weights — the default;
+* the learned Silero-v5-layout network in ``vad_silero.py`` (JAX scan on
+  the accelerator), used when params are passed explicitly or the
+  ``TTS_TPU_SILERO_VAD`` checkpoint path is set.
 """
 
 from __future__ import annotations
@@ -58,12 +61,24 @@ def get_speech_timestamps(
     min_speech_ms: float = 60.0,
     min_silence_ms: float = 200.0,
     pad_ms: float = 30.0,
+    model_params=None,
 ) -> List[Dict[str, int]]:
     """Silero-compatible segment list: ``[{"start": s, "end": e}, …]`` in
     samples.  Hysteresis: frames above ``threshold`` open a segment, it
     closes only after ``min_silence_ms`` below ``0.6*threshold``
-    (hangover)."""
-    scores, hop = speech_probabilities(wav, sample_rate)
+    (hangover).
+
+    ``model_params``: converted Silero params (``vad_silero``) switch the
+    scorer to the learned network; otherwise the env-configured default
+    model is tried, then the statistical scorer."""
+    from tts_tpu.utils import vad_silero
+
+    if model_params is None:
+        model_params = vad_silero.default_params()
+    if model_params is not None:
+        scores, hop = vad_silero.frame_scores(model_params, wav, sample_rate)
+    else:
+        scores, hop = speech_probabilities(wav, sample_rate)
     off_threshold = 0.6 * threshold
     min_speech = int(min_speech_ms / 1000 * sample_rate)
     min_silence_frames = max(1, int(min_silence_ms / (1000 * hop / sample_rate)))
@@ -109,6 +124,7 @@ def remove_silence(
     sample_rate: int,
     trim_just_beginning_and_end: bool = True,
     threshold: float = 0.35,
+    model_params=None,
 ) -> Tuple[np.ndarray, bool]:
     """Cut silence using the VAD segments (reference ``vad.py:37``
     ``remove_silence``).  Returns (wav, speech_found).
@@ -116,7 +132,9 @@ def remove_silence(
     ``trim_just_beginning_and_end=True`` (the reference default) keeps
     everything between the first and last speech segment; ``False``
     concatenates only the speech segments."""
-    segs = get_speech_timestamps(wav, sample_rate, threshold=threshold)
+    segs = get_speech_timestamps(
+        wav, sample_rate, threshold=threshold, model_params=model_params
+    )
     if not segs:
         return wav, False
     if trim_just_beginning_and_end:
