@@ -64,6 +64,25 @@ def main():
     wav = np.asarray(out["model_outputs"], np.float32)
     assert np.isfinite(wav).all(), "non-finite audio"
 
+    # bf16 weights/activations: the deployment-precision RTF (38% over fp32
+    # on one v5e — fp32 stays the headline for series consistency)
+    rtf_bf16 = None
+    if DTYPE == "float32" and not os.environ.get("BENCH_SKIP_BF16"):
+        try:
+            p16 = jax.tree.map(
+                lambda v: v.astype(jnp.bfloat16) if v.dtype == jnp.float32 else v,
+                gen_params,
+            )
+            out = infer(p16, x, xl, rng)
+            _ = np.asarray(out["model_outputs"][0, 0])
+            t0 = time.time()
+            for _ in range(n_iter):
+                out = infer(p16, x, xl, rng)
+            _ = np.asarray(out["model_outputs"][0, 0])
+            rtf_bf16 = round(audio_seconds / ((time.time() - t0) / n_iter), 1)
+        except Exception as e:  # pragma: no cover
+            print(f"bf16 RTF measurement failed: {e}", file=sys.stderr)
+
     # MFU: compiled-graph flops per step / chip peak (v5e: 197 TFLOP/s bf16)
     vits_mfu = None
     try:
@@ -109,6 +128,7 @@ def main():
                 "unit": "x_realtime_per_chip",
                 "vs_baseline": round(rtf / 200.0, 3),
                 "vits_mfu": vits_mfu,
+                "vits_rtf_bf16": rtf_bf16,
                 "xtts_ttfa_ms": xtts_ttfa_ms,
                 "xtts_ttfa_target_ms": 200.0,
                 "vits_train_step_ms": train_ms,

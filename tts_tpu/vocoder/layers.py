@@ -34,6 +34,8 @@ class TorchConvTranspose1d(nn.Module):
             (self.kernel_size, in_ch, self.features),
         )
         p = self.kernel_size - 1 - self.padding
+        if jnp.issubdtype(x.dtype, jnp.floating) and x.dtype != kernel.dtype:
+            x = x.astype(kernel.dtype)  # mixed-precision callers (bf16 params)
         y = jax.lax.conv_general_dilated(
             x,
             kernel,
