@@ -28,6 +28,7 @@ def dt_small():
     cfg.vocoder.resblock_kernel_sizes_decoder = [3]
     cfg.vocoder.resblock_dilation_sizes_decoder = [[1, 3]]
     cfg.vocoder.periods_discriminator = [2, 3]
+    cfg.vocoder.discriminator_width_mult = 0.125
     model = DelightfulTTS(cfg)
     params = model.init_params(jax.random.PRNGKey(0))
     return model, params, cfg

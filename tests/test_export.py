@@ -34,6 +34,7 @@ def test_vits_export_roundtrip(tmp_path):
         upsample_initial_channel_decoder=64, resblock_kernel_sizes_decoder=[3],
         resblock_dilation_sizes_decoder=[[1, 3]],
         periods_multi_period_discriminator=[2, 3],
+        discriminator_width_mult=0.125,
     )
     cfg = VitsConfig(model_args=args)
     cfg.audio.fft_size = 128

@@ -36,6 +36,10 @@ def _write_config(tmp_path):
             "hidden_channels_ffn": 32,
         },
         "data_dep_init_steps": 0,
+        # one padded shape for the whole fixture → the train step compiles once
+        "max_audio_len": int(2.5 * 22050),
+        "pad_to_multiple_text": 192,
+        "pad_to_multiple_mel": 256,
         "text_cleaner": "english_cleaners",
         "use_phonemes": False,
         "output_path": str(tmp_path / "run"),

@@ -94,6 +94,7 @@ def test_vits_gan_train(tmp_path):
                 "resblock_kernel_sizes_decoder": [3],
                 "resblock_dilation_sizes_decoder": [[1, 3]],
                 "periods_multi_period_discriminator": [2, 3],
+                "discriminator_width_mult": 0.125,
                 "spec_segment_size": 8,
             },
             "max_audio_len": 3 * 22050,  # keep CPU step time bounded

@@ -32,6 +32,7 @@ def _small_args(**kw):
         resblock_kernel_sizes_decoder=[3],
         resblock_dilation_sizes_decoder=[[1, 3]],
         periods_multi_period_discriminator=[2, 3],
+        discriminator_width_mult=0.125,
         **kw,
     )
 

@@ -93,6 +93,7 @@ def test_gan_train_step(cfg_cls):
             "resblock_dilation_sizes": [[1, 3]],
             "resblock_type": "1",
         }
+        cfg.discriminator_model_params = {"periods": [2, 3], "n_scales": 1, "width_mult": 0.125}
     else:
         cfg.generator_model_params = {
             "in_channels": 20,

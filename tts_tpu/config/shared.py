@@ -194,6 +194,10 @@ class BaseTTSConfig(BaseTrainingConfig):
     max_audio_len: float = float("inf")
     min_text_len: int = 1
     max_text_len: float = float("inf")
+    # static-shape bucket boundaries (XLA recompiles per distinct padded
+    # shape; coarser multiples → fewer compiles, more padding compute)
+    pad_to_multiple_text: int = 16
+    pad_to_multiple_mel: int = 32
     compute_f0: bool = False
     compute_energy: bool = False
     compute_linear_spec: bool = False

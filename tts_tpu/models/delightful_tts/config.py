@@ -34,6 +34,8 @@ class VocoderConfig(Config):
     upsample_initial_channel_decoder: int = 512
     upsample_kernel_sizes_decoder: List[int] = field(default_factory=lambda: [16, 16, 4, 4])
     periods_discriminator: List[int] = field(default_factory=lambda: [2, 3, 5, 7, 11])
+    # <1.0 shrinks the fixed discriminator channel plans (tests/CI)
+    discriminator_width_mult: float = 1.0
 
 
 @dataclass

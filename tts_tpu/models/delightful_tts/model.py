@@ -43,7 +43,10 @@ class DelightfulTTS:
         )
         from tts_tpu.models.vits.modules import VitsDiscriminator
 
-        self.discriminator = VitsDiscriminator(periods=tuple(v.periods_discriminator))
+        self.discriminator = VitsDiscriminator(
+            periods=tuple(v.periods_discriminator),
+            width_mult=v.discriminator_width_mult,
+        )
 
     @classmethod
     def init_from_config(cls, config: DelightfulTTSConfig, samples=None):

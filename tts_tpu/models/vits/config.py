@@ -37,6 +37,9 @@ class VitsArgs(Config):
     upsample_initial_channel_decoder: int = 512
     upsample_kernel_sizes_decoder: List[int] = field(default_factory=lambda: [16, 16, 4, 4])
     periods_multi_period_discriminator: List[int] = field(default_factory=lambda: [2, 3, 5, 7, 11])
+    # <1.0 shrinks the fixed discriminator channel plans (tests/CI; 1.0 =
+    # reference layout — converted checkpoints require the default)
+    discriminator_width_mult: float = 1.0
     use_sdp: bool = True
     noise_scale: float = 1.0
     inference_noise_scale: float = 0.667

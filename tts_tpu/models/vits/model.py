@@ -321,7 +321,8 @@ class Vits:
         self.args = config.model_args
         self.module = VitsModule(args=self.args)
         self.discriminator = VitsDiscriminator(
-            periods=tuple(self.args.periods_multi_period_discriminator)
+            periods=tuple(self.args.periods_multi_period_discriminator),
+            width_mult=self.args.discriminator_width_mult,
         )
 
     @classmethod

@@ -393,12 +393,14 @@ class VitsDiscriminator(nn.Module):
     (reference ``vits/discriminator.py:50``)."""
 
     periods: Tuple[int, ...] = (2, 3, 5, 7, 11)
+    width_mult: float = 1.0
 
     @nn.compact
     def __call__(self, x_hat: Optional[jnp.ndarray], x: Optional[jnp.ndarray] = None):
         """Returns (scores_hat, feats_hat, scores_real, feats_real)."""
-        nets = [DiscriminatorS(name="disc_s")] + [
-            DiscriminatorP(p, name=f"disc_p{p}") for p in self.periods
+        nets = [DiscriminatorS(width_mult=self.width_mult, name="disc_s")] + [
+            DiscriminatorP(p, width_mult=self.width_mult, name=f"disc_p{p}")
+            for p in self.periods
         ]
         scores_hat: List = []
         feats_hat: List = []

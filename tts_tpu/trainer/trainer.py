@@ -325,6 +325,10 @@ class Trainer:
             max_text_len=getattr(self.config, "max_text_len", float("inf")),
             min_audio_len=getattr(self.config, "min_audio_len", 0),
             max_audio_len=getattr(self.config, "max_audio_len", float("inf")),
+            # coarser boundaries → fewer distinct shapes → fewer train-step
+            # compiles (tiny CI configs set these large to compile once)
+            pad_to_multiple_text=getattr(self.config, "pad_to_multiple_text", 16),
+            pad_to_multiple_mel=getattr(self.config, "pad_to_multiple_mel", 32),
         )
         ds.preprocess_samples()
         return ds
