@@ -15,6 +15,11 @@ def _small_config(**kw):
         out_channels=80,
         encoder_in_features=64,
         decoder_in_features=64,
+        embedding_dim=64,
+        query_dim=64,
+        decoder_rnn_dim=64,
+        prenet_dim=32,
+        attn_dim=32,
         max_decoder_steps=20,
         **kw,
     )

@@ -12,6 +12,8 @@ def _setup(use_gst=False):
     cfg = TacotronConfig(
         num_chars=24, r=2, decoder_output_dim=20, out_channels=65,
         use_gst=use_gst, max_decoder_steps=8,
+        embedding_dim=64, cbhg_K=4, post_cbhg_K=4, cbhg_features=32,
+        query_dim=64, decoder_rnn_dim=64, prenet_dim=32, attn_dim=32,
     )
     model = Tacotron(cfg)
     rng = np.random.RandomState(0)

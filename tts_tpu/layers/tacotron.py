@@ -103,9 +103,14 @@ class Tacotron2Encoder(nn.Module):
         half = self.in_out_channels // 2
         # name the cells (not the RNN wrapper): nn.RNN doesn't adopt a cell
         # built in the enclosing scope, so the params live under the cell name
-        fwd = nn.RNN(nn.OptimizedLSTMCell(half, name="lstm_fwd"))(x * x_mask)
+        # seq_lengths keeps the backward pass anchored at the true sequence
+        # end, so outputs at valid positions are invariant to trailing padding
+        lengths = jnp.sum(x_mask[:, :, 0], axis=1).astype(jnp.int32)
+        fwd = nn.RNN(nn.OptimizedLSTMCell(half, name="lstm_fwd"))(
+            x * x_mask, seq_lengths=lengths
+        )
         bwd = nn.RNN(nn.OptimizedLSTMCell(half, name="lstm_bwd"), reverse=True, keep_order=True)(
-            x * x_mask
+            x * x_mask, seq_lengths=lengths
         )
         return jnp.concatenate([fwd, bwd], axis=-1) * x_mask
 

@@ -47,26 +47,44 @@ class CBHG(nn.Module):
     last_proj_activation: bool = False
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, x_mask=None):
+        """``x_mask`` (float ``[B, T, 1]``, optional) makes the output at valid
+        positions invariant to trailing padding: conv stages are re-zeroed so
+        padded activations never bleed into valid receptive fields, and the
+        biGRU reverses only the valid segment."""
+        lengths = None
+        if x_mask is not None:
+            x = x * x_mask
+            lengths = jnp.sum(x_mask[:, :, 0], axis=1).astype(jnp.int32)
         # conv bank: kernels 1..K concatenated on channels
         bank = [
             _NormConv1d(self.conv_bank_features, k, name=f"bank_{k}")(x, train=train)
             for k in range(1, self.K + 1)
         ]
         h = jnp.concatenate(bank, axis=-1)
+        if x_mask is not None:
+            # padded positions get -1e9 (not 0) so the pool window at the last
+            # valid position matches the unpadded edge behavior exactly
+            h = jnp.where(x_mask > 0, h, -1e9)
         # max-pool width 2 stride 1
         h = nn.max_pool(jnp.pad(h, ((0, 0), (0, 1), (0, 0)), constant_values=-1e9),
                         (2,), strides=(1,))
+        if x_mask is not None:
+            h = h * x_mask
         for i, ch in enumerate(self.conv_projections):
             act = "relu" if (i < len(self.conv_projections) - 1 or self.last_proj_activation) else None
             h = _NormConv1d(ch, 3, activation=act, name=f"proj_{i}")(h, train=train)
+            if x_mask is not None:
+                h = h * x_mask
         h = h + x  # residual
         if h.shape[-1] != self.highway_features:
             h = nn.Dense(self.highway_features, name="pre_highway")(h)
         for i in range(self.num_highways):
             h = Highway(self.highway_features, name=f"highway_{i}")(h)
-        fwd = nn.RNN(nn.GRUCell(self.gru_features), name="gru_fwd")(h)
-        bwd = nn.RNN(nn.GRUCell(self.gru_features), reverse=True, keep_order=True, name="gru_bwd")(h)
+        fwd = nn.RNN(nn.GRUCell(self.gru_features), name="gru_fwd")(h, seq_lengths=lengths)
+        bwd = nn.RNN(nn.GRUCell(self.gru_features), reverse=True, keep_order=True, name="gru_bwd")(
+            h, seq_lengths=lengths
+        )
         return jnp.concatenate([fwd, bwd], axis=-1)
 
 

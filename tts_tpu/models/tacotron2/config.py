@@ -36,6 +36,16 @@ class TacotronConfig(BaseTTSConfig):
     decoder_in_features: int = 256
     decoder_output_dim: int = 80
     out_channels: int = 513
+    # module widths (reference sizes; tiny CI configs shrink them).
+    # v1 embeds at 256 and uses CBHG banks; Tacotron2Config overrides.
+    embedding_dim: int = 256
+    query_dim: int = 1024
+    decoder_rnn_dim: int = 1024
+    prenet_dim: int = 256
+    attn_dim: int = 128
+    cbhg_K: int = 16
+    post_cbhg_K: int = 8
+    cbhg_features: int = 128
 
     # attention
     attention_type: str = "original"
@@ -85,3 +95,4 @@ class Tacotron2Config(TacotronConfig):
     out_channels: int = 80
     encoder_in_features: int = 512
     decoder_in_features: int = 512
+    embedding_dim: int = 512

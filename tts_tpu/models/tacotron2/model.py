@@ -48,6 +48,12 @@ class Tacotron2Module(nn.Module):
     use_forward_attn: bool = False
     trans_agent: bool = False
     attn_win: bool = False
+    # decoder cell widths (reference tacotron2 sizes; tests shrink them)
+    embedding_dim: int = 512
+    query_dim: int = 1024
+    decoder_rnn_dim: int = 1024
+    prenet_dim: int = 256
+    attn_dim: int = 128
     double_decoder_consistency: bool = False
     ddc_r: int = 6
     r_init: int = 0  # gradual training: projection sized to the initial r
@@ -64,7 +70,7 @@ class Tacotron2Module(nn.Module):
     def setup(self):
         self.embedding = nn.Embed(
             self.num_chars,
-            512,
+            self.embedding_dim,
             embedding_init=nn.initializers.normal(0.3),
             name="embedding",
         )
@@ -74,6 +80,10 @@ class Tacotron2Module(nn.Module):
             frame_channels=self.out_channels,
             r=self.r,
             r_init=self.r_init,
+            query_dim=self.query_dim,
+            decoder_rnn_dim=self.decoder_rnn_dim,
+            prenet_dim=self.prenet_dim,
+            attn_dim=self.attn_dim,
             prenet_type=self.prenet_type,
             prenet_dropout=self.prenet_dropout,
             location_attn=self.location_attn,
@@ -93,6 +103,10 @@ class Tacotron2Module(nn.Module):
                 in_channels=self.decoder_in_features,
                 frame_channels=self.out_channels,
                 r=self.ddc_r,
+                query_dim=self.query_dim,
+                decoder_rnn_dim=self.decoder_rnn_dim,
+                prenet_dim=self.prenet_dim,
+                attn_dim=self.attn_dim,
                 prenet_type=self.prenet_type,
                 prenet_dropout=self.prenet_dropout,
                 location_attn=self.location_attn,
@@ -105,7 +119,7 @@ class Tacotron2Module(nn.Module):
                 attn_win=self.attn_win,
                 name="coarse_decoder_cell",
             )
-        self.inputs_layer = nn.Dense(128, use_bias=False, name="inputs_layer")
+        self.inputs_layer = nn.Dense(self.attn_dim, use_bias=False, name="inputs_layer")
         self.postnet = Postnet(self.out_channels, norm_type=self.norm_type, name="postnet")
         if self.use_speaker_embedding and self.num_speakers > 1:
             self.speaker_embedding = nn.Embed(
@@ -371,6 +385,11 @@ class Tacotron2:
             use_forward_attn=config.use_forward_attn,
             trans_agent=config.transition_agent,
             attn_win=config.attention_win,
+            embedding_dim=getattr(config, "embedding_dim", 512),
+            query_dim=getattr(config, "query_dim", 1024),
+            decoder_rnn_dim=getattr(config, "decoder_rnn_dim", 1024),
+            prenet_dim=getattr(config, "prenet_dim", 256),
+            attn_dim=getattr(config, "attn_dim", 128),
             norm_type=getattr(config, "norm_type", "layer"),
             double_decoder_consistency=getattr(config, "double_decoder_consistency", False),
             ddc_r=getattr(config, "ddc_r", 6),

@@ -35,25 +35,41 @@ class TacotronModule(nn.Module):
     capacitron_VAE_embedding_dim: int = 128
     max_decoder_steps: int = 500
     r_init: int = 0  # gradual training: projection sized to the initial r
+    # reference v1 widths; tiny CI configs shrink these
+    embedding_dim: int = 256
+    cbhg_K: int = 16
+    post_cbhg_K: int = 8
+    cbhg_features: int = 128
+    query_dim: int = 1024
+    decoder_rnn_dim: int = 1024
+    prenet_dim: int = 256
+    attn_dim: int = 128
 
     def setup(self):
-        self.embedding = nn.Embed(self.num_chars, 256, name="embedding")
-        self.encoder_prenet = Prenet((256, 128), name="encoder_prenet")
+        f = self.cbhg_features
+        self.embedding = nn.Embed(self.num_chars, self.embedding_dim, name="embedding")
+        self.encoder_prenet = Prenet((self.embedding_dim, f), name="encoder_prenet")
         self.encoder_cbhg = CBHG(
-            K=16, conv_bank_features=128, conv_projections=(128, 128),
-            highway_features=128, gru_features=128, name="encoder_cbhg",
+            K=self.cbhg_K, conv_bank_features=f, conv_projections=(f, f),
+            highway_features=f, gru_features=f, name="encoder_cbhg",
         )
         self.cell = Tacotron2DecoderCell(
-            in_channels=256 + (self.gst_embedding_dim if self.use_gst else 0),
+            in_channels=2 * f + (self.gst_embedding_dim if self.use_gst else 0),
             frame_channels=self.decoder_output_dim,
             r=self.r,
             r_init=self.r_init,
+            query_dim=self.query_dim,
+            decoder_rnn_dim=self.decoder_rnn_dim,
+            prenet_dim=self.prenet_dim,
+            attn_dim=self.attn_dim,
             name="decoder_cell",
         )
-        self.inputs_layer = nn.Dense(128, use_bias=False, name="inputs_layer")
+        # projects encoder outputs into the additive-attention space — must
+        # match the cell's attn_dim, not the CBHG width
+        self.inputs_layer = nn.Dense(self.attn_dim, use_bias=False, name="inputs_layer")
         self.post_cbhg = CBHG(
-            K=8, conv_bank_features=128, conv_projections=(256, self.decoder_output_dim),
-            highway_features=128, gru_features=128, name="post_cbhg",
+            K=self.post_cbhg_K, conv_bank_features=f, conv_projections=(2 * f, self.decoder_output_dim),
+            highway_features=f, gru_features=f, name="post_cbhg",
         )
         self.last_linear = nn.Dense(self.out_channels, name="last_linear")
         if self.use_gst:
@@ -76,7 +92,7 @@ class TacotronModule(nn.Module):
         x_mask = sequence_mask(text_lengths, text.shape[1])[:, :, None].astype(jnp.float32)
         emb = self.embedding(text)
         h = self.encoder_prenet(emb, train=train)
-        enc = self.encoder_cbhg(h, train=train) * x_mask
+        enc = self.encoder_cbhg(h, train=train, x_mask=x_mask) * x_mask
         if self.use_gst:
             if mel_for_style is not None:
                 style = self.gst(mel_for_style)  # [B, D_gst]
@@ -196,6 +212,14 @@ class Tacotron(Tacotron2):
             use_gst=config.use_gst,
             use_capacitron_vae=config.use_capacitron_vae,
             max_decoder_steps=config.max_decoder_steps,
+            embedding_dim=getattr(config, "embedding_dim", 256) or 256,
+            cbhg_K=getattr(config, "cbhg_K", 16),
+            post_cbhg_K=getattr(config, "post_cbhg_K", 8),
+            cbhg_features=getattr(config, "cbhg_features", 128),
+            query_dim=getattr(config, "query_dim", 1024),
+            decoder_rnn_dim=getattr(config, "decoder_rnn_dim", 1024),
+            prenet_dim=getattr(config, "prenet_dim", 256),
+            attn_dim=getattr(config, "attn_dim", 128),
         )
 
     def init_params(self, rng, t_en: int = 11, t_de: int = 16):

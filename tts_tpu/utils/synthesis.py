@@ -35,8 +35,15 @@ def synthesis(
     ``model`` is a host wrapper exposing ``tokenizer`` and ``inference``.
     """
     token_ids = model.tokenizer.text_to_ids(text)
-    x = jnp.asarray(np.asarray(token_ids, np.int32)[None])
-    x_lengths = jnp.asarray([len(token_ids)], jnp.int32)
+    # pad token ids to a bucket boundary (true length goes in x_lengths and
+    # models mask on it) so different-length sentences share one compiled
+    # graph — same recompile-avoidance as the dataset's bucketed batching
+    n_tokens = max(1, len(token_ids))
+    padded_len = ((n_tokens + 15) // 16) * 16
+    ids = np.zeros((padded_len,), np.int32)
+    ids[: len(token_ids)] = token_ids
+    x = jnp.asarray(ids[None])
+    x_lengths = jnp.asarray([n_tokens], jnp.int32)
 
     aux_input = {}
     if speaker_id is not None:
