@@ -32,31 +32,36 @@ def main():
     MAXF = int(os.environ.get("BENCH_FRAMES", "512"))
     DTYPE = os.environ.get("BENCH_DTYPE", "float32")
 
+    def to_bf16(params):
+        return jax.tree.map(
+            lambda v: v.astype(jnp.bfloat16) if v.dtype == jnp.float32 else v, params
+        )
+
+    def timed(infer_fn, params, x, xl, rng, n_iter=20):
+        """(seconds/step, last output) — warmup + sync, then n pipelined
+        dispatches ended by one forced host transfer (axon: only transfers
+        sync, block_until_ready is a no-op through the tunnel)."""
+        out = infer_fn(params, x, xl, rng)
+        _ = np.asarray(out["model_outputs"][0, 0])
+        t0 = time.time()
+        for _ in range(n_iter):
+            out = infer_fn(params, x, xl, rng)
+        _ = np.asarray(out["model_outputs"][0, 0])
+        return (time.time() - t0) / n_iter, out
+
     cfg = VitsConfig()
     cfg.model_args.num_chars = 100
     model = Vits(cfg)
     gen_params, _ = model.init_params(jax.random.PRNGKey(0))
     if DTYPE == "bfloat16":
-        gen_params = jax.tree.map(
-            lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, gen_params
-        )
+        gen_params = to_bf16(gen_params)
 
     x = jnp.asarray(np.random.RandomState(0).randint(0, 100, (B, 128)))
     xl = jnp.full((B,), 128, jnp.int32)
     rng = jax.random.PRNGKey(1)
 
     infer = jax.jit(lambda p, x, xl, r: model.inference(p, x, xl, max_frames=MAXF, rng=r))
-    out = infer(gen_params, x, xl, rng)  # compile
-    # IMPORTANT: on the tunneled axon backend block_until_ready does NOT
-    # synchronize; only a host transfer does. Force one sync to drain the
-    # queue, then time N pipelined dispatches ended by one forced sync.
-    _ = np.asarray(out["model_outputs"][0, 0])
-    n_iter = 20
-    t0 = time.time()
-    for i in range(n_iter):
-        out = infer(gen_params, x, xl, rng)
-    _ = np.asarray(out["model_outputs"][0, 0])  # flush + sync
-    dt = (time.time() - t0) / n_iter
+    dt, out = timed(infer, gen_params, x, xl, rng)
 
     hop, sr = cfg.audio.hop_length, cfg.audio.sample_rate
     audio_seconds = B * MAXF * hop / sr
@@ -69,17 +74,10 @@ def main():
     rtf_bf16 = None
     if DTYPE == "float32" and not os.environ.get("BENCH_SKIP_BF16"):
         try:
-            p16 = jax.tree.map(
-                lambda v: v.astype(jnp.bfloat16) if v.dtype == jnp.float32 else v,
-                gen_params,
-            )
-            out = infer(p16, x, xl, rng)
-            _ = np.asarray(out["model_outputs"][0, 0])
-            t0 = time.time()
-            for _ in range(n_iter):
-                out = infer(p16, x, xl, rng)
-            _ = np.asarray(out["model_outputs"][0, 0])
-            rtf_bf16 = round(audio_seconds / ((time.time() - t0) / n_iter), 1)
+            dt16, out16 = timed(infer, to_bf16(gen_params), x, xl, rng)
+            wav16 = np.asarray(out16["model_outputs"], np.float32)
+            assert np.isfinite(wav16).all(), "non-finite bf16 audio"
+            rtf_bf16 = round(audio_seconds / dt16, 1)
         except Exception as e:  # pragma: no cover
             print(f"bf16 RTF measurement failed: {e}", file=sys.stderr)
 

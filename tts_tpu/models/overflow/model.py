@@ -53,11 +53,15 @@ class OverflowEncoder(nn.Module):
         half = self.in_out_channels // 2
         # name the CELLS (an nn.RNN name= tags only the wrapper; params would
         # land as OptimizedLSTMCell_N otherwise)
-        fwd = nn.RNN(nn.OptimizedLSTMCell(half * self.state_per_phone, name="lstm_fwd"))(h * x_mask)
+        # seq_lengths anchors the backward pass at the true sequence end so
+        # outputs at valid positions are invariant to trailing padding
+        fwd = nn.RNN(nn.OptimizedLSTMCell(half * self.state_per_phone, name="lstm_fwd"))(
+            h * x_mask, seq_lengths=x_lengths
+        )
         bwd = nn.RNN(
             nn.OptimizedLSTMCell(half * self.state_per_phone, name="lstm_bwd"),
             reverse=True, keep_order=True,
-        )(h * x_mask)
+        )(h * x_mask, seq_lengths=x_lengths)
         o = jnp.concatenate([fwd, bwd], -1)  # [B, T, state_per_phone * C]
         B, T, _ = o.shape
         o = o.reshape(B, T * self.state_per_phone, self.in_out_channels)

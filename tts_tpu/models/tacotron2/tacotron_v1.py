@@ -141,7 +141,12 @@ class TacotronModule(nn.Module):
         stop_tokens = jnp.repeat(jnp.moveaxis(stop_tokens, 0, 1), self.r, axis=1)
         alignments = jnp.moveaxis(alignments, 0, 1)
 
-        post = self.post_cbhg(decoder_outputs, train=train)
+        # mask the post CBHG on mel lengths so linear outputs at valid frames
+        # don't depend on the batch's trailing mel padding
+        mel_mask = sequence_mask(
+            jnp.minimum(mel_lengths, T_de * self.r), T_de * self.r
+        )[:, :, None].astype(jnp.float32)
+        post = self.post_cbhg(decoder_outputs, train=train, x_mask=mel_mask)
         linear_outputs = self.last_linear(post)
         return {
             "model_outputs": linear_outputs,  # linear spec [B, T, 513]
@@ -183,7 +188,11 @@ class TacotronModule(nn.Module):
         mel_lengths = jnp.sum(active.astype(jnp.int32), axis=1) * self.r
         valid = jnp.repeat(active, self.r, axis=1)[:, :, None]
         outputs = outputs * valid
-        linear = self.last_linear(self.post_cbhg(outputs, train=False)) * valid
+        # mask the post CBHG at the stop boundary: the linear spec for emitted
+        # frames is then independent of the static max_steps budget
+        linear = self.last_linear(
+            self.post_cbhg(outputs, train=False, x_mask=valid.astype(jnp.float32))
+        ) * valid
         return {
             "model_outputs": linear,
             "decoder_outputs": outputs,

@@ -37,9 +37,11 @@ def synthesis(
     token_ids = model.tokenizer.text_to_ids(text)
     # pad token ids to a bucket boundary (true length goes in x_lengths and
     # models mask on it) so different-length sentences share one compiled
-    # graph — same recompile-avoidance as the dataset's bucketed batching
+    # graph — same recompile-avoidance as the dataset's bucketed batching,
+    # driven by the same config knob
+    bucket = int(getattr(getattr(model, "config", None), "pad_to_multiple_text", 16) or 16)
     n_tokens = max(1, len(token_ids))
-    padded_len = ((n_tokens + 15) // 16) * 16
+    padded_len = ((n_tokens + bucket - 1) // bucket) * bucket
     ids = np.zeros((padded_len,), np.int32)
     ids[: len(token_ids)] = token_ids
     x = jnp.asarray(ids[None])

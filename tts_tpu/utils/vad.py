@@ -87,16 +87,18 @@ def get_speech_timestamps(
     segments: List[Dict[str, int]] = []
     start = None
     silence_run = 0
+    # hop may be fractional (learned VAD at non-16k input rates) — round per
+    # boundary so timestamps stay exact over long recordings
     for i, p in enumerate(scores):
         if start is None:
             if p >= threshold:
-                start = i * hop
+                start = int(round(i * hop))
                 silence_run = 0
         else:
             if p < off_threshold:
                 silence_run += 1
                 if silence_run >= min_silence_frames:
-                    end = (i - silence_run + 1) * hop
+                    end = int(round((i - silence_run + 1) * hop))
                     if end - start >= min_speech:
                         segments.append({"start": max(0, start - pad),
                                          "end": min(len(wav), end + pad)})

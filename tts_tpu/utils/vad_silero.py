@@ -143,14 +143,44 @@ def _chunk_step(params, carry, chunk):
     return (chunk[-CONTEXT:], h, c), prob
 
 
+_RUN = None  # jitted scan, created once — caching across calls/files
+
+# chunk-count bucket (64 chunks ≈ 2 s @16 kHz): batch dataset cleaning sees
+# one compile per bucket, not one per distinct file length
+_CHUNK_BUCKET = 64
+
+
+def _jitted_run():
+    global _RUN
+    if _RUN is None:
+        import jax
+        import jax.numpy as jnp
+
+        @jax.jit
+        def run(params, chunks):
+            carry = (
+                jnp.zeros((CONTEXT,), jnp.float32),
+                jnp.zeros((HIDDEN,), jnp.float32),
+                jnp.zeros((HIDDEN,), jnp.float32),
+            )
+            _, probs = jax.lax.scan(
+                lambda ca, ch: _chunk_step(params, ca, ch), carry, chunks
+            )
+            return probs
+
+        _RUN = run
+    return _RUN
+
+
 def silero_probabilities(
     params: Dict[str, np.ndarray], wav: np.ndarray, sample_rate: int
 ) -> np.ndarray:
     """Per-chunk speech probabilities (one per 512 samples / 32 ms @16 kHz).
 
     Resamples to 16 kHz if needed; whole utterance runs as one jitted
-    ``lax.scan`` on the accelerator."""
-    import jax
+    ``lax.scan`` on the accelerator.  The chunk count is padded to a bucket
+    boundary (trailing scores discarded) so file-length variation reuses
+    compiled graphs."""
     import jax.numpy as jnp
 
     if sample_rate != SAMPLE_RATE:
@@ -159,20 +189,11 @@ def silero_probabilities(
         wav = resample_wav(np.asarray(wav, np.float32), sample_rate, SAMPLE_RATE)
     wav = np.asarray(wav, np.float32)
     n = int(np.ceil(len(wav) / CHUNK)) if len(wav) else 1
-    wav = np.pad(wav, (0, n * CHUNK - len(wav)))
-    chunks = wav.reshape(n, CHUNK)
-
-    @jax.jit
-    def run(params, chunks):
-        carry = (
-            jnp.zeros((CONTEXT,), jnp.float32),
-            jnp.zeros((HIDDEN,), jnp.float32),
-            jnp.zeros((HIDDEN,), jnp.float32),
-        )
-        _, probs = jax.lax.scan(lambda ca, ch: _chunk_step(params, ca, ch), carry, chunks)
-        return probs
-
-    return np.asarray(run(params, jnp.asarray(chunks)))
+    n_pad = ((n + _CHUNK_BUCKET - 1) // _CHUNK_BUCKET) * _CHUNK_BUCKET
+    wav = np.pad(wav, (0, n_pad * CHUNK - len(wav)))
+    chunks = wav.reshape(n_pad, CHUNK)
+    probs = np.asarray(_jitted_run()(params, jnp.asarray(chunks)))
+    return probs[:n]
 
 
 def frame_scores(
@@ -181,23 +202,35 @@ def frame_scores(
     """Adapter with the statistical VAD's ``(scores, hop_samples)`` contract
     (``tts_tpu/utils/vad.py speech_probabilities``) so the learned model
     plugs into ``get_speech_timestamps`` unchanged: hop is one chunk in
-    *input-rate* samples."""
+    *input-rate* samples.  Returned as a float — rounding it once would
+    drift boundaries by ~0.4 samples/chunk at 22.05 kHz; the consumer
+    rounds per boundary instead."""
     probs = silero_probabilities(params, wav, sample_rate)
-    hop = int(round(CHUNK * sample_rate / SAMPLE_RATE))
-    return probs, hop
+    return probs, CHUNK * sample_rate / SAMPLE_RATE
 
 
 _DEFAULT: Optional[Dict[str, np.ndarray]] = None
+_DEFAULT_FAILED = False
 
 
 def default_params() -> Optional[Dict[str, np.ndarray]]:
     """Silero params from ``TTS_TPU_SILERO_VAD`` (path to the checkpoint),
-    cached; None when unset — callers fall back to the statistical VAD."""
-    global _DEFAULT
-    if _DEFAULT is None:
+    cached; None when unset **or when loading fails** (warned once) —
+    callers fall back to the statistical VAD either way."""
+    global _DEFAULT, _DEFAULT_FAILED
+    if _DEFAULT is None and not _DEFAULT_FAILED:
         import os
 
         path = os.environ.get("TTS_TPU_SILERO_VAD")
         if path:
-            _DEFAULT = load_silero_state_dict(path)
+            try:
+                _DEFAULT = load_silero_state_dict(path)
+            except Exception as e:
+                _DEFAULT_FAILED = True
+                import warnings
+
+                warnings.warn(
+                    f"TTS_TPU_SILERO_VAD={path!r} could not be loaded ({e}); "
+                    "falling back to the statistical VAD"
+                )
     return _DEFAULT
