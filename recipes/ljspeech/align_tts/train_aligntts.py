@@ -1,0 +1,44 @@
+"""AlignTTS LJSpeech recipe
+(reference recipes/ljspeech/align_tts/train_aligntts.py): MDN alignment
+with the multi-phase training schedule."""
+
+import os
+
+from tts_tpu.config.shared import BaseDatasetConfig
+from tts_tpu.data import load_tts_samples
+from tts_tpu.models import setup_model
+from tts_tpu.models.align_tts import AlignTTSConfig
+from tts_tpu.trainer.trainer import Trainer, TrainerArgs
+
+output_path = os.path.dirname(os.path.abspath(__file__))
+
+dataset_config = BaseDatasetConfig(
+    formatter="ljspeech",
+    dataset_name="ljspeech",
+    meta_file_train="metadata.csv",
+    path=os.path.join(output_path, "../LJSpeech-1.1/"),
+    language="en",
+)
+
+config = AlignTTSConfig(
+    batch_size=32,
+    eval_batch_size=16,
+    run_eval=True,
+    test_delay_epochs=-1,
+    epochs=1000,
+    text_cleaner="english_cleaners",
+    use_phonemes=False,
+    phoneme_language="en-us",
+    print_step=25,
+    print_eval=True,
+    output_path=output_path,
+    datasets=[dataset_config],
+)
+
+if __name__ == "__main__":
+    train_samples, eval_samples = load_tts_samples(
+        [dataset_config.to_dict()], eval_split=True, eval_split_size=config.eval_split_size
+    )
+    model = setup_model(config)
+    trainer = Trainer(TrainerArgs(), config, output_path, model, train_samples, eval_samples)
+    trainer.fit()

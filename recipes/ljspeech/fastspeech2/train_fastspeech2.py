@@ -1,0 +1,63 @@
+"""FastSpeech2 LJSpeech recipe
+(reference recipes/ljspeech/fastspeech2/train_fastspeech2.py): ForwardTTS
+with pitch + energy conditioning and the in-graph aligner."""
+
+import os
+
+from tts_tpu.config.shared import BaseAudioConfig, BaseDatasetConfig
+from tts_tpu.data import load_tts_samples
+from tts_tpu.models import setup_model
+from tts_tpu.models.forward_tts import Fastspeech2Config
+from tts_tpu.trainer.trainer import Trainer, TrainerArgs
+
+output_path = os.path.dirname(os.path.abspath(__file__))
+
+dataset_config = BaseDatasetConfig(
+    formatter="ljspeech",
+    dataset_name="ljspeech",
+    meta_file_train="metadata.csv",
+    path=os.path.join(output_path, "../LJSpeech-1.1/"),
+    language="en",
+)
+
+audio_config = BaseAudioConfig(
+    sample_rate=22050,
+    do_trim_silence=True,
+    trim_db=60.0,
+    signal_norm=False,
+    mel_fmin=0.0,
+    mel_fmax=8000,
+    spec_gain=1.0,
+    log_func="np.log",
+    ref_level_db=20,
+    preemphasis=0.0,
+)
+
+config = Fastspeech2Config(
+    run_name="fastspeech2_ljspeech",
+    audio=audio_config,
+    batch_size=32,
+    eval_batch_size=16,
+    compute_input_seq_cache=True,
+    compute_f0=True,
+    f0_cache_path=os.path.join(output_path, "f0_cache"),
+    compute_energy=True,
+    energy_cache_path=os.path.join(output_path, "energy_cache"),
+    run_eval=True,
+    test_delay_epochs=-1,
+    epochs=1000,
+    text_cleaner="english_cleaners",
+    use_phonemes=True,
+    phoneme_language="en-us",
+    print_step=50,
+    output_path=output_path,
+    datasets=[dataset_config],
+)
+
+if __name__ == "__main__":
+    train_samples, eval_samples = load_tts_samples(
+        [dataset_config.to_dict()], eval_split=True, eval_split_size=config.eval_split_size
+    )
+    model = setup_model(config)
+    trainer = Trainer(TrainerArgs(), config, output_path, model, train_samples, eval_samples)
+    trainer.fit()

@@ -1,0 +1,51 @@
+"""GlowTTS Thorsten-DE recipe
+(reference recipes/thorsten_DE/glow_tts/train_glowtts.py): German
+single-speaker, phoneme input."""
+
+import os
+
+from tts_tpu.config.shared import BaseDatasetConfig
+from tts_tpu.data import load_tts_samples
+from tts_tpu.models import setup_model
+from tts_tpu.models.glow_tts import GlowTTSConfig
+from tts_tpu.trainer.trainer import Trainer, TrainerArgs
+
+output_path = os.path.dirname(os.path.abspath(__file__))
+
+dataset_config = BaseDatasetConfig(
+    formatter="thorsten",
+    dataset_name="thorsten-de",
+    meta_file_train="metadata.csv",
+    path=os.path.join(output_path, "../thorsten-de/"),
+    language="de",
+)
+
+config = GlowTTSConfig(
+    batch_size=32,
+    eval_batch_size=16,
+    run_eval=True,
+    test_delay_epochs=-1,
+    epochs=1000,
+    text_cleaner="phoneme_cleaners",
+    use_phonemes=True,
+    phoneme_language="de",
+    print_step=25,
+    mixed_precision=True,
+    test_sentences=[
+        "Es hat mich viel Zeit gekostet ein Stimme zu entwickeln, jetzt wo ich sie habe werde ich nicht mehr schweigen.",
+        "Sei eine Stimme, kein Echo.",
+        "Es tut mir Leid David. Das kann ich leider nicht machen.",
+        "Dieser Kuchen ist großartig. Er ist so lecker und feucht.",
+        "Vor dem 22. November 1963.",
+    ],
+    output_path=output_path,
+    datasets=[dataset_config],
+)
+
+if __name__ == "__main__":
+    train_samples, eval_samples = load_tts_samples(
+        [dataset_config.to_dict()], eval_split=True, eval_split_size=config.eval_split_size
+    )
+    model = setup_model(config)
+    trainer = Trainer(TrainerArgs(), config, output_path, model, train_samples, eval_samples)
+    trainer.fit()

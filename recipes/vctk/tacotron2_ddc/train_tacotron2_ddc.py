@@ -1,0 +1,76 @@
+"""Tacotron2-DDC VCTK recipe — multi-speaker
+(reference recipes/vctk/tacotron2-DDC/train_tacotron2-ddc.py)."""
+
+import os
+
+from tts_tpu.config.shared import BaseAudioConfig, BaseDatasetConfig
+from tts_tpu.data import load_tts_samples
+from tts_tpu.models import setup_model
+from tts_tpu.models.tacotron2 import Tacotron2Config
+from tts_tpu.trainer.trainer import Trainer, TrainerArgs
+from tts_tpu.utils.managers import SpeakerManager
+
+output_path = os.path.dirname(os.path.abspath(__file__))
+
+dataset_config = BaseDatasetConfig(
+    formatter="vctk",
+    dataset_name="vctk",
+    meta_file_train="",
+    path=os.path.join(output_path, "../VCTK/"),
+    language="en",
+)
+
+audio_config = BaseAudioConfig(
+    sample_rate=22050,
+    resample=False,
+    do_trim_silence=True,
+    trim_db=23.0,
+    signal_norm=False,
+    mel_fmin=0.0,
+    mel_fmax=8000,
+    spec_gain=1.0,
+    log_func="np.log",
+    preemphasis=0.0,
+)
+
+config = Tacotron2Config(
+    audio=audio_config,
+    batch_size=32,
+    eval_batch_size=16,
+    run_eval=True,
+    test_delay_epochs=-1,
+    r=2,
+    double_decoder_consistency=True,
+    epochs=1000,
+    text_cleaner="phoneme_cleaners",
+    use_phonemes=True,
+    phoneme_language="en-us",
+    print_step=150,
+    mixed_precision=True,
+    min_text_len=0,
+    max_text_len=500,
+    min_audio_len=0,
+    max_audio_len=44000 * 10,
+    output_path=output_path,
+    datasets=[dataset_config],
+    use_speaker_embedding=True,
+    decoder_ssim_alpha=0.0,
+    postnet_ssim_alpha=0.0,
+    postnet_diff_spec_alpha=0.0,
+    decoder_diff_spec_alpha=0.0,
+    attention_norm="softmax",
+    optimizer="adam",
+    lr_scheduler=None,
+    lr=3e-5,
+)
+
+if __name__ == "__main__":
+    train_samples, eval_samples = load_tts_samples(
+        [dataset_config.to_dict()], eval_split=True, eval_split_size=config.eval_split_size
+    )
+    speaker_manager = SpeakerManager(data_items=train_samples + eval_samples)
+    config.num_speakers = speaker_manager.num_speakers
+    model = setup_model(config)
+    model.speaker_manager = speaker_manager
+    trainer = Trainer(TrainerArgs(), config, output_path, model, train_samples, eval_samples)
+    trainer.fit()

@@ -141,3 +141,64 @@ def test_differential_spectral_loss():
     assert float(l_diff) < 1e-10
     l_real = differential_spectral_loss(y * 2.0, y, jnp.asarray([16, 12]))
     assert float(l_real) > 0.0
+
+
+def _tiny_wavegrad_config():
+    from tts_tpu.vocoder.configs import WavegradConfig
+
+    return WavegradConfig(
+        seq_len=256,
+        model_params={
+            "y_conv_channels": 8, "x_conv_channels": 16,
+            "dblock_out_channels": (8, 8, 16, 16),
+            "ublock_out_channels": (16, 16, 8, 8, 8),
+            "upsample_factors": (2, 2, 2, 2, 2),
+            "upsample_dilations": ((1, 2, 1, 2),) * 5,
+            "use_weight_norm": True,  # reference-config key; filtered out
+        },
+        train_noise_schedule={"min_val": 1e-6, "max_val": 1e-2, "num_steps": 10},
+        test_noise_schedule={"min_val": 1e-6, "max_val": 1e-2, "num_steps": 4},
+    )
+
+
+def test_wavegrad_trainer_contract():
+    """setup_model dispatch + Trainer-contract train/eval step (reference
+    vocoder/models/__init__.py:12 setup_model, wavegrad.py train_step)."""
+    from tts_tpu.vocoder.models import setup_model
+    from tts_tpu.vocoder.models.wavegrad import WavegradVocoder
+
+    cfg = _tiny_wavegrad_config()
+    model = setup_model(cfg)
+    assert isinstance(model, WavegradVocoder)
+    params = model.init_params(jax.random.PRNGKey(0))
+    hop = 32
+    mel = jnp.asarray(np.random.RandomState(0).randn(2, cfg.seq_len // hop, 80).astype(np.float32))
+    wav = jnp.asarray(np.random.RandomState(1).randn(2, cfg.seq_len, 1).astype(np.float32))
+    loss, aux = model.train_step(params, {"waveform": wav, "mel": mel}, {"noise": jax.random.PRNGKey(2)})
+    assert np.isfinite(float(loss))
+    # eval path: deterministic
+    l1, _ = model.train_step(params, {"waveform": wav, "mel": mel}, {}, train=False)
+    l2, _ = model.train_step(params, {"waveform": wav, "mel": mel}, {}, train=False)
+    assert float(l1) == float(l2)
+
+
+def test_wavernn_trainer_contract():
+    """WaveRNN through setup_model: MoL + 9-bit CE losses both finite."""
+    from tts_tpu.vocoder.configs import WavernnConfig
+    from tts_tpu.vocoder.models import setup_model
+    from tts_tpu.vocoder.models.wavernn import WavernnVocoder
+
+    margs = {
+        "rnn_dims": 16, "fc_dims": 16, "compute_dims": 8, "res_out_dims": 8,
+        "num_res_blocks": 1, "pad": 2, "upsample_factors": (2, 2, 2),
+        "use_upsample_net": True,  # reference-config key; filtered out
+    }
+    for mode in ("mold", 9):
+        cfg = WavernnConfig(seq_len=128, mode=mode, model_args=dict(margs))
+        model = setup_model(cfg)
+        assert isinstance(model, WavernnVocoder)
+        params = model.init_params(jax.random.PRNGKey(0))
+        mel = jnp.asarray(np.random.RandomState(0).randn(1, 128 // 8, 80).astype(np.float32))
+        wav = jnp.asarray(np.random.RandomState(1).rand(1, 128, 1).astype(np.float32) * 2 - 1)
+        loss, aux = model.train_step(params, {"waveform": wav, "mel": mel}, {})
+        assert np.isfinite(float(loss)), mode

@@ -17,14 +17,14 @@ def main(argv=None):
     from tts_tpu.config import load_config
     from tts_tpu.trainer.trainer import Trainer, TrainerArgs
     from tts_tpu.vocoder.dataset import load_wav_data
-    from tts_tpu.vocoder.models.gan import GAN
+    from tts_tpu.vocoder.models import setup_model
 
     config = load_config(args.config_path)
     rest = config.parse_args(rest)
     output_path = args.output_path or config.output_path or os.path.join(os.getcwd(), "run_vocoder")
 
     eval_samples, train_samples = load_wav_data(config.data_path, config.eval_split_size)
-    model = GAN(config)
+    model = setup_model(config)
     trainer = Trainer(
         TrainerArgs(continue_path=args.continue_path, restore_path=args.restore_path),
         config,

@@ -48,6 +48,22 @@ def build_lr_schedule(name: Optional[str], lr: float, params: Optional[dict] = N
             return lr * gamma ** (step // step_size)
 
         return schedule
+    if name == "stepwisegraduallr":
+        # piecewise-constant LR: last [threshold, lr] pair (in list order)
+        # whose threshold <= step wins (reference Capacitron recipes)
+        import jax.numpy as jnp
+
+        pairs = params.get("gradual_learning_rates") or [[0, lr]]
+        thresholds = jnp.asarray([float(p[0]) for p in pairs])
+        lrs = jnp.asarray([float(p[1]) for p in pairs])
+        pos = jnp.arange(len(pairs))
+
+        def schedule(step):
+            s = step.astype(jnp.float32) if hasattr(step, "astype") else float(step)
+            idx = jnp.max(jnp.where(thresholds <= s, pos, 0))
+            return lrs[idx]
+
+        return schedule
     raise ValueError(f"Unknown lr scheduler {name!r}")
 
 

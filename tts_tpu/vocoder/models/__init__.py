@@ -33,6 +33,27 @@ def _resolve(table, name):
     return getattr(importlib.import_module(mod_name), cls_name)
 
 
+def setup_model(config):
+    """Config → Trainer-contract vocoder model (reference
+    ``vocoder/models/__init__.py:12`` setup_model dispatch by
+    ``config.model``)."""
+    name = (config.model or "gan").lower()
+    if name == "wavegrad":
+        from tts_tpu.vocoder.models.wavegrad import WavegradVocoder
+
+        return WavegradVocoder(config)
+    if name == "wavernn":
+        from tts_tpu.vocoder.models.wavernn import WavernnVocoder
+
+        return WavernnVocoder(config)
+    # every GAN-family config (hifigan, melgan, multiband_melgan,
+    # fullband_melgan, parallel_wavegan, univnet, gan) trains through the
+    # generic generator × discriminator wrapper
+    from tts_tpu.vocoder.models.gan import GAN
+
+    return GAN(config)
+
+
 def setup_generator(name: str):
     return _resolve(_GENERATORS, name)
 

@@ -161,6 +161,50 @@ def wavegrad_train_loss(model: Wavegrad, params, batch, rng, schedule) -> jnp.nd
     return jnp.mean(jnp.abs(noise - noise_hat))
 
 
+class WavegradVocoder:
+    """Trainer-contract host wrapper (reference ``BaseVocoder`` +
+    ``wavegrad.py:36`` train/eval steps): random-noise-level denoising L1
+    over random waveform segments."""
+
+    def __init__(self, config):
+        self.config = config
+        fields = set(Wavegrad.__dataclass_fields__)
+        kwargs = {k: v for k, v in (config.model_params or {}).items() if k in fields}
+        kwargs.setdefault("in_channels", config.audio.num_mels)
+        self.model = Wavegrad(**kwargs)
+        ns = config.train_noise_schedule
+        self.schedule = compute_noise_schedule(ns["num_steps"], ns["min_val"], ns["max_val"])
+
+    def init_params(self, rng):
+        hop = int(np.prod(self.model.upsample_factors))
+        frames = max(1, self.config.seq_len // hop)
+        x = jnp.zeros((1, frames * hop, 1))
+        mel = jnp.zeros((1, frames, self.model.in_channels))
+        return self.model.init(rng, x, mel, jnp.ones((1,)))
+
+    def train_step(self, params, batch, rngs, train: bool = True):
+        rng = rngs["noise"] if train else jax.random.PRNGKey(0)
+        loss = wavegrad_train_loss(self.model, params, batch, rng, self.schedule)
+        return loss, {"wavegrad_l1": loss}
+
+    def inference(self, params, mel, rng=None, num_steps: Optional[int] = None):
+        ns = self.config.test_noise_schedule
+        schedule = compute_noise_schedule(
+            num_steps or ns["num_steps"], ns["min_val"], ns["max_val"]
+        )
+        return wavegrad_inference(
+            self.model, params, mel, rng if rng is not None else jax.random.PRNGKey(0), schedule
+        )
+
+    def get_dataset(self, config, samples, is_eval: bool = False):
+        from tts_tpu.vocoder.dataset import GANDataset
+
+        return GANDataset(config, samples, is_eval=is_eval)
+
+    def format_batch(self, batch: dict) -> dict:
+        return batch
+
+
 def wavegrad_inference(model: Wavegrad, params, mel, rng, schedule) -> jnp.ndarray:
     """Reverse diffusion as a scan (reference ``inference`` :135)."""
     beta, alpha, alpha_hat, noise_level = schedule

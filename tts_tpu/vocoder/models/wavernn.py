@@ -244,6 +244,84 @@ def sample_from_discretized_mix_logistic(rng, logits, log_scale_min: float = -32
     return jnp.clip(x, -1.0, 1.0)
 
 
+def mulaw_encode_jnp(w: jnp.ndarray, mu: int) -> jnp.ndarray:
+    """mu-law companding to integer labels in [0, mu] (reference
+    ``numpy_transforms.py`` mulaw; jnp so it lives inside the jitted step)."""
+    comp = jnp.sign(w) * jnp.log1p(mu * jnp.abs(w)) / np.log1p(mu)
+    return jnp.clip(jnp.floor((comp + 1) / 2 * mu + 0.5), 0, mu).astype(jnp.int32)
+
+
+class WavernnVocoder:
+    """Trainer-contract host wrapper (reference ``wavernn.py:193``
+    train_step): teacher-forced parallel pass, MoL / Gaussian / CE loss by
+    output mode."""
+
+    def __init__(self, config):
+        self.config = config
+        fields = set(Wavernn.__dataclass_fields__)
+        kwargs = {k: v for k, v in (config.model_args or {}).items() if k in fields}
+        kwargs.setdefault("feat_dims", config.audio.num_mels)
+        kwargs.setdefault("mode", config.mode)
+        kwargs.setdefault("mulaw", getattr(config, "mulaw", True))
+        self.model = Wavernn(**kwargs)
+        hop = int(np.prod(self.model.upsample_factors))
+        frames = max(2 * self.model.pad + 1, config.seq_len // hop)
+        # the upsample net trims `pad` frames each side (MelResNet VALID conv)
+        self.usable = (frames - 2 * self.model.pad) * hop
+        self.offset = self.model.pad * hop
+        self.frames = frames
+
+    def init_params(self, rng):
+        x = jnp.zeros((1, 8))
+        mel = jnp.zeros((1, self.frames, self.model.feat_dims))
+        return self.model.init(rng, x, mel)
+
+    def _targets(self, wav):
+        """wav [B, T, 1] → teacher-forcing input x (float) + target y."""
+        w = wav[..., 0]
+        w = jax.lax.dynamic_slice_in_dim(w, self.offset, self.usable, axis=1)
+        mode = self.model.mode
+        if isinstance(mode, int):
+            n = self.model.n_classes
+            labels = (
+                mulaw_encode_jnp(w, n - 1)
+                if self.model.mulaw
+                else jnp.clip(jnp.floor((w + 1) / 2 * (n - 1) + 0.5), 0, n - 1).astype(jnp.int32)
+            )
+            x = 2.0 * labels[:, :-1].astype(jnp.float32) / (n - 1.0) - 1.0
+            return x, labels[:, 1:]
+        return w[:, :-1], w[:, 1:]
+
+    def train_step(self, params, batch, rngs, train: bool = True):
+        x, y = self._targets(batch["waveform"])
+        logits = self.model.apply(params, x, batch["mel"])
+        mode = self.model.mode
+        if mode == "mold":
+            loss = mixture_of_logistics_loss(logits, y)
+        elif mode == "gauss":
+            mean, logstd = logits[..., 0], jnp.clip(logits[..., 1], min=-7.0)
+            loss = jnp.mean(
+                0.5 * np.log(2 * np.pi) + logstd + 0.5 * ((y - mean) * jnp.exp(-logstd)) ** 2
+            )
+        else:
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            loss = -jnp.mean(jnp.take_along_axis(logp, y[..., None], axis=-1))
+        return loss, {"wavernn_loss": loss}
+
+    def inference(self, params, mel, rng=None):
+        return self.model.apply(
+            params, mel, rng if rng is not None else jax.random.PRNGKey(0), method=Wavernn.generate
+        )
+
+    def get_dataset(self, config, samples, is_eval: bool = False):
+        from tts_tpu.vocoder.dataset import GANDataset
+
+        return GANDataset(config, samples, is_eval=is_eval)
+
+    def format_batch(self, batch: dict) -> dict:
+        return batch
+
+
 def mixture_of_logistics_loss(logits, y, num_classes: int = 65536, log_scale_min: float = -32.23):
     """Discretized MoL NLL (reference ``distribution.py:89``)."""
     nr_mix = logits.shape[-1] // 3
