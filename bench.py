@@ -108,13 +108,17 @@ def main():
         except Exception as e:  # pragma: no cover
             print(f"train-step measurement failed: {e}", file=sys.stderr)
 
-    # XTTS streaming TTFA (the reference's headline metric); non-fatal
-    xtts_ttfa_ms = None
+    # XTTS streaming TTFA (the reference's headline metric) + sustained
+    # decode throughput / streaming RTF; non-fatal
+    xtts_ttfa_ms = xtts_tok_s = xtts_stream_rtf = None
     if not os.environ.get("BENCH_SKIP_XTTS"):
         try:
             from bench_xtts import measure_ttfa
 
-            xtts_ttfa_ms = round(measure_ttfa(), 1)
+            xtts_ttfa_ms, xtts_tok_s, xtts_stream_rtf = measure_ttfa(with_throughput=True)
+            xtts_ttfa_ms = round(xtts_ttfa_ms, 1)
+            xtts_tok_s = round(xtts_tok_s, 1)
+            xtts_stream_rtf = round(xtts_stream_rtf, 2)
         except Exception as e:  # pragma: no cover
             print(f"xtts ttfa measurement failed: {e}", file=sys.stderr)
 
@@ -129,6 +133,8 @@ def main():
                 "vits_rtf_bf16": rtf_bf16,
                 "xtts_ttfa_ms": xtts_ttfa_ms,
                 "xtts_ttfa_target_ms": 200.0,
+                "xtts_decode_tok_s": xtts_tok_s,
+                "xtts_stream_rtf": xtts_stream_rtf,
                 "vits_train_step_ms": train_ms,
                 "vits_train_mfu": train_mfu,
             }

@@ -21,8 +21,12 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 import numpy as np  # noqa: E402
 
 
-def measure_ttfa() -> float:
+def measure_ttfa(with_throughput: bool = False):
     """Median time-to-first-audio in ms (serving path, conditioning cached).
+
+    ``with_throughput=True`` additionally measures the sustained streaming
+    loop (decode chunk + vocode, pipelined) and returns
+    ``(ttfa_ms, decode_tok_s, stream_rtf)``.
 
     ``BENCH_XTTS_DTYPE=bfloat16`` (default) halves the weight-bandwidth of
     the decode (measured 1.58 vs 2.76 ms/token fp32 on one v5e — the step is
@@ -93,11 +97,36 @@ def measure_ttfa() -> float:
         t0 = time.time()
         _ = first_audio(r)
         times.append(time.time() - t0)
-    return float(np.median(times) * 1000)
+    ttfa_ms = float(np.median(times) * 1000)
+    if not with_throughput:
+        return ttfa_ms
+
+    # Sustained streaming: decode chunk → vocode, chained, synced once at
+    # the end (axon: only host transfers synchronize).  tokens/s is the
+    # serving-capacity number; stream RTF = audio seconds per wall second
+    # (each GPT token is 1024 output samples at 24 kHz).
+    N_CHUNKS = int(os.environ.get("BENCH_STREAM_CHUNKS", "25"))
+    state = prefill(gpt_params, cond, text, tlen)
+    state, toks, latents = chunk_fn(gpt_params, state, rng)  # warm shapes
+    wav = vocode(dec_params, latents, g)
+    _ = np.asarray(wav[0, 0, 0])
+    samples_per_token = wav.shape[1] // CHUNK
+
+    t0 = time.time()
+    state = prefill(gpt_params, cond, text, tlen)
+    for i in range(N_CHUNKS):
+        state, toks, latents = chunk_fn(gpt_params, state, jax.random.PRNGKey(100 + i))
+        wav = vocode(dec_params, latents, g)
+    _ = np.asarray(wav[0, 0, 0])
+    dt = time.time() - t0
+    n_tokens = N_CHUNKS * CHUNK
+    decode_tok_s = n_tokens / dt
+    stream_rtf = (n_tokens * samples_per_token / 24000.0) / dt
+    return ttfa_ms, float(decode_tok_s), float(stream_rtf)
 
 
 def main():
-    ttfa_ms = measure_ttfa()
+    ttfa_ms, tok_s, stream_rtf = measure_ttfa(with_throughput=True)
     print(
         json.dumps(
             {
@@ -105,6 +134,8 @@ def main():
                 "value": round(ttfa_ms, 1),
                 "unit": "ms",
                 "vs_baseline": round(200.0 / ttfa_ms, 3),
+                "xtts_decode_tok_s": round(tok_s, 1),
+                "xtts_stream_rtf": round(stream_rtf, 2),
             }
         )
     )
