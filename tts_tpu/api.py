@@ -122,10 +122,18 @@ class TTS:
         speaker: Optional[str] = None,
         language: Optional[str] = None,
         speaker_wav: Optional[str] = None,
+        emotion: Optional[str] = None,
+        speed: Optional[float] = None,
         split_sentences: bool = True,
         **kwargs,
     ):
         """Text → waveform samples (reference ``api.py:237``)."""
+        if emotion is not None and speed is not None:
+            # signature parity: the reference accepts these only for the
+            # discontinued Coqui Studio backend and raises (api.py:234)
+            raise ValueError(
+                "Emotion and speed can only be used with Coqui Studio models. Which is discontinued."
+            )
         if self.synthesizer is None:
             raise RuntimeError("No model loaded.")
         return self.synthesizer.tts(
@@ -143,6 +151,8 @@ class TTS:
         speaker: Optional[str] = None,
         language: Optional[str] = None,
         speaker_wav: Optional[str] = None,
+        emotion: Optional[str] = None,
+        speed: Optional[float] = None,
         file_path: str = "output.wav",
         pipe_out=None,
         split_sentences: bool = True,
@@ -151,7 +161,7 @@ class TTS:
         """Text → wav file (reference ``api.py:290``)."""
         wav = self.tts(
             text, speaker=speaker, language=language, speaker_wav=speaker_wav,
-            split_sentences=split_sentences, **kwargs,
+            emotion=emotion, speed=speed, split_sentences=split_sentences, **kwargs,
         )
         self.synthesizer.save_wav(wav, file_path, pipe_out=pipe_out)
         return file_path

@@ -30,7 +30,17 @@ def main(argv=None):
     if rest:
         print(f" [!] Unused CLI args: {rest}")
 
-    output_path = args.output_path or config.output_path or os.path.join(os.getcwd(), "run")
+    if args.output_path:
+        output_path = args.output_path
+    elif config.output_path:
+        # config.output_path is the experiment ROOT: stamp a fresh
+        # <run_name>-<date>-<git hash> run dir under it (reference
+        # ``get_experiment_folder_path``, trainer-pkg semantics)
+        from tts_tpu.utils.generic import get_experiment_folder_path
+
+        output_path = get_experiment_folder_path(config.output_path, config.run_name or "run")
+    else:
+        output_path = os.path.join(os.getcwd(), "run")
     if args.continue_path:
         output_path = args.continue_path
 

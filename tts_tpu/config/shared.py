@@ -135,6 +135,10 @@ class BaseTrainingConfig(Config):
     precision: str = "bf16"  # TPU-native: "fp32" | "bf16"
     grad_clip: float = 0.0
     grad_accum_steps: int = 1
+    # skip optimizer updates whose gradients contain NaN/Inf (reference
+    # trainer ``check_update`` grad-norm guard); pure-XLA via
+    # optax.apply_if_finite so the step stays a single compiled graph
+    skip_non_finite_grads: bool = False
     lr: float = 0.001
     optimizer: str = "adamw"
     optimizer_params: dict = field(default_factory=dict)

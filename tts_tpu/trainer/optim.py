@@ -73,6 +73,7 @@ def build_optimizer(
     params: Optional[dict] = None,
     grad_clip: float = 0.0,
     grad_accum: int = 1,
+    skip_non_finite: bool = False,
 ) -> optax.GradientTransformation:
     """Build an optax chain for a reference optimizer name.
 
@@ -80,6 +81,11 @@ def build_optimizer(
     average over N micro-batches and apply every N-th call (reference
     ``grad_accum_steps``, e.g. the XTTS recipe
     ``recipes/ljspeech/xtts_v2/train_gpt_xtts.py:164``).
+
+    ``skip_non_finite`` guards every update with ``optax.apply_if_finite``:
+    a micro-batch whose gradients contain NaN/Inf leaves params and inner
+    optimizer state untouched (the reference trainer's ``check_update``
+    grad-norm skip, but branch-free inside the compiled step).
     """
     params = dict(params or {})
     name = (name or "adamw").lower()
@@ -108,4 +114,7 @@ def build_optimizer(
         tx = optax.chain(optax.clip_by_global_norm(grad_clip), tx)
     if grad_accum and grad_accum > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=int(grad_accum))
+    if skip_non_finite:
+        # outermost so a bad micro-batch skips MultiSteps accumulation too
+        tx = optax.apply_if_finite(tx, max_consecutive_errors=100)
     return tx

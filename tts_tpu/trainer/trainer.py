@@ -28,6 +28,7 @@ from typing import Any, Dict, List, Optional
 
 import jax
 import numpy as np
+import optax
 
 from tts_tpu.parallel import get_mesh, replicate, with_data_parallel
 from tts_tpu.trainer.logging import logger_factory
@@ -78,13 +79,18 @@ class Trainer:
         train_samples: List[dict],
         eval_samples: Optional[List[dict]] = None,
         training_assets: Optional[Dict] = None,
+        callbacks: Optional[Dict] = None,
     ):
+        from tts_tpu.trainer.callbacks import TrainerCallback
+
         self.args = args
         self.config = config
         self.output_path = output_path
         self.model = model
         self.train_samples = train_samples
         self.eval_samples = eval_samples or []
+        self.callbacks = TrainerCallback(callbacks)
+        self.callbacks.on_init_start(self)
         os.makedirs(output_path, exist_ok=True)
         save_config(config, os.path.join(output_path, "config.json"))
 
@@ -116,6 +122,7 @@ class Trainer:
         self.dashboard = logger_factory(config, output_path)
         self._saved_checkpoints: List[str] = []
         self._restore_if_needed()
+        self.callbacks.on_init_end(self)
 
     # ------------------------------------------------------------------
     def _build_generic_step(self):
@@ -126,6 +133,7 @@ class Trainer:
         tx = build_optimizer(
             config.optimizer, sched, getattr(config, "optimizer_params", {}) or {},
             getattr(config, "grad_clip", 0.0), grad_accum=self.grad_accum,
+            skip_non_finite=bool(getattr(config, "skip_non_finite_grads", False)),
         )
         self.optimizers = {"model": tx}
         params = self.model.init_params(self.rng)
@@ -152,6 +160,7 @@ class Trainer:
             )(state.params["model"], batch)
             state = state.apply_updates(optimizers, {"model": grads})
             metrics["loss"] = loss
+            metrics["grad_norm"] = optax.global_norm(grads)
             return state, metrics
 
         self.train_step_fn = train_step
@@ -375,7 +384,28 @@ class Trainer:
         except (KeyError, ValueError) as e:
             print(f" [!] weighted sampler disabled: {e}")
 
+        try:
+            self._fit_epochs(config, train_ds, eval_ds, weights)
+        except KeyboardInterrupt:
+            # graceful-stop contract (reference trainer ``on_keyboard_interrupt``
+            # callback + rank-0 save): persist full state, then exit cleanly
+            self.callbacks.on_keyboard_interrupt(self)
+            self.save(f"checkpoint_{self.global_step}_interrupted.msgpack")
+            print(" > KeyboardInterrupt: saved interrupted-state checkpoint", flush=True)
+            self.dashboard.close()
+            return self.state
+        # final state checkpoint; best_model.msgpack is only written by
+        # _track_best so it always holds the best params seen
+        if self.best_loss == float("inf"):
+            self.save("best_model.msgpack", final=True)
+        else:
+            self.save(f"checkpoint_{self.global_step}.msgpack")
+        self.dashboard.close()
+        return self.state
+
+    def _fit_epochs(self, config, train_ds, eval_ds, weights):
         for epoch in range(self.epochs_done, config.epochs):
+            self.callbacks.on_epoch_start(self)
             if hasattr(self.model, "on_epoch_start") and self.model.on_epoch_start(self):
                 # schedule changed static shapes (e.g. Tacotron gradual-
                 # training r): re-jit so the step retraces the new module
@@ -395,15 +425,8 @@ class Trainer:
             self._track_best(eval_avg)
             if epoch >= getattr(config, "test_delay_epochs", 0):
                 self.test_run()
+            self.callbacks.on_epoch_end(self)
             self.dashboard.flush()
-        # final state checkpoint; best_model.msgpack is only written by
-        # _track_best so it always holds the best params seen
-        if self.best_loss == float("inf"):
-            self.save("best_model.msgpack", final=True)
-        else:
-            self.save(f"checkpoint_{self.global_step}.msgpack")
-        self.dashboard.close()
-        return self.state
 
     def _train_epoch(self, train_ds, epoch: int, weights: Optional[np.ndarray]):
         config = self.config
@@ -427,10 +450,12 @@ class Trainer:
             pass
         for batch in train_ds.batches(config.batch_size, **batch_kwargs):
             step_start = time.time()
+            self.callbacks.on_train_step_start(self)
             batch = self._format_batch(batch)
             batch = with_data_parallel(self.mesh, batch)
             self.state, metrics = self._jitted_step(self.state, batch, self.rng)
             self.global_step += 1
+            self.callbacks.on_train_step_end(self)
             if self.global_step % config.print_step == 0:
                 host_metrics = {k: float(v) for k, v in metrics.items()}
                 host_metrics["step_time"] = time.time() - step_start
