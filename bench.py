@@ -68,6 +68,11 @@ def main():
     rtf = audio_seconds / dt
     wav = np.asarray(out["model_outputs"], np.float32)
     assert np.isfinite(wav).all(), "non-finite audio"
+    # effective RTF: count only duration-predictor-terminated frames as
+    # audio (the deployment accounting — the 512-frame budget is padding
+    # past y_lengths)
+    eff_seconds = float(np.asarray(out["y_lengths"], np.float64).sum()) * hop / sr
+    rtf_effective = round(eff_seconds / dt, 1)
 
     # bf16 weights/activations: the deployment-precision RTF (38% over fp32
     # on one v5e — fp32 stays the headline for series consistency)
@@ -131,6 +136,7 @@ def main():
                 "vs_baseline": round(rtf / 200.0, 3),
                 "vits_mfu": vits_mfu,
                 "vits_rtf_bf16": rtf_bf16,
+                "vits_rtf_effective": rtf_effective,
                 "xtts_ttfa_ms": xtts_ttfa_ms,
                 "xtts_ttfa_target_ms": 200.0,
                 "xtts_decode_tok_s": xtts_tok_s,

@@ -90,3 +90,56 @@ def test_missing_text_is_400(server):
     except urllib.error.HTTPError as e:
         raised = e.code == 400
     assert raised
+
+
+class _StreamingSynthesizer(_StubSynthesizer):
+    def tts_stream(self, text, speaker_name=None, language_name=None,
+                   speaker_wav=None, **kwargs):
+        if not text.strip():
+            raise ValueError("No text to speak.")
+        self.calls.append(dict(text=text, speaker_name=speaker_name))
+        for i in range(3):
+            yield np.full(100, 0.1 * (i + 1), np.float32)
+
+
+@pytest.fixture(scope="module")
+def stream_server():
+    synth = _StreamingSynthesizer()
+    srv = create_server(synth, port=0)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    yield srv, synth, f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def test_api_tts_stream_progressive_wav(stream_server):
+    _, synth, base = stream_server
+    status, ctype, body = _get(base + "/api/tts-stream?text=stream%20me&speaker_id=spk_a")
+    assert status == 200 and ctype == "audio/wav"
+    assert body[:4] == b"RIFF" and body[8:12] == b"WAVE"
+    pcm = np.frombuffer(body[44:], dtype="<i2")
+    assert len(pcm) == 300  # 3 chunks x 100 samples
+    # chunk amplitudes survive in order
+    assert abs(pcm[0] / 32767 - 0.1) < 1e-3
+    assert abs(pcm[250] / 32767 - 0.3) < 1e-3
+    assert synth.calls[-1]["text"] == "stream me"
+
+
+def test_api_tts_stream_no_streaming_model_is_501(server):
+    _, _, base = server  # _StubSynthesizer has no tts_stream
+    try:
+        _get(base + "/api/tts-stream?text=hi")
+        code = 200
+    except urllib.error.HTTPError as e:
+        code = e.code
+    assert code == 501
+
+
+def test_api_tts_stream_missing_text_is_400(stream_server):
+    _, _, base = stream_server
+    try:
+        _get(base + "/api/tts-stream")
+        code = 200
+    except urllib.error.HTTPError as e:
+        code = e.code
+    assert code == 400

@@ -110,3 +110,29 @@ def test_speaker_wav_required_error(xtts_dir):
     synth = Synthesizer(model_dir=xtts_dir)
     with pytest.raises(ValueError, match="speaker_wav"):
         synth.tts("hello.", language_name="en", split_sentences=False)
+
+
+def test_xtts_streaming_through_synthesizer(xtts_dir, ref_wav):
+    """tts_stream yields incremental float32 chunks (Synthesizer →
+    Xtts.synthesize_stream → inference_stream)."""
+    from tts_tpu.utils.synthesizer import Synthesizer
+
+    synth = Synthesizer(model_dir=xtts_dir)
+    chunks = list(
+        synth.tts_stream("hi there.", language_name="en", speaker_wav=[ref_wav],
+                         split_sentences=False, stream_chunk_size=4)
+    )
+    assert len(chunks) >= 1
+    for c in chunks:
+        c = np.asarray(c, np.float32)
+        assert c.ndim == 1 and len(c) > 0 and np.all(np.isfinite(c))
+
+
+def test_tts_stream_requires_streaming_model(xtts_dir):
+    """Non-streaming models get a clear NotImplementedError."""
+    from tts_tpu.utils.synthesizer import Synthesizer
+
+    synth = Synthesizer(model_dir=xtts_dir)
+    synth.tts_model = object()  # no synthesize_stream
+    with pytest.raises(NotImplementedError, match="no streaming path"):
+        next(synth.tts_stream("hello.", language_name="en"))

@@ -429,3 +429,49 @@ class Xtts:
             repetition_penalty=config.repetition_penalty,
             **kwargs,
         )
+
+    def synthesize_stream(
+        self,
+        text: str,
+        config,
+        speaker_wav=None,
+        language: str = "en",
+        speaker_id: Optional[str] = None,
+        stream_chunk_size: int = 20,
+        **kwargs,
+    ) -> Iterator[np.ndarray]:
+        """Streaming twin of :meth:`synthesize`: resolve conditioning the
+        same way, then yield audio chunks from :meth:`inference_stream`
+        (serving path; reference exposes streaming only at the model level,
+        ``xtts.py:611``)."""
+        if speaker_wav is None and speaker_id is not None:
+            if speaker_id not in self.speaker_manager:
+                raise ValueError(f" [!] Unknown XTTS speaker {speaker_id!r}")
+            entry = self.speaker_manager[speaker_id]
+            gpt_cond_latent = entry["gpt_cond_latent"]
+            speaker_embedding = entry["speaker_embedding"]
+        elif speaker_wav is None:
+            raise ValueError(
+                " [!] XTTS needs a `speaker_wav` reference clip (or a known "
+                "`speaker_id`) for voice cloning."
+            )
+        else:
+            gpt_cond_latent, speaker_embedding = self.get_conditioning_latents(
+                speaker_wav,
+                gpt_cond_len=config.gpt_cond_len,
+                gpt_cond_chunk_len=config.gpt_cond_chunk_len,
+                max_ref_length=config.max_ref_len,
+                sound_norm_refs=config.sound_norm_refs,
+            )
+        return self.inference_stream(
+            text,
+            language,
+            gpt_cond_latent,
+            speaker_embedding,
+            stream_chunk_size=stream_chunk_size,
+            temperature=config.temperature,
+            top_k=config.top_k,
+            top_p=config.top_p,
+            repetition_penalty=config.repetition_penalty,
+            **kwargs,
+        )

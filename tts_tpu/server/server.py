@@ -4,6 +4,9 @@ stdlib ``http.server`` (no Flask dependency).
 Routes (parity with the reference):
   GET  /            — minimal HTML UI
   GET  /api/tts     — ?text=...&speaker_id=...&language_id=... → wav
+  GET  /api/tts-stream — same params → progressive WAV, bytes flushed per
+                         decoded chunk (streaming models only; no reference
+                         equivalent)
   GET  /details     — model/config info
   MaryTTS compat: GET /locales, GET /voices, GET|POST /process
 A global lock serializes synthesis like the reference (``server.py:187``).
@@ -17,6 +20,7 @@ import json
 import threading
 import urllib.parse
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from itertools import chain as _chain
 
 import numpy as np
 
@@ -82,12 +86,60 @@ def create_handler(synthesizer, lock: threading.Lock):
             scipy.io.wavfile.write(buf, synthesizer.output_sample_rate, arr)
             return buf.getvalue()
 
+        def _stream_tts(self, qs):
+            """Chunked synthesis → progressive WAV (16-bit PCM, unknown-length
+            RIFF header, bytes flushed per decoded chunk). Serving extension
+            beyond the reference server: audio starts after the first XTTS
+            decode chunk instead of after the full utterance."""
+            text = (qs.get("text") or [""])[0]
+            if not text:
+                self._send(400, b"missing text")
+                return
+            if not hasattr(synthesizer, "tts_stream"):
+                self._send(501, b"model has no streaming path")
+                return
+            sr = synthesizer.output_sample_rate
+            try:
+                with lock:
+                    gen = synthesizer.tts_stream(
+                        text,
+                        speaker_name=(qs.get("speaker_id") or [None])[0],
+                        language_name=(qs.get("language_id") or [None])[0],
+                        speaker_wav=(qs.get("speaker_wav") or [None])[0],
+                    )
+                    # pull the first chunk before sending headers so bad
+                    # requests still get a clean error status
+                    empty = object()
+                    first = next(gen, empty)
+                    self.send_response(200)
+                    self.send_header("Content-Type", "audio/wav")
+                    self.end_headers()
+                    # RIFF header with unknown (max) sizes: players treat the
+                    # stream as open-ended until the socket closes
+                    import struct
+
+                    self.wfile.write(
+                        b"RIFF" + struct.pack("<I", 0xFFFFFFFF) + b"WAVEfmt "
+                        + struct.pack("<IHHIIHH", 16, 1, 1, sr, sr * 2, 2, 16)
+                        + b"data" + struct.pack("<I", 0xFFFFFFFF)
+                    )
+                    for chunk in ([] if first is empty else _chain([first], gen)):
+                        pcm = np.clip(np.asarray(chunk, np.float32), -1.0, 1.0)
+                        self.wfile.write((pcm * 32767).astype("<i2").tobytes())
+                        self.wfile.flush()
+            except (NotImplementedError, ValueError) as e:
+                self._send(501, str(e).encode())
+            except (BrokenPipeError, ConnectionResetError):
+                pass  # client hung up mid-stream
+
         def do_GET(self):
             parsed = urllib.parse.urlparse(self.path)
             qs = urllib.parse.parse_qs(parsed.query)
             route = parsed.path
             if route == "/":
                 self._send(200, _INDEX_HTML.encode())
+            elif route == "/api/tts-stream":
+                self._stream_tts(qs)
             elif route == "/api/tts":
                 text = (qs.get("text") or [""])[0]
                 if not text:

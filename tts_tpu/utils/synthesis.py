@@ -81,7 +81,21 @@ def synthesis(
     else:
         r = int(getattr(getattr(model, "config", None), "r", 1) or 1)
         budget_kw = {"max_steps": max(1, budget // r)}
-    outputs = model.inference(params, x, x_lengths, aux_input=aux_input or None, **budget_kw)
+
+    # serve through ONE persistent jitted graph per (budget, aux structure):
+    # eager apply would dispatch op-by-op, which is ruinous through the TPU
+    # tunnel. style_text is a python string (Capacitron) — not traceable, so
+    # that rare path stays eager.
+    infer_fn = model.inference
+    if "style_text" not in aux_input:
+        infer_fn = getattr(model, "_jitted_inference", None)
+        if infer_fn is None:
+            import jax
+
+            static = tuple(k for k in ("max_frames", "max_steps") if k in sig_params)
+            infer_fn = jax.jit(model.inference, static_argnames=static)
+            model._jitted_inference = infer_fn
+    outputs = infer_fn(params, x, x_lengths, aux_input=aux_input or None, **budget_kw)
 
     model_outputs = np.asarray(outputs["model_outputs"][0], np.float32)
     valid_frames = None

@@ -288,6 +288,38 @@ class Synthesizer:
         print(f" > Real-time factor: {process_time / max(audio_time, 1e-9)}")
         return wavs
 
+    def tts_stream(
+        self,
+        text: str,
+        speaker_name: Optional[str] = None,
+        language_name: Optional[str] = None,
+        speaker_wav=None,
+        split_sentences: bool = True,
+        **kwargs,
+    ):
+        """Incremental synthesis: yield float32 audio chunks as they decode
+        (serving path; no reference equivalent above the model layer). Only
+        models with a ``synthesize_stream`` method (XTTS) support this —
+        others raise so callers can fall back to :meth:`tts`."""
+        model = self.tts_model
+        if not hasattr(model, "synthesize_stream"):
+            raise NotImplementedError(
+                f"Model {getattr(self.tts_config, 'model', '?')!r} has no streaming path; "
+                "use tts() instead."
+            )
+        sens = split_into_sentences(text) if split_sentences else [text.strip()]
+        if not any(sens):
+            raise ValueError("No text to speak.")
+        for sen in sens:
+            yield from model.synthesize_stream(
+                text=sen,
+                config=self.tts_config,
+                speaker_id=speaker_name,
+                speaker_wav=speaker_wav,
+                language=language_name,
+                **kwargs,
+            )
+
     def _tts_sentences(
         self, sens, speaker_name, language_name, speaker_wav, style_wav=None,
         style_text=None, **kwargs,
