@@ -1,0 +1,139 @@
+"""Dynamic cross-request batching (tts_tpu/server/batching.py — TPU-native
+throughput serving; the reference server only serializes)."""
+
+import threading
+import urllib.request
+from types import SimpleNamespace
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+UP = 4  # fake model's waveform upsample factor
+
+
+class _FakeTokenizer:
+    def text_to_ids(self, text):
+        return [ord(c) % 50 + 1 for c in text.strip()][:30]
+
+
+class _FakeModel:
+    """End-to-end waveform model contract: inference(params, x, xl, ...) →
+    {"model_outputs": [B, T*up, 1], "y_lengths": [B]} with every sample of
+    row i equal to its true text length (so cross-row mixups are visible)."""
+
+    config = SimpleNamespace(pad_to_multiple_text=8)
+    tokenizer = _FakeTokenizer()
+
+    def inference(self, params, x, x_lengths, aux_input=None, max_frames=128, rng=None):
+        B = x.shape[0]
+        wav = jnp.broadcast_to(
+            x_lengths[:, None, None].astype(jnp.float32), (B, max_frames * UP, 1)
+        )
+        return {"model_outputs": wav, "y_lengths": jnp.minimum(x_lengths * 2, max_frames)}
+
+
+class _FakeSynthesizer:
+    tts_model = None
+    tts_params = {}
+    vocoder_model = None
+    output_sample_rate = 22050
+    tts_config = None
+
+    def __init__(self):
+        self.tts_model = _FakeModel()
+
+    def _resolve_speaker(self, speaker_name, speaker_wav):
+        return (None, None)
+
+    def _resolve_language(self, language_name):
+        return None
+
+
+def _expected(text):
+    n = len(_FakeTokenizer().text_to_ids(text))
+    return n, n * 2 * UP  # value per sample, wav length
+
+
+def test_single_request_roundtrip():
+    from tts_tpu.server.batching import DynamicBatcher
+
+    b = DynamicBatcher(_FakeSynthesizer(), max_batch=4, window_ms=5)
+    try:
+        wav = np.asarray(b.tts("hello there"))
+        val, length = _expected("hello there")
+        assert len(wav) == length
+        assert np.allclose(wav, val)
+    finally:
+        b.close()
+
+
+def test_concurrent_requests_batch_and_unmix():
+    from tts_tpu.server.batching import DynamicBatcher
+
+    b = DynamicBatcher(_FakeSynthesizer(), max_batch=8, window_ms=50)
+    sizes = []
+    orig = b._dispatch
+    b._dispatch = lambda batch: (sizes.append(len(batch)), orig(batch))[1]
+
+    texts = ["a short one", "a somewhat longer request here", "mid size text",
+             "x", "five five five five", "yet another sentence"]
+    results = {}
+
+    def worker(t):
+        results[t] = np.asarray(b.tts(t))
+
+    threads = [threading.Thread(target=worker, args=(t,)) for t in texts]
+    try:
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=60)
+        for t in texts:
+            val, length = _expected(t)
+            assert len(results[t]) == length, t
+            assert np.allclose(results[t], val), t  # no cross-request mixing
+        assert sum(sizes) == len(texts)
+        assert max(sizes) > 1, f"never batched: {sizes}"
+    finally:
+        b.close()
+
+
+def test_batcher_rejects_synthesize_models():
+    from tts_tpu.server.batching import DynamicBatcher
+
+    s = _FakeSynthesizer()
+    s.tts_model.synthesize = lambda **k: None
+    with pytest.raises(ValueError, match="generic-inference"):
+        DynamicBatcher(s)
+    del s.tts_model.synthesize
+
+
+def test_server_with_batching(tmp_path):
+    from tts_tpu.server.server import create_server
+
+    synth = _FakeSynthesizer()
+    srv = create_server(synth, port=0, max_batch=4, batch_window_ms=30)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+
+    bodies = {}
+
+    def fetch(text):
+        q = urllib.parse.quote(text)
+        with urllib.request.urlopen(f"{base}/api/tts?text={q}", timeout=30) as r:
+            bodies[text] = r.read()
+
+    texts = ["first request", "the second somewhat longer request", "third"]
+    threads = [threading.Thread(target=fetch, args=(t,)) for t in texts]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=60)
+    srv.shutdown()
+    for t in texts:
+        body = bodies[t]
+        assert body[:4] == b"RIFF"
+        pcm = np.frombuffer(body[44:], dtype="<i2")
+        _, length = _expected(t)
+        assert len(pcm) == length, t

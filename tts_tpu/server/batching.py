@@ -1,0 +1,173 @@
+"""Dynamic cross-request batching for throughput serving.
+
+TPU inference is dramatically more efficient batched — the VITS bench
+measures ~507x realtime at batch 4 vs ~923x at batch 16 on one v5e chip —
+but HTTP requests arrive one at a time. The reference server simply locks
+and serves serially (``server.py:187``); this module is the TPU-native
+upgrade: concurrent requests are queued, a worker drains up to
+``max_batch`` of them every ``window_ms``, pads token ids into shared
+static buckets (batch → next power of two, text → ``pad_to_multiple_text``,
+frames → the bucketed budget), runs ONE jitted batched ``model.inference``,
+and hands each caller its duration-trimmed waveform. Static bucketing
+keeps the set of compiled graphs small and reused.
+
+Supports end-to-end waveform models (the VITS family). Models with their
+own ``synthesize()`` (XTTS/Tortoise/Bark) or an external vocoder keep the
+serial path — the server falls back automatically.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from collections import deque
+from typing import List, Optional
+
+import numpy as np
+
+from tts_tpu.utils.synthesis import _frame_budget
+
+
+class _Pending:
+    __slots__ = ("ids", "speaker_id", "language_id", "done", "wav", "error")
+
+    def __init__(self, ids, speaker_id, language_id):
+        self.ids = ids
+        self.speaker_id = speaker_id
+        self.language_id = language_id
+        self.done = threading.Event()
+        self.wav: Optional[np.ndarray] = None
+        self.error: Optional[BaseException] = None
+
+
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
+class DynamicBatcher:
+    """Queue + worker that batches concurrent ``tts()`` calls into one
+    device dispatch."""
+
+    def __init__(self, synthesizer, max_batch: int = 8, window_ms: float = 10.0):
+        model = synthesizer.tts_model
+        if model is None or hasattr(model, "synthesize"):
+            raise ValueError("DynamicBatcher needs a generic-inference TTS model")
+        if synthesizer.vocoder_model is not None:
+            raise ValueError(
+                "DynamicBatcher supports end-to-end waveform models; "
+                "mel→vocoder pipelines keep the serial path"
+            )
+        self.synthesizer = synthesizer
+        self.model = model
+        self.max_batch = int(max_batch)
+        self.window_s = float(window_ms) / 1000.0
+        self._queue: deque = deque()
+        self._cond = threading.Condition()
+        self._closed = False
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    # ------------------------------------------------------------------
+    def tts(
+        self,
+        text: str,
+        speaker_name: Optional[str] = None,
+        language_name: Optional[str] = None,
+    ) -> List[float]:
+        """Blocking per-request entry: enqueue, wait for the batch worker."""
+        ids = self.model.tokenizer.text_to_ids(text)
+        if not ids:
+            raise ValueError("No text to speak.")
+        speaker_id, d_vector = self.synthesizer._resolve_speaker(speaker_name, None)
+        if d_vector is not None:
+            raise ValueError("d-vector speakers keep the serial path")
+        language_id = self.synthesizer._resolve_language(language_name)
+        item = _Pending(np.asarray(ids, np.int32), speaker_id, language_id)
+        with self._cond:
+            if self._closed:
+                raise RuntimeError("batcher closed")
+            self._queue.append(item)
+            self._cond.notify()
+        item.done.wait()
+        if item.error is not None:
+            raise item.error
+        return list(item.wav)
+
+    def close(self):
+        with self._cond:
+            self._closed = True
+            self._cond.notify()
+
+    # ------------------------------------------------------------------
+    def _run(self):
+        while True:
+            with self._cond:
+                while not self._queue and not self._closed:
+                    self._cond.wait()
+                if self._closed and not self._queue:
+                    return
+                # first request opens a short window for others to join
+                deadline = time.time() + self.window_s
+                while len(self._queue) < self.max_batch:
+                    remaining = deadline - time.time()
+                    if remaining <= 0:
+                        break
+                    self._cond.wait(timeout=remaining)
+                batch = [self._queue.popleft() for _ in range(min(self.max_batch, len(self._queue)))]
+            try:
+                self._dispatch(batch)
+            except BaseException as e:  # pragma: no cover - surfaced per item
+                for it in batch:
+                    it.error = e
+                    it.done.set()
+
+    def _dispatch(self, batch: List[_Pending]):
+        import jax.numpy as jnp
+
+        model, cfg = self.model, getattr(self.model, "config", None)
+        bucket = int(getattr(cfg, "pad_to_multiple_text", 16) or 16)
+        longest = max(len(it.ids) for it in batch)
+        T = ((longest + bucket - 1) // bucket) * bucket
+        B = _next_pow2(len(batch))
+
+        x = np.zeros((B, T), np.int32)
+        xl = np.ones((B,), np.int32)
+        for i, it in enumerate(batch):
+            x[i, : len(it.ids)] = it.ids
+            xl[i] = len(it.ids)
+
+        aux = {}
+        if any(it.speaker_id is not None for it in batch):
+            aux["speaker_ids"] = jnp.asarray(
+                [it.speaker_id or 0 for it in batch] + [0] * (B - len(batch)), jnp.int32
+            )
+        if any(it.language_id is not None for it in batch):
+            aux["language_ids"] = jnp.asarray(
+                [it.language_id or 0 for it in batch] + [0] * (B - len(batch)), jnp.int32
+            )
+
+        budget = _frame_budget(longest)
+        infer = getattr(model, "_batched_inference", None)
+        if infer is None:
+            import jax
+
+            infer = jax.jit(model.inference, static_argnames=("max_frames",))
+            model._batched_inference = infer
+        out = infer(
+            self.synthesizer.tts_params,
+            jnp.asarray(x),
+            jnp.asarray(xl),
+            aux_input=aux or None,
+            max_frames=budget,
+        )
+        wav = np.asarray(out["model_outputs"], np.float32)  # [B, T_wav, 1]
+        if wav.ndim != 3 or wav.shape[-1] != 1:
+            raise RuntimeError("batched serving needs an end-to-end waveform model")
+        lengths = np.asarray(out.get("y_lengths", np.full((B,), budget)), np.int64)
+        upsample = wav.shape[1] // budget
+        for i, it in enumerate(batch):
+            it.wav = wav[i, : int(lengths[i]) * upsample, 0]
+            it.done.set()

@@ -37,7 +37,7 @@ _INDEX_HTML = """<!DOCTYPE html>
   <label>language <select id="language"><option value=""></option></select></label>
   <label>style wav <input id="style_wav" size="24" placeholder="(server path)"/></label>
 </div>
-<audio id="audio" controls style="margin-top: 1em; width: 100%%;"></audio>
+<audio id="audio" controls style="margin-top: 1em; width: 100%;"></audio>
 <script>
 fetch('/details').then(r => r.json()).then(d => {
   for (const [sel, names] of [["speaker", d.speakers || []], ["language", d.languages || []]]) {
@@ -59,7 +59,7 @@ function speak() {
 </body></html>"""
 
 
-def create_handler(synthesizer, lock: threading.Lock):
+def create_handler(synthesizer, lock: threading.Lock, batcher=None):
     class TTSHandler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):
             print(" > %s" % (fmt % args))
@@ -73,11 +73,18 @@ def create_handler(synthesizer, lock: threading.Lock):
 
         def _synthesize(self, text: str, speaker: str = None, language: str = None,
                         style_wav: str = None, speaker_wav: str = None) -> bytes:
-            with lock:
-                wav = synthesizer.tts(
-                    text, speaker_name=speaker or None, language_name=language or None,
-                    style_wav=style_wav or None, speaker_wav=speaker_wav or None,
+            if batcher is not None and not style_wav and not speaker_wav:
+                # throughput path: concurrent requests share one batched
+                # device dispatch (no lock — the batch worker serializes)
+                wav = batcher.tts(
+                    text, speaker_name=speaker or None, language_name=language or None
                 )
+            else:
+                with lock:
+                    wav = synthesizer.tts(
+                        text, speaker_name=speaker or None, language_name=language or None,
+                        style_wav=style_wav or None, speaker_wav=speaker_wav or None,
+                    )
             buf = io.BytesIO()
             import scipy.io.wavfile
 
@@ -190,9 +197,20 @@ def create_handler(synthesizer, lock: threading.Lock):
     return TTSHandler
 
 
-def create_server(synthesizer, port: int = 5002) -> ThreadingHTTPServer:
+def create_server(
+    synthesizer, port: int = 5002, max_batch: int = 1, batch_window_ms: float = 10.0
+) -> ThreadingHTTPServer:
     lock = threading.Lock()
-    return ThreadingHTTPServer(("0.0.0.0", port), create_handler(synthesizer, lock))
+    batcher = None
+    if max_batch and max_batch > 1:
+        from tts_tpu.server.batching import DynamicBatcher
+
+        try:
+            batcher = DynamicBatcher(synthesizer, max_batch=max_batch, window_ms=batch_window_ms)
+            print(f" > Dynamic batching on: up to {max_batch} requests per dispatch")
+        except ValueError as e:
+            print(f" [!] dynamic batching unavailable for this model ({e}); serving serially")
+    return ThreadingHTTPServer(("0.0.0.0", port), create_handler(synthesizer, lock, batcher))
 
 
 def main():
@@ -203,6 +221,10 @@ def main():
     parser.add_argument("--vocoder_path", default=None)
     parser.add_argument("--vocoder_config_path", default=None)
     parser.add_argument("--port", type=int, default=5002)
+    parser.add_argument("--max_batch", type=int, default=1,
+                        help="dynamic batching: max concurrent requests per device dispatch")
+    parser.add_argument("--batch_window_ms", type=float, default=10.0,
+                        help="how long the first queued request waits for batch mates")
     args = parser.parse_args()
 
     from tts_tpu.api import TTS
@@ -214,7 +236,10 @@ def main():
         vocoder_path=args.vocoder_path,
         vocoder_config_path=args.vocoder_config_path,
     )
-    server = create_server(tts.synthesizer, args.port)
+    server = create_server(
+        tts.synthesizer, args.port, max_batch=args.max_batch,
+        batch_window_ms=args.batch_window_ms,
+    )
     print(f" > Serving on http://0.0.0.0:{args.port}")
     server.serve_forever()
 
