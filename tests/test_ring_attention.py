@@ -84,6 +84,8 @@ def test_ring_single_device(qkv):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
+@pytest.mark.slow  # two full GPT train-step compiles (~130 s CPU); the
+# default suite still covers ring attention via the kernel tests above
 def test_gpt_trainer_seq_parallel_train_step():
     """gpt_seq_parallel=True: one XTTS fine-tune step runs with the GPT
     core sharded (data, seq) over a virtual mesh, and its loss matches the

@@ -102,6 +102,7 @@ class RandomWindowDiscriminator(nn.Module):
     cond_channels: int = 80
     hop_length: int = 256
     uncond_disc_downsample_factors: Tuple[int, ...] = (8, 4)
+    uncond_disc_out_channels: Tuple[int, ...] = (128, 256)
     cond_disc_downsample_factors: Tuple[Tuple[int, ...], ...] = (
         (8, 4, 2, 2, 2), (8, 4, 2, 2), (8, 4, 2), (8, 4), (4, 2, 2),
     )
@@ -128,6 +129,7 @@ class RandomWindowDiscriminator(nn.Module):
             scores.append(
                 _UnconditionalD(
                     downsample_factors=self.uncond_disc_downsample_factors,
+                    out_channels=self.uncond_disc_out_channels,
                     name=f"uncond_{i}",
                 )(win)
             )
