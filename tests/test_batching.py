@@ -24,6 +24,7 @@ class _FakeModel:
 
     config = SimpleNamespace(pad_to_multiple_text=8)
     tokenizer = _FakeTokenizer()
+    emits_waveform = True
 
     def inference(self, params, x, x_lengths, aux_input=None, max_frames=128, rng=None):
         B = x.shape[0]
@@ -52,7 +53,9 @@ class _FakeSynthesizer:
 
 def _expected(text):
     n = len(_FakeTokenizer().text_to_ids(text))
-    return n, n * 2 * UP  # value per sample, wav length
+    # value per sample, wav length (+ the serial path's 10000-sample
+    # inter-sentence silence appended after each single-sentence text)
+    return n, n * 2 * UP + 10000
 
 
 def test_single_request_roundtrip():
@@ -63,7 +66,24 @@ def test_single_request_roundtrip():
         wav = np.asarray(b.tts("hello there"))
         val, length = _expected("hello there")
         assert len(wav) == length
-        assert np.allclose(wav, val)
+        assert np.allclose(wav[:-10000], val)
+        assert np.allclose(wav[-10000:], 0.0)  # inter-sentence silence
+    finally:
+        b.close()
+
+
+def test_multi_sentence_requests_split_like_serial():
+    """long texts are split per sentence (never one capped utterance)."""
+    from tts_tpu.server.batching import DynamicBatcher
+
+    b = DynamicBatcher(_FakeSynthesizer(), max_batch=8, window_ms=5)
+    try:
+        wav = np.asarray(b.tts("First sentence. And a second one."))
+        v1, l1 = _expected("First sentence.")
+        v2, l2 = _expected("And a second one.")
+        assert len(wav) == l1 + l2
+        assert np.allclose(wav[: l1 - 10000], v1)
+        assert np.allclose(wav[l1 : l1 + (l2 - 10000)], v2)
     finally:
         b.close()
 
@@ -92,7 +112,7 @@ def test_concurrent_requests_batch_and_unmix():
         for t in texts:
             val, length = _expected(t)
             assert len(results[t]) == length, t
-            assert np.allclose(results[t], val), t  # no cross-request mixing
+            assert np.allclose(results[t][:-10000], val), t  # no cross-request mixing
         assert sum(sizes) == len(texts)
         assert max(sizes) > 1, f"never batched: {sizes}"
     finally:

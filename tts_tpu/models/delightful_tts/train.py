@@ -48,9 +48,10 @@ def make_optimizers(config) -> Dict[str, Any]:
     )
     clip = config.grad_clip[0] if isinstance(config.grad_clip, (list, tuple)) else config.grad_clip
     accum = int(getattr(config, "grad_accum_steps", 1) or 1)
+    skip_nf = bool(getattr(config, "skip_non_finite_grads", False))
     return {
-        "gen": build_optimizer(config.optimizer, gen_sched, config.optimizer_params, clip, accum),
-        "disc": build_optimizer(config.optimizer, disc_sched, config.optimizer_params, clip, accum),
+        "gen": build_optimizer(config.optimizer, gen_sched, config.optimizer_params, clip, accum, skip_nf),
+        "disc": build_optimizer(config.optimizer, disc_sched, config.optimizer_params, clip, accum, skip_nf),
     }
 
 

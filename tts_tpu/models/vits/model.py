@@ -316,6 +316,10 @@ def discriminator_adv_loss(scores_real, scores_fake):
 class Vits:
     """Host wrapper for the VITS generator + discriminator pair."""
 
+    # inference() returns a waveform [B, T, 1] directly (no vocoder stage) —
+    # the capability the server's DynamicBatcher keys on
+    emits_waveform = True
+
     def __init__(self, config: VitsConfig):
         self.config = config
         self.args = config.model_args

@@ -175,6 +175,7 @@ class GPTTrainer:
             getattr(config, "optimizer_params", {}) or {},
             getattr(config, "grad_clip", 0.0),
             grad_accum=int(getattr(config, "grad_accum_steps", 1) or 1),
+            skip_non_finite=bool(getattr(config, "skip_non_finite_grads", False)),
         )
         optimizers = {"gpt": tx}
         state = TrainState.create({"gpt": params["gpt"]}, optimizers)

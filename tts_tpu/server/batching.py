@@ -60,6 +60,12 @@ class DynamicBatcher:
                 "DynamicBatcher supports end-to-end waveform models; "
                 "mel→vocoder pipelines keep the serial path"
             )
+        if not getattr(model, "emits_waveform", False):
+            raise ValueError(
+                "DynamicBatcher needs a model whose inference() emits a "
+                "waveform directly (emits_waveform=True, e.g. VITS); "
+                "mel-output/Griffin-Lim models keep the serial path"
+            )
         self.synthesizer = synthesizer
         self.model = model
         self.max_batch = int(max_batch)
@@ -77,24 +83,38 @@ class DynamicBatcher:
         speaker_name: Optional[str] = None,
         language_name: Optional[str] = None,
     ) -> List[float]:
-        """Blocking per-request entry: enqueue, wait for the batch worker."""
-        ids = self.model.tokenizer.text_to_ids(text)
-        if not ids:
-            raise ValueError("No text to speak.")
+        """Blocking per-request entry: split into sentences (same as the
+        serial path, so long texts never hit the frame-budget cap as one
+        utterance), enqueue each, wait for the batch worker, join with the
+        serial path's inter-sentence silence."""
+        from tts_tpu.utils.synthesizer import split_into_sentences
+
+        sens = split_into_sentences(text) or [text.strip()]
         speaker_id, d_vector = self.synthesizer._resolve_speaker(speaker_name, None)
         if d_vector is not None:
             raise ValueError("d-vector speakers keep the serial path")
         language_id = self.synthesizer._resolve_language(language_name)
-        item = _Pending(np.asarray(ids, np.int32), speaker_id, language_id)
+
+        items = []
+        for sen in sens:
+            ids = self.model.tokenizer.text_to_ids(sen)
+            if ids:
+                items.append(_Pending(np.asarray(ids, np.int32), speaker_id, language_id))
+        if not items:
+            raise ValueError("No text to speak.")
         with self._cond:
             if self._closed:
                 raise RuntimeError("batcher closed")
-            self._queue.append(item)
+            self._queue.extend(items)
             self._cond.notify()
-        item.done.wait()
-        if item.error is not None:
-            raise item.error
-        return list(item.wav)
+        wavs: List[float] = []
+        for item in items:
+            item.done.wait()
+            if item.error is not None:
+                raise item.error
+            wavs += list(item.wav)
+            wavs += [0] * 10000  # inter-sentence silence (serial-path parity)
+        return wavs
 
     def close(self):
         with self._cond:
@@ -150,12 +170,9 @@ class DynamicBatcher:
             )
 
         budget = _frame_budget(longest)
-        infer = getattr(model, "_batched_inference", None)
-        if infer is None:
-            import jax
+        from tts_tpu.utils.synthesis import get_jitted_inference
 
-            infer = jax.jit(model.inference, static_argnames=("max_frames",))
-            model._batched_inference = infer
+        infer = get_jitted_inference(model)  # shared with the serial path
         out = infer(
             self.synthesizer.tts_params,
             jnp.asarray(x),

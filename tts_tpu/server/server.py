@@ -20,7 +20,6 @@ import json
 import threading
 import urllib.parse
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from itertools import chain as _chain
 
 import numpy as np
 
@@ -73,13 +72,17 @@ def create_handler(synthesizer, lock: threading.Lock, batcher=None):
 
         def _synthesize(self, text: str, speaker: str = None, language: str = None,
                         style_wav: str = None, speaker_wav: str = None) -> bytes:
+            wav = None
             if batcher is not None and not style_wav and not speaker_wav:
                 # throughput path: concurrent requests share one batched
                 # device dispatch (no lock — the batch worker serializes)
-                wav = batcher.tts(
-                    text, speaker_name=speaker or None, language_name=language or None
-                )
-            else:
+                try:
+                    wav = batcher.tts(
+                        text, speaker_name=speaker or None, language_name=language or None
+                    )
+                except ValueError:
+                    wav = None  # e.g. d-vector speakers: keep the serial path
+            if wav is None:
                 with lock:
                     wav = synthesizer.tts(
                         text, speaker_name=speaker or None, language_name=language or None,
@@ -99,45 +102,59 @@ def create_handler(synthesizer, lock: threading.Lock, batcher=None):
             beyond the reference server: audio starts after the first XTTS
             decode chunk instead of after the full utterance."""
             text = (qs.get("text") or [""])[0]
-            if not text:
+            if not text.strip():
                 self._send(400, b"missing text")
                 return
             if not hasattr(synthesizer, "tts_stream"):
                 self._send(501, b"model has no streaming path")
                 return
             sr = synthesizer.output_sample_rate
+            empty = object()
+            # pull the first chunk BEFORE sending headers so bad requests
+            # still get a clean error status; afterwards the lock is taken
+            # per decode chunk, never across client socket writes (a slow
+            # reader must not block other requests on the server)
+            gen = synthesizer.tts_stream(
+                text,
+                speaker_name=(qs.get("speaker_id") or [None])[0],
+                language_name=(qs.get("language_id") or [None])[0],
+                speaker_wav=(qs.get("speaker_wav") or [None])[0],
+            )
             try:
                 with lock:
-                    gen = synthesizer.tts_stream(
-                        text,
-                        speaker_name=(qs.get("speaker_id") or [None])[0],
-                        language_name=(qs.get("language_id") or [None])[0],
-                        speaker_wav=(qs.get("speaker_wav") or [None])[0],
-                    )
-                    # pull the first chunk before sending headers so bad
-                    # requests still get a clean error status
-                    empty = object()
                     first = next(gen, empty)
-                    self.send_response(200)
-                    self.send_header("Content-Type", "audio/wav")
-                    self.end_headers()
-                    # RIFF header with unknown (max) sizes: players treat the
-                    # stream as open-ended until the socket closes
-                    import struct
-
-                    self.wfile.write(
-                        b"RIFF" + struct.pack("<I", 0xFFFFFFFF) + b"WAVEfmt "
-                        + struct.pack("<IHHIIHH", 16, 1, 1, sr, sr * 2, 2, 16)
-                        + b"data" + struct.pack("<I", 0xFFFFFFFF)
-                    )
-                    for chunk in ([] if first is empty else _chain([first], gen)):
-                        pcm = np.clip(np.asarray(chunk, np.float32), -1.0, 1.0)
-                        self.wfile.write((pcm * 32767).astype("<i2").tobytes())
-                        self.wfile.flush()
-            except (NotImplementedError, ValueError) as e:
+            except NotImplementedError as e:
                 self._send(501, str(e).encode())
+                return
+            except ValueError as e:
+                self._send(400, str(e).encode())
+                return
+
+            self.send_response(200)
+            self.send_header("Content-Type", "audio/wav")
+            self.end_headers()
+            # RIFF header with unknown (max) sizes: players treat the
+            # stream as open-ended until the socket closes
+            import struct
+
+            try:
+                self.wfile.write(
+                    b"RIFF" + struct.pack("<I", 0xFFFFFFFF) + b"WAVEfmt "
+                    + struct.pack("<IHHIIHH", 16, 1, 1, sr, sr * 2, 2, 16)
+                    + b"data" + struct.pack("<I", 0xFFFFFFFF)
+                )
+                chunk = first
+                while chunk is not empty:
+                    pcm = np.clip(np.asarray(chunk, np.float32), -1.0, 1.0)
+                    self.wfile.write((pcm * 32767).astype("<i2").tobytes())
+                    self.wfile.flush()
+                    with lock:
+                        chunk = next(gen, empty)
             except (BrokenPipeError, ConnectionResetError):
                 pass  # client hung up mid-stream
+            except Exception as e:  # headers already sent: stop cleanly,
+                # never write an error status into the audio body
+                print(f" [!] tts-stream aborted mid-stream: {e}")
 
         def do_GET(self):
             parsed = urllib.parse.urlparse(self.path)
@@ -149,7 +166,7 @@ def create_handler(synthesizer, lock: threading.Lock, batcher=None):
                 self._stream_tts(qs)
             elif route == "/api/tts":
                 text = (qs.get("text") or [""])[0]
-                if not text:
+                if not text.strip():
                     self._send(400, b"missing text")
                     return
                 wav = self._synthesize(

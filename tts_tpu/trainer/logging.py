@@ -101,7 +101,13 @@ class WandbLogger(ConsoleLogger):
         self._wandb = wandb
 
     def add_scalars(self, scope: str, scalars, step: int):
-        self.run.log({f"{scope}/{k}": float(v) for k, v in scalars.items()}, step=step)
+        numeric = {}
+        for k, v in scalars.items():
+            try:  # tolerate non-numeric aux values like TensorBoardLogger
+                numeric[f"{scope}/{k}"] = float(v)
+            except (TypeError, ValueError):
+                pass
+        self.run.log(numeric, step=step)
 
     def add_figures(self, scope: str, figures, step: int):
         self.run.log(
@@ -152,7 +158,11 @@ class AimLogger(ConsoleLogger):
 
     def add_scalars(self, scope: str, scalars, step: int):
         for k, v in scalars.items():
-            self.run.track(float(v), name=k, step=step, context={"scope": scope})
+            try:  # tolerate non-numeric aux values like TensorBoardLogger
+                v = float(v)
+            except (TypeError, ValueError):
+                continue
+            self.run.track(v, name=k, step=step, context={"scope": scope})
 
     def close(self):
         self.run.close()

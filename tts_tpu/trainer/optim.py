@@ -115,6 +115,11 @@ def build_optimizer(
     if grad_accum and grad_accum > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=int(grad_accum))
     if skip_non_finite:
-        # outermost so a bad micro-batch skips MultiSteps accumulation too
-        tx = optax.apply_if_finite(tx, max_consecutive_errors=100)
+        # outermost so a bad micro-batch skips MultiSteps accumulation too.
+        # the huge error budget means "skip indefinitely" (matching the
+        # reference's check_update, which never gives up) — apply_if_finite
+        # would otherwise APPLY the bad update once the count is exceeded.
+        # per-step visibility comes from the grad_norm metric (NaN when the
+        # step was skipped).
+        tx = optax.apply_if_finite(tx, max_consecutive_errors=10**9)
     return tx

@@ -17,6 +17,23 @@ def _frame_budget(n_tokens: int, frames_per_token: int = 12, multiple: int = 128
     return min(est, cap)
 
 
+def get_jitted_inference(model):
+    """One persistent jitted ``model.inference`` per host wrapper, with the
+    frame/step budget as a static arg. Shared by the serial synthesis path
+    and the server's DynamicBatcher so both reuse the same compile cache."""
+    infer_fn = getattr(model, "_jitted_inference", None)
+    if infer_fn is None:
+        import inspect
+
+        import jax
+
+        sig_params = inspect.signature(model.inference).parameters
+        static = tuple(k for k in ("max_frames", "max_steps") if k in sig_params)
+        infer_fn = jax.jit(model.inference, static_argnames=static)
+        model._jitted_inference = infer_fn
+    return infer_fn
+
+
 def synthesis(
     model,
     text: str,
@@ -86,15 +103,7 @@ def synthesis(
     # eager apply would dispatch op-by-op, which is ruinous through the TPU
     # tunnel. style_text is a python string (Capacitron) — not traceable, so
     # that rare path stays eager.
-    infer_fn = model.inference
-    if "style_text" not in aux_input:
-        infer_fn = getattr(model, "_jitted_inference", None)
-        if infer_fn is None:
-            import jax
-
-            static = tuple(k for k in ("max_frames", "max_steps") if k in sig_params)
-            infer_fn = jax.jit(model.inference, static_argnames=static)
-            model._jitted_inference = infer_fn
+    infer_fn = model.inference if "style_text" in aux_input else get_jitted_inference(model)
     outputs = infer_fn(params, x, x_lengths, aux_input=aux_input or None, **budget_kw)
 
     model_outputs = np.asarray(outputs["model_outputs"][0], np.float32)

@@ -63,9 +63,10 @@ class GAN:
         disc_sched = build_lr_schedule(config.lr_scheduler_disc, config.lr_disc, config.lr_scheduler_disc_params)
         clip = config.grad_clip[0] if isinstance(config.grad_clip, (list, tuple)) else config.grad_clip
         accum = int(getattr(config, "grad_accum_steps", 1) or 1)
+        skip_nf = bool(getattr(config, "skip_non_finite_grads", False))
         optimizers = {
-            "gen": build_optimizer(config.optimizer, gen_sched, config.optimizer_params, clip, accum),
-            "disc": build_optimizer(config.optimizer, disc_sched, config.optimizer_params, clip, accum),
+            "gen": build_optimizer(config.optimizer, gen_sched, config.optimizer_params, clip, accum, skip_nf),
+            "disc": build_optimizer(config.optimizer, disc_sched, config.optimizer_params, clip, accum, skip_nf),
         }
         gen_params, disc_params = self.init_params(rng)
         state = TrainState.create({"gen": gen_params, "disc": disc_params}, optimizers)

@@ -69,7 +69,8 @@ class _UnconditionalD(nn.Module):
         ch = self.base_channels
         for i, f in enumerate(self.downsample_factors):
             h = _DBlock(self.out_channels[i], f, name=f"down_{i}")(h)
-            ch *= 2
+            ch = self.out_channels[i]  # post width tracks the last block
+            # (equals the reference's doubled in_channels at default widths)
         h = _DBlock(ch, 1, name="post_0")(h)
         h = _DBlock(ch, 1, name="post_1")(h)
         h = jnp.mean(h, axis=1, keepdims=True)  # AdaptiveAvgPool1d(1)
