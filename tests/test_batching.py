@@ -157,3 +157,22 @@ def test_server_with_batching(tmp_path):
         pcm = np.frombuffer(body[44:], dtype="<i2")
         _, length = _expected(t)
         assert len(pcm) == length, t
+
+
+def test_api_tts_stream_passthrough():
+    """TTS.tts_stream forwards to Synthesizer.tts_stream."""
+    from tts_tpu.api import TTS
+
+    t = TTS()
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="No model loaded"):
+        t.tts_stream("hi")
+
+    class _S:
+        def tts_stream(self, text, **kw):
+            yield np.zeros(10, np.float32)
+
+    t.synthesizer = _S()
+    chunks = list(t.tts_stream("hi", language="en"))
+    assert len(chunks) == 1 and len(chunks[0]) == 10

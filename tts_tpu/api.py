@@ -166,6 +166,29 @@ class TTS:
         self.synthesizer.save_wav(wav, file_path, pipe_out=pipe_out)
         return file_path
 
+    def tts_stream(
+        self,
+        text: str,
+        speaker: Optional[str] = None,
+        language: Optional[str] = None,
+        speaker_wav: Optional[str] = None,
+        split_sentences: bool = True,
+        **kwargs,
+    ):
+        """Incremental synthesis: yield float32 audio chunks as they decode
+        (streaming models only, e.g. XTTS; no reference equivalent at the
+        API layer — the reference streams only inside the model)."""
+        if self.synthesizer is None:
+            raise RuntimeError("No model loaded.")
+        return self.synthesizer.tts_stream(
+            text,
+            speaker_name=speaker,
+            language_name=language,
+            speaker_wav=speaker_wav,
+            split_sentences=split_sentences,
+            **kwargs,
+        )
+
     # ------------------------------------------------------------------
     def voice_conversion(self, source_wav: str, target_wav: str):
         """Convert the voice in ``source_wav`` to the voice of ``target_wav``
