@@ -36,6 +36,17 @@ class VitsArgs(Config):
     upsample_rates_decoder: List[int] = field(default_factory=lambda: [8, 8, 2, 2])
     upsample_initial_channel_decoder: int = 512
     upsample_kernel_sizes_decoder: List[int] = field(default_factory=lambda: [16, 16, 4, 4])
+    # "hifigan" (reference-compatible) or "istft" — the MB-iSTFT-VITS head
+    # (arXiv:2210.15975): drop the sample-rate transposed-conv stages and
+    # synthesize istft_hop (× istft_subbands via PQMF) samples/frame with an
+    # inverse STFT; total upsampling = prod(upsample_rates_decoder) *
+    # istft_hop * istft_subbands, so shorten upsample_rates_decoder to match
+    # the audio hop_length (e.g. [8, 8] * 4 * 1 = 256). Training-only
+    # (no reference checkpoints exist for this layout).
+    decoder_type: str = "hifigan"
+    istft_n_fft_decoder: int = 16
+    istft_hop_decoder: int = 4
+    istft_subbands_decoder: int = 1
     periods_multi_period_discriminator: List[int] = field(default_factory=lambda: [2, 3, 5, 7, 11])
     # <1.0 shrinks the fixed discriminator channel plans (tests/CI; 1.0 =
     # reference layout — converted checkpoints require the default)

@@ -97,20 +97,38 @@ class VitsModule(nn.Module):
                 dropout_p=a.dropout_p_duration_predictor,
                 name="duration_predictor",
             )
-        self.waveform_decoder = HifiganGenerator(
-            in_channels=a.hidden_channels,
-            out_channels=1,
-            resblock_type=a.resblock_type_decoder,
-            resblock_dilation_sizes=tuple(map(tuple, a.resblock_dilation_sizes_decoder)),
-            resblock_kernel_sizes=tuple(a.resblock_kernel_sizes_decoder),
-            upsample_kernel_sizes=tuple(a.upsample_kernel_sizes_decoder),
-            upsample_initial_channel=a.upsample_initial_channel_decoder,
-            upsample_factors=tuple(a.upsample_rates_decoder),
-            inference_padding=0,
-            cond_channels=self.embedded_speaker_dim,
-            conv_post_bias=False,
-            name="waveform_decoder",
-        )
+        if getattr(a, "decoder_type", "hifigan") == "istft":
+            from tts_tpu.vocoder.models.istft_hifigan import IstftHifiganGenerator
+
+            self.waveform_decoder = IstftHifiganGenerator(
+                in_channels=a.hidden_channels,
+                resblock_type=a.resblock_type_decoder,
+                resblock_dilation_sizes=tuple(map(tuple, a.resblock_dilation_sizes_decoder)),
+                resblock_kernel_sizes=tuple(a.resblock_kernel_sizes_decoder),
+                upsample_kernel_sizes=tuple(a.upsample_kernel_sizes_decoder),
+                upsample_initial_channel=a.upsample_initial_channel_decoder,
+                upsample_factors=tuple(a.upsample_rates_decoder),
+                istft_n_fft=a.istft_n_fft_decoder,
+                istft_hop=a.istft_hop_decoder,
+                subbands=a.istft_subbands_decoder,
+                cond_channels=self.embedded_speaker_dim,
+                name="waveform_decoder",
+            )
+        else:
+            self.waveform_decoder = HifiganGenerator(
+                in_channels=a.hidden_channels,
+                out_channels=1,
+                resblock_type=a.resblock_type_decoder,
+                resblock_dilation_sizes=tuple(map(tuple, a.resblock_dilation_sizes_decoder)),
+                resblock_kernel_sizes=tuple(a.resblock_kernel_sizes_decoder),
+                upsample_kernel_sizes=tuple(a.upsample_kernel_sizes_decoder),
+                upsample_initial_channel=a.upsample_initial_channel_decoder,
+                upsample_factors=tuple(a.upsample_rates_decoder),
+                inference_padding=0,
+                cond_channels=self.embedded_speaker_dim,
+                conv_post_bias=False,
+                name="waveform_decoder",
+            )
 
     # ------------------------------------------------------------------
     def _cond_vectors(self, aux_input: Optional[Dict]):

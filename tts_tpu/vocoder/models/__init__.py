@@ -11,6 +11,7 @@ _GENERATORS = {
     "fullband_melgan_generator": "tts_tpu.vocoder.models.melgan_generator:FullbandMelganGenerator",
     "parallel_wavegan_generator": "tts_tpu.vocoder.models.parallel_wavegan_generator:ParallelWaveganGenerator",
     "univnet_generator": "tts_tpu.vocoder.models.univnet_generator:UnivnetGenerator",
+    "istft_hifigan_generator": "tts_tpu.vocoder.models.istft_hifigan:IstftHifiganGenerator",
     "wavegrad": "tts_tpu.vocoder.models.wavegrad:Wavegrad",
     "wavernn": "tts_tpu.vocoder.models.wavernn:Wavernn",
 }
