@@ -87,3 +87,56 @@ def test_vits_istft_decoder_forward_and_inference():
     wav = np.asarray(out["model_outputs"])
     assert wav.shape == (2, 64 * 256, 1)  # hop_length-equivalent 256
     assert np.isfinite(wav).all()
+
+
+@pytest.mark.slow
+def test_vits_istft_gan_train_step():
+    """One fused GAN step trains with the istft decoder (gradients flow
+    through irfft + overlap-add + PQMF-free mono head)."""
+    from tts_tpu.models.vits import Vits, VitsConfig
+    from tts_tpu.models.vits.train import create_train_state, make_train_step
+
+    cfg = VitsConfig()
+    a = cfg.model_args
+    a.num_chars = 50
+    a.hidden_channels = 32
+    a.hidden_channels_ffn_text_encoder = 32
+    a.num_layers_text_encoder = 1
+    a.num_heads_text_encoder = 2
+    a.num_layers_posterior_encoder = 2
+    a.num_layers_flow = 1
+    a.upsample_initial_channel_decoder = 32
+    a.resblock_kernel_sizes_decoder = [3]
+    a.resblock_dilation_sizes_decoder = [[1, 3]]
+    a.decoder_type = "istft"
+    a.upsample_rates_decoder = [8, 8]
+    a.upsample_kernel_sizes_decoder = [16, 16]
+    a.spec_segment_size = 8
+    a.discriminator_width_mult = 0.25
+
+    model = Vits(cfg)
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0))
+    step, _, _ = make_train_step(model, cfg)
+
+    B, T_text, T_spec = 2, 12, 24
+    hop = cfg.audio.hop_length
+    rng = np.random.RandomState(0)
+    batch = {
+        "text_input": rng.randint(0, 50, (B, T_text)).astype(np.int32),
+        "text_lengths": np.full((B,), T_text, np.int32),
+        "spec": np.abs(rng.randn(B, T_spec, cfg.audio.fft_size // 2 + 1)).astype(np.float32),
+        "spec_lengths": np.full((B,), T_spec, np.int32),
+        "waveform": (0.1 * rng.randn(B, T_spec * hop, 1)).astype(np.float32),
+    }
+    state2, metrics = jax.jit(step)(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+    # the istft decoder subtree actually moved (gradients flow through
+    # irfft + overlap-add)
+    def subtree(params):
+        flat = jax.tree_util.tree_flatten_with_path(params)[0]
+        return [l for p, l in flat if "waveform_decoder" in str(p)]
+
+    before, after = subtree(state.params["gen"]), subtree(state2.params["gen"])
+    assert before, "no waveform_decoder params found"
+    delta = sum(float(jnp.sum(jnp.abs(a - b))) for a, b in zip(after, before))
+    assert delta > 0.0
