@@ -76,7 +76,10 @@ def measure_ttfa(with_throughput: bool = False):
     chunk_fn = jax.jit(
         lambda p, s, r: gpt.apply(
             p, s, r, CHUNK, 0.75, 50, 0.85, 5.0, method=XttsGPT.decode_chunk
-        )
+        ),
+        # donate the decode state so the KV cache updates in place rather
+        # than being copied every chunk (it dominates decode bandwidth)
+        donate_argnums=(1,),
     )
     vocode = jax.jit(lambda p, z, g: dec.apply(p, z, g=g))
 

@@ -352,7 +352,10 @@ class Xtts:
                 temperature=temperature, top_k=top_k, top_p=top_p,
                 repetition_penalty=repetition_penalty,
                 method=self.gpt.decode_chunk,
-            )
+            ),
+            # donate the decode state: the KV cache (tens of MB at full
+            # dims) is updated in place instead of copied every chunk
+            donate_argnums=(1,),
         )
         vocode = jax.jit(lambda p, lat, spk: self.hifigan_decoder.apply(p, lat, spk))
 
