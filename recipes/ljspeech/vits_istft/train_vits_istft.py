@@ -52,7 +52,6 @@ if __name__ == "__main__":
         eval_split_size=config.eval_split_size,
     )
     model = setup_model(config)
-    model.format_batch = lambda b: {**b, "spec_lengths": b["mel_lengths"]}
     trainer = Trainer(
         TrainerArgs(), config, output_path, model, train_samples, eval_samples
     )

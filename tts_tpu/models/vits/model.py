@@ -397,6 +397,8 @@ class Vits:
     def init_params(self, rng: jax.Array, t_en: int = 17, t_de: int = 64):
         a = self.args
         hop = int(np.prod(a.upsample_rates_decoder))
+        if getattr(a, "decoder_type", "hifigan") == "istft":
+            hop *= int(a.istft_hop_decoder) * int(a.istft_subbands_decoder)
 
         # one fused jitted init graph: eager flax init dispatches every op
         # separately, which dominates cold-cache test/start-up time

@@ -368,9 +368,6 @@ class Xtts:
                 0, :, 0
             ]
             # trim to real tokens in this chunk
-            done_before = int(np.asarray(state["out_len"])[0]) - int(
-                np.sum(np.asarray(toks[0]) != self.gpt.stop_audio_token)
-            )
             n_valid = int(np.sum(np.asarray(toks[0]) != self.gpt.stop_audio_token))
             if n_valid == 0:
                 break

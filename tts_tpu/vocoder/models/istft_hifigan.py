@@ -31,6 +31,12 @@ def istft_overlap_add(mag: jnp.ndarray, phase: jnp.ndarray, n_fft: int, hop: int
     waveform via windowed irfft + overlap-add, normalized by the window-
     square envelope (torch.istft convention, COLA-safe for hop ≤ n_fft/4
     with a Hann window)."""
+    if hop > n_fft or n_fft % hop != 0:
+        raise ValueError(
+            f"istft_overlap_add requires hop <= n_fft and n_fft % hop == 0 "
+            f"(got n_fft={n_fft}, hop={hop}); other ratios would drop window "
+            f"tail samples from the overlap-add and no longer invert the STFT"
+        )
     B, T, _ = mag.shape
     spec = mag * jnp.exp(1j * phase)
     frames = jnp.fft.irfft(spec, n=n_fft, axis=-1)  # [B, T, n_fft]
