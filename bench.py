@@ -17,8 +17,35 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 import numpy as np  # noqa: E402
 
 
+def _probe_default_backend(timeout_s: float = 180.0) -> bool:
+    """True iff the default (tunneled TPU) backend initializes and answers
+    within timeout. Probed in a subprocess: a wedged tunnel can HANG device
+    init, not just raise, and only a separate process can be timed out."""
+    import subprocess
+    import sys as _sys
+
+    try:
+        proc = subprocess.run(
+            [_sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s,
+            capture_output=True,
+        )
+        return proc.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     import jax
+
+    if os.environ.get("BENCH_FORCE_CPU") or not _probe_default_backend():
+        print(
+            "default TPU backend unavailable or wedged; benchmarking on CPU "
+            "(numbers will NOT be chip-representative)",
+            file=sys.stderr,
+        )
+        jax.config.update("jax_platforms", "cpu")
+
     import jax.numpy as jnp
 
     jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
@@ -143,6 +170,7 @@ def main():
                 "xtts_stream_rtf": xtts_stream_rtf,
                 "vits_train_step_ms": train_ms,
                 "vits_train_mfu": train_mfu,
+                "platform": jax.default_backend(),
             }
         )
     )

@@ -33,6 +33,10 @@ class VitsModule(nn.Module):
     """Pure flax VITS generator (everything except the discriminator)."""
 
     args: VitsArgs
+    # audio.sample_rate / args.encoder_sample_rate — the posterior/flow run at
+    # the (lower) encoder rate and the latent is upsampled before the waveform
+    # decoder (reference vits.py:809-812,944 upsampling_z); 1.0 = disabled
+    interpolate_factor: float = 1.0
 
     def setup(self):
         a = self.args
@@ -153,6 +157,19 @@ class VitsModule(nn.Module):
         logp = logp1 + logp2 + logp3 + logp4
         return maximum_path(jax.lax.stop_gradient(logp), attn_mask)
 
+    def _upsample_z(self, z):
+        """Linear-interpolate the latent along time by ``interpolate_factor``
+        when the encoder stack runs at a lower sample rate than the decoder
+        output (reference ``vits.py:944 upsampling_z``). Identity when the
+        variant is off or ``interpolate_z`` is false (then the decoder's own
+        upsample rates carry the extra factor)."""
+        f = int(round(self.interpolate_factor))
+        if f == 1 or not self.args.interpolate_z:
+            return z
+        B, T, C = z.shape
+        # half-pixel linear resize == torch F.interpolate(align_corners=False)
+        return jax.image.resize(z, (B, T * f, C), method="linear")
+
     def __call__(
         self,
         x,
@@ -210,7 +227,7 @@ class VitsModule(nn.Module):
         z_slice, slice_ids = rand_segments(
             seg_rng, z, y_lengths, a.spec_segment_size, let_short_samples=True, pad_short=True
         )
-        o = self.waveform_decoder(z_slice, g=g)
+        o = self.waveform_decoder(self._upsample_z(z_slice), g=g)
         return {
             "model_outputs": o,
             "alignments": jnp.swapaxes(attn, 1, 2),
@@ -264,7 +281,8 @@ class VitsModule(nn.Module):
         noise = jax.random.normal(self.make_rng("noise"), m_p_e.shape)
         z_p = m_p_e + noise * jnp.exp(logs_p_e) * a.inference_noise_scale
         z = self.flow(z_p * y_mask, y_mask, g=g, reverse=True)
-        o = self.waveform_decoder(z * y_mask, g=g)
+        z = self._upsample_z(z * y_mask)
+        o = self.waveform_decoder(z, g=g)
         return {
             "model_outputs": o,
             "alignments": jnp.swapaxes(attn, 1, 2),
@@ -341,7 +359,32 @@ class Vits:
     def __init__(self, config: VitsConfig):
         self.config = config
         self.args = config.model_args
-        self.module = VitsModule(args=self.args)
+        factor = 1.0
+        if self.args.encoder_sample_rate:
+            sr, enc_sr = config.audio.sample_rate, self.args.encoder_sample_rate
+            if sr % enc_sr != 0:
+                raise ValueError(
+                    f"audio.sample_rate ({sr}) must be an integer multiple of "
+                    f"encoder_sample_rate ({enc_sr})"
+                )
+            factor = sr / enc_sr
+            # decoder upsampling must cover hop_length at the output rate
+            # (reference vits.py:1784-1796 load_checkpoint asserts)
+            rates = int(np.prod(self.args.upsample_rates_decoder))
+            if getattr(self.args, "decoder_type", "hifigan") == "istft":
+                rates *= int(self.args.istft_hop_decoder) * int(self.args.istft_subbands_decoder)
+            need = (
+                config.audio.hop_length
+                if self.args.interpolate_z
+                else config.audio.hop_length * int(factor)
+            )
+            if rates != need:
+                raise ValueError(
+                    f"decoder upsampling {rates} != required {need} "
+                    f"(hop {config.audio.hop_length}, interpolate_z="
+                    f"{self.args.interpolate_z}, factor {factor})"
+                )
+        self.module = VitsModule(args=self.args, interpolate_factor=factor)
         self.discriminator = VitsDiscriminator(
             periods=tuple(self.args.periods_multi_period_discriminator),
             width_mult=self.args.discriminator_width_mult,
@@ -387,11 +430,34 @@ class Vits:
             _, self._eval_step_fn, _ = make_train_step(self, config)
         return self._eval_step_fn
 
-    @staticmethod
-    def format_batch(batch):
-        """Map dataset keys to the VITS step contract."""
+    def format_batch(self, batch):
+        """Map dataset keys to the VITS step contract. For the
+        ``encoder_sample_rate`` variant the posterior/flow consume
+        spectrograms at the (lower) encoder rate: recompute them here from
+        the waveform resampled down (reference ``vits.py:1495-1516
+        format_batch_on_device``, host-side in this design)."""
         if "spec" in batch and "spec_lengths" not in batch:
             batch["spec_lengths"] = batch["mel_lengths"]
+        f = int(round(self.module.interpolate_factor))
+        if f > 1 and batch.get("waveform") is not None:
+            from tts_tpu.audio import numpy_transforms as nt
+            from tts_tpu.audio.processor import AudioProcessor
+
+            if getattr(self, "_enc_ap", None) is None:
+                self._enc_ap = AudioProcessor.init_from_config(self.config.audio, verbose=False)
+            sr = self.config.audio.sample_rate
+            wavs = np.asarray(batch["waveform"], np.float32)[..., 0]
+            specs = [
+                self._enc_ap.spectrogram(
+                    nt.resample_wav(w, sr, self.args.encoder_sample_rate)
+                ).T.astype(np.float32)
+                for w in wavs
+            ]
+            T = max(s.shape[0] for s in specs)
+            batch["spec"] = np.stack([np.pad(s, ((0, T - s.shape[0]), (0, 0))) for s in specs])
+            batch["spec_lengths"] = np.minimum(
+                np.asarray(batch["mel_lengths"]) // f, T
+            ).astype(np.int32)
         return batch
 
     def init_params(self, rng: jax.Array, t_en: int = 17, t_de: int = 64):
@@ -399,6 +465,9 @@ class Vits:
         hop = int(np.prod(a.upsample_rates_decoder))
         if getattr(a, "decoder_type", "hifigan") == "istft":
             hop *= int(a.istft_hop_decoder) * int(a.istft_subbands_decoder)
+        if a.interpolate_z:
+            # samples per encoder-rate frame (upsampling_z adds the factor)
+            hop *= int(round(self.module.interpolate_factor))
 
         # one fused jitted init graph: eager flax init dispatches every op
         # separately, which dominates cold-cache test/start-up time

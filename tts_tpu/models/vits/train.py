@@ -51,6 +51,10 @@ def make_train_step(model: Vits, config):
     audio = config.audio
     hop = audio.hop_length
     seg_frames = model.args.spec_segment_size
+    # encoder_sample_rate variant: slice_ids index encoder-rate frames, but
+    # the waveform is at the output rate — each frame spans hop*factor
+    # samples (reference vits.py:944-950 scales slices and segment size)
+    hop *= int(round(getattr(model.module, "interpolate_factor", 1.0)))
     mel_kw = dict(
         n_fft=audio.fft_size,
         num_mels=audio.num_mels,
