@@ -46,6 +46,47 @@ def make_optimizers(config) -> Dict[str, Any]:
     }
 
 
+def _make_speaker_embed_fn(model, audio):
+    """In-graph frozen speaker-encoder embedding of an output-rate waveform
+    segment ``[B, T, 1]`` → ``[B, D]`` (reference ``vits.py:1078-1095``: the
+    reference resamples via torchaudio; here a linear resize approximates the
+    rate bridge — adequate for a similarity loss)."""
+    enc = getattr(getattr(model, "speaker_manager", None), "encoder", None)
+    if enc is None and model.args.speaker_encoder_model_path:
+        from tts_tpu.encoder.model import load_speaker_encoder
+
+        enc, _ = load_speaker_encoder(
+            model.args.speaker_encoder_model_path, model.args.speaker_encoder_config_path
+        )
+    if enc is None or enc.params is None:
+        raise ValueError(
+            "use_speaker_encoder_as_loss requires a loaded speaker encoder: set "
+            "model_args.speaker_encoder_model_path/speaker_encoder_config_path or "
+            "pass encoder paths to the SpeakerManager"
+        )
+    ea = enc.config.audio
+    eget = (lambda k: ea[k]) if isinstance(ea, dict) else (lambda k: getattr(ea, k))
+    enc_sr = int(eget("sample_rate"))
+    mel_kw = dict(
+        n_fft=int(eget("fft_size")),
+        num_mels=enc.module.input_dim,
+        sample_rate=enc_sr,
+        hop_length=int(eget("hop_length")),
+        win_length=int(eget("win_length")),
+    )
+    frozen = jax.tree.map(jax.lax.stop_gradient, enc.params)
+
+    def spk_embed(wav):  # [B, T, 1] at audio.sample_rate
+        w = wav[..., 0]
+        if enc_sr != audio.sample_rate:
+            t2 = max(1, int(round(w.shape[1] * enc_sr / audio.sample_rate)))
+            w = jax.image.resize(w, (w.shape[0], t2), method="linear")
+        mel = jnp.swapaxes(jt.wav_to_mel(w, **mel_kw), 1, 2)  # [B, T, M]
+        return enc.module.apply(frozen, mel)
+
+    return spk_embed
+
+
 def make_train_step(model: Vits, config):
     """Returns ``train_step(state, batch, rng) -> (state, metrics)``."""
     audio = config.audio
@@ -55,6 +96,13 @@ def make_train_step(model: Vits, config):
     # the waveform is at the output rate — each frame spans hop*factor
     # samples (reference vits.py:944-950 scales slices and segment size)
     hop *= int(round(getattr(model.module, "interpolate_factor", 1.0)))
+
+    # speaker-consistency loss (YourTTS SCL, reference vits.py:754,1078-1095
+    # + losses.py loss_spk_enc): embed real and generated segments with a
+    # frozen speaker encoder, maximize cosine similarity
+    spk_embed = None
+    if getattr(model.args, "use_speaker_encoder_as_loss", False):
+        spk_embed = _make_speaker_embed_fn(model, audio)
     mel_kw = dict(
         n_fft=audio.fft_size,
         num_mels=audio.num_mels,
@@ -113,6 +161,16 @@ def make_train_step(model: Vits, config):
         loss_gen = generator_adv_loss(scores_g_fake) * config.gen_loss_alpha
         loss_dur = out["loss_duration"] * config.dur_loss_alpha
         loss_gen_total = loss_mel + loss_kl + loss_feat + loss_gen + loss_dur
+        loss_spk = None
+        if spk_embed is not None:
+            emb_gt = spk_embed(jax.lax.stop_gradient(wav_real))
+            emb_syn = spk_embed(wav_fake)
+            cos = jnp.sum(emb_gt * emb_syn, axis=-1) / jnp.maximum(
+                jnp.linalg.norm(emb_gt, axis=-1) * jnp.linalg.norm(emb_syn, axis=-1), 1e-8
+            )
+            # reference losses.py cosine_similarity_loss: -cos.mean() * alpha
+            loss_spk = -jnp.mean(cos) * config.speaker_encoder_loss_alpha
+            loss_gen_total = loss_gen_total + loss_spk
 
         total = loss_gen_total + loss_disc * config.disc_loss_alpha
         metrics = {
@@ -125,6 +183,8 @@ def make_train_step(model: Vits, config):
             "loss_gen": loss_gen,
             "loss_duration": loss_dur,
         }
+        if loss_spk is not None:
+            metrics["loss_spk_enc"] = loss_spk
         return total, metrics
 
     mixed = is_mixed_precision(config)
