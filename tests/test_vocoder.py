@@ -123,3 +123,40 @@ def test_gan_train_step(cfg_cls):
     # params actually changed
     diff = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()), state.params, state2.params)
     assert max(jax.tree.leaves(diff)) > 0
+
+
+def test_gan_eval_log_figures_and_audio():
+    """eval_log (reference gan.py eval_log → plot_results) returns dashboard
+    figures (real/fake/diff spectrograms + waveform comparison) and audio."""
+    cfg = HifiganConfig()
+    cfg.audio.num_mels = 20
+    cfg.audio.fft_size = 256
+    cfg.audio.win_length = 256
+    cfg.audio.hop_length = 64
+    cfg.seq_len = 1024
+    cfg.steps_to_start_discriminator = 0
+    cfg.generator_model_params = {
+        "in_channels": 20,
+        "upsample_factors": [8, 8],
+        "upsample_kernel_sizes": [16, 16],
+        "upsample_initial_channel": 32,
+        "resblock_kernel_sizes": [3],
+        "resblock_dilation_sizes": [[1, 3]],
+        "resblock_type": "1",
+    }
+    cfg.discriminator_model_params = {"periods": [2, 3], "n_scales": 1, "width_mult": 0.125}
+    model = GAN(cfg)
+    _, _, state = model.make_train_step(cfg, jax.random.PRNGKey(0))
+    rng = np.random.RandomState(1)
+    batch = {
+        "waveform": jnp.asarray(rng.randn(2, cfg.seq_len, 1).astype(np.float32) * 0.1),
+        "mel": jnp.asarray(rng.randn(2, cfg.seq_len // 64, 20).astype(np.float32)),
+    }
+    figures, audios = model.eval_log(batch, state)
+    assert {
+        "eval/spectrogram/fake",
+        "eval/spectrogram/real",
+        "eval/spectrogram/diff",
+        "eval/speech_comparison",
+    } <= set(figures)
+    assert audios["eval/audio"].ndim == 1 and len(audios["eval/audio"]) == cfg.seq_len

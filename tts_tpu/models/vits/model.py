@@ -507,6 +507,10 @@ class Vits:
     def inference(self, params, x, x_lengths, aux_input=None, max_frames: int = 1000, rng=None):
         if rng is None:
             rng = jax.random.PRNGKey(0)
+        if self.args.max_inference_len:
+            # cap the decoder length (reference vits.py:650,1167: decoder
+            # input is truncated to max_inference_len frames)
+            max_frames = min(max_frames, int(self.args.max_inference_len))
         return self.module.apply(
             params,
             x,

@@ -482,13 +482,26 @@ class Trainer:
             return None
         keep_avg = KeepAverage()
         bs = max(1, getattr(self.config, "eval_batch_size", 8))
+        last_batch = None
         for batch in eval_ds.batches(bs, shuffle=False):
             batch = self._format_batch(batch)
             batch = with_data_parallel(self.mesh, batch)
             metrics = self._jitted_eval(self.state, batch)
             keep_avg.update({k: float(v) for k, v in metrics.items()})
+            last_batch = batch
         if not keep_avg.avg:
             return None
+        if last_batch is not None and hasattr(self.model, "eval_log"):
+            try:
+                figures, audios = self.model.eval_log(last_batch, self.state)
+                if figures:
+                    self.dashboard.add_figures("eval", figures, self.global_step)
+                if audios:
+                    self.dashboard.add_audios(
+                        "eval", audios, self.global_step, self.config.audio.sample_rate
+                    )
+            except Exception as e:  # never kill training on a logging hook
+                print(f" [!] eval_log failed: {e}")
         print(
             " > eval: " + " - ".join(f"{k}: {v:.4f}" for k, v in sorted(keep_avg.avg.items())),
             flush=True,

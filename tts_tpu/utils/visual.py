@@ -7,7 +7,13 @@ from typing import Optional
 
 import numpy as np
 
-__all__ = ["plot_alignment", "plot_spectrogram", "plot_pitch", "alignment_diagonal_score"]
+__all__ = [
+    "plot_alignment",
+    "plot_spectrogram",
+    "plot_pitch",
+    "plot_results",
+    "alignment_diagonal_score",
+]
 
 
 def _mpl():
@@ -70,6 +76,39 @@ def plot_pitch(pitch: np.ndarray, spectrogram: Optional[np.ndarray] = None, fig_
     ax.set_xlabel("Frames")
     fig.tight_layout()
     return fig
+
+
+def plot_results(y_hat: np.ndarray, y: np.ndarray, ap, name_prefix: str = "") -> dict:
+    """Vocoder eval figures (reference ``vocoder/utils/generic_utils.py:32``):
+    real/generated/diff mel spectrograms plus a stacked waveform comparison,
+    keyed for the dashboard logger."""
+    plt = _mpl()
+    y_hat = np.asarray(y_hat, np.float32).squeeze()
+    y = np.asarray(y, np.float32).squeeze()
+    if y_hat.ndim > 1:
+        y_hat = y_hat[0].squeeze()
+    if y.ndim > 1:
+        y = y[0].squeeze()
+
+    spec_fake = ap.melspectrogram(y_hat).T
+    spec_real = ap.melspectrogram(y).T
+    spec_diff = np.abs(spec_fake - spec_real)
+
+    fig_wave = plt.figure()
+    ax = fig_wave.add_subplot(2, 1, 1)
+    ax.plot(y)
+    ax.set_title("groundtruth speech")
+    ax = fig_wave.add_subplot(2, 1, 2)
+    ax.plot(y_hat)
+    ax.set_title("generated speech")
+    fig_wave.tight_layout()
+
+    return {
+        name_prefix + "spectrogram/fake": plot_spectrogram(spec_fake),
+        name_prefix + "spectrogram/real": plot_spectrogram(spec_real),
+        name_prefix + "spectrogram/diff": plot_spectrogram(spec_diff),
+        name_prefix + "speech_comparison": fig_wave,
+    }
 
 
 def alignment_diagonal_score(alignments: np.ndarray, binary: bool = False) -> float:

@@ -145,6 +145,23 @@ class GAN:
 
         return eval_step
 
+    def eval_log(self, batch, state):
+        """Trainer hook after eval: vocode one conditioning mel and return
+        (figures, audios) for the dashboard (reference ``gan.py eval_log`` →
+        ``plot_results``)."""
+        import numpy as np
+
+        from tts_tpu.audio.processor import AudioProcessor
+        from tts_tpu.utils.visual import plot_results
+
+        if getattr(self, "_eval_ap", None) is None:
+            self._eval_ap = AudioProcessor.init_from_config(self.config.audio, verbose=False)
+        y_hat = np.asarray(self.generate(state.params["gen"], batch["mel"][:1]))
+        y = np.asarray(batch["waveform"][:1])
+        figures = plot_results(y_hat, y, self._eval_ap, "eval/")
+        audios = {"eval/audio": y_hat[0].squeeze()}
+        return figures, audios
+
     def get_dataset(self, config, samples, is_eval: bool = False):
         from tts_tpu.vocoder.dataset import GANDataset
 
