@@ -246,3 +246,43 @@ def test_xtts_hifigan_parity(ref_hifi):
     np.testing.assert_allclose(
         np.asarray(ours).transpose(0, 2, 1), ref_out, atol=2e-4
     )
+
+
+def test_style_emb_parity_v1_layout(ref_gpt):
+    """XTTS v1.x layout: no perceiver — every conditioning frame stays a
+    prompt latent (reference gpt.py:362 returns (b, d, s))."""
+    from TTS.tts.layers.xtts.gpt import GPT
+
+    from tts_tpu.models.xtts.gpt import XttsGPT
+    from tts_tpu.utils.convert import convert_xtts_gpt
+
+    torch.manual_seed(1)
+    ref_v1 = GPT(use_perceiver_resampler=False, **DIMS)
+    ref_v1.eval()
+    sd = {k: v.detach().numpy() for k, v in ref_v1.state_dict().items()}
+    params = convert_xtts_gpt(
+        sd, layers=DIMS["layers"], heads=DIMS["heads"], prefix="", use_perceiver=False
+    )
+
+    B, T = 2, 23
+    mel = np.random.RandomState(2).randn(B, 80, T).astype(np.float32)
+    with torch.no_grad():
+        ref_lat = ref_v1.get_style_emb(torch.from_numpy(mel)).numpy()  # [B, D, s]
+
+    module = XttsGPT(
+        layers=DIMS["layers"], model_dim=DIMS["model_dim"], heads=DIMS["heads"],
+        number_text_tokens=DIMS["number_text_tokens"],
+        num_audio_tokens=DIMS["num_audio_tokens"],
+        start_audio_token=DIMS["start_audio_token"],
+        stop_audio_token=DIMS["stop_audio_token"],
+        start_text_token=DIMS["start_text_token"],
+        stop_text_token=DIMS["stop_text_token"],
+        max_text_tokens=DIMS["max_text_tokens"],
+        max_mel_tokens=DIMS["max_mel_tokens"],
+        use_perceiver_resampler=False,
+    )
+    ours = module.apply(
+        params, jnp.asarray(mel.transpose(0, 2, 1)), method=XttsGPT.get_style_emb
+    )
+    assert np.asarray(ours).shape == (B, ref_lat.shape[2], DIMS["model_dim"])
+    np.testing.assert_allclose(np.asarray(ours), ref_lat.transpose(0, 2, 1), atol=2e-4)

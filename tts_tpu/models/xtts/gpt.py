@@ -156,8 +156,8 @@ class XttsGPT(nn.Module):
         h = self.conditioning_encoder(cond_mels)
         if self.use_perceiver_resampler:
             h = self.conditioning_perceiver(h)
-        else:
-            h = jnp.mean(h, axis=1, keepdims=True)
+        # without the perceiver (XTTS v1.x layout) every conditioning frame
+        # stays a prompt latent (reference gpt.py:362-364 returns (b, d, s))
         return h
 
     def _embed_text(self, text_ids):
