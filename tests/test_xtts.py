@@ -126,3 +126,19 @@ def test_tokenizer_preprocessing():
 
     assert multilingual_cleaners("Hello & 3 worlds!", "en") == "hello and three worlds!"
     assert multilingual_cleaners('El "gato" & yo', "es") == "el gato y yo"
+
+
+def test_v1_layout_cond_latents_keep_frames():
+    """Without the perceiver (XTTS v1.x), get_gpt_cond_latents computes one
+    coarse mel (hop 1024) over the whole clip and keeps every frame as a
+    prompt latent (reference xtts.py:299-314)."""
+    cfg = _tiny_config()
+    cfg.model_args.gpt_use_perceiver_resampler = False
+    model = Xtts(cfg)
+    model.init_params(jax.random.PRNGKey(1))
+    audio = 0.1 * np.random.RandomState(0).randn(22050 * 2).astype(np.float32)
+    lat = np.asarray(model.get_gpt_cond_latents(audio, 22050))
+    # 2 s at hop 1024 (centered stft) → ~44 frames, one latent per frame
+    assert lat.shape[0] == 1 and lat.shape[2] == 64
+    assert 40 <= lat.shape[1] <= 48
+    assert np.isfinite(lat).all()

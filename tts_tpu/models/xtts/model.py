@@ -200,6 +200,18 @@ class Xtts:
             audio = resample_wav(audio, sr, 22050)
         if length > 0:
             audio = audio[: 22050 * length]
+        if not self.args.gpt_use_perceiver_resampler:
+            # v1.x layout: one coarse mel over the whole clip (n_fft 4096 /
+            # hop 1024), every frame a prompt latent (reference
+            # xtts.py:299-314 else-branch, no chunking)
+            mel = wav_to_mel_cloning(
+                jnp.asarray(audio)[None],
+                mel_norms=self.mel_stats,
+                n_fft=4096,
+                hop_length=1024,
+                win_length=4096,
+            )
+            return self.gpt.apply(self.gpt_params, mel, method=self.gpt.get_style_emb)
         style_embs = []
         step = 22050 * chunk_length
         for i in range(0, len(audio), step):
