@@ -68,14 +68,24 @@ def measure_ttfa(with_throughput: bool = False):
         )
         gpt_params, cond_mel = cast(gpt_params), cast(cond_mel)
 
-    style = jax.jit(lambda p, m: gpt.apply(p, m, method=XttsGPT.get_style_emb))
+    if os.environ.get("BENCH_XTTS_INT8"):
+        # weight-only int8 decode (ops/quant.py): weights stream from HBM as
+        # int8; dequant fuses into the consuming matmuls inside jit
+        from tts_tpu.ops.quant import dequantize, quantize_int8
+
+        gpt_params = jax.tree.map(jnp.asarray, quantize_int8(gpt_params))
+        _dq = lambda p: dequantize(p, jnp.bfloat16)
+    else:
+        _dq = lambda p: p
+
+    style = jax.jit(lambda p, m: gpt.apply(_dq(p), m, method=XttsGPT.get_style_emb))
     embed_spk = jax.jit(lambda p, m: dec.apply(p, m, method=HifiDecoder.embed_speaker))
     prefill = jax.jit(
-        lambda p, c, t, tl: gpt.apply(p, c, t, tl, MAX_NEW, method=XttsGPT.prefill)
+        lambda p, c, t, tl: gpt.apply(_dq(p), c, t, tl, MAX_NEW, method=XttsGPT.prefill)
     )
     chunk_fn = jax.jit(
         lambda p, s, r: gpt.apply(
-            p, s, r, CHUNK, 0.75, 50, 0.85, 5.0, method=XttsGPT.decode_chunk
+            _dq(p), s, r, CHUNK, 0.75, 50, 0.85, 5.0, method=XttsGPT.decode_chunk
         ),
         # donate the decode state so the KV cache updates in place rather
         # than being copied every chunk (it dominates decode bandwidth)

@@ -53,6 +53,10 @@ class XttsArgs(Config):
     # Requires passing a mesh with a "seq" axis to
     # GPTTrainer.make_train_step; see docs/parallelism.md.
     gpt_seq_parallel: bool = False
+    # serving: store GPT matmul kernels as int8 + per-channel scales and
+    # dequantize inside the jitted decode (ops/quant.py) — AR decode is
+    # HBM-bound, so int8 weights nearly halve step time on TPU
+    gpt_int8_weights: bool = False
 
     # fine-tune dataset limits (reference ``gpt_trainer.py`` GPTArgs :41-48)
     min_conditioning_length: int = 66150

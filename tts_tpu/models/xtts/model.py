@@ -142,6 +142,9 @@ class Xtts:
         if os.path.isfile(spk_file):
             self._load_speaker_file(spk_file)
 
+        if getattr(self.args, "gpt_int8_weights", False):
+            self.quantize_weights_int8()
+
     def _convert_and_cache(self, torch_path: str, flax_path: str) -> None:
         from tts_tpu.utils.convert import convert_xtts, load_torch_checkpoint
         from tts_tpu.utils.io import save_checkpoint
@@ -192,6 +195,32 @@ class Xtts:
         return self.gpt_params, self.decoder_params
 
     # ------------------------------------------------------------------
+    def quantize_weights_int8(self, compute_dtype=None) -> None:
+        """Serving optimization: store every GPT matmul kernel as int8 with
+        per-channel scales (``ops/quant.py``). AR decode is HBM-bound — one
+        token re-reads all weights — so int8 weights nearly halve step time
+        on TPU. Dequantization happens inside the jitted steps where XLA
+        fuses it into the consuming dot. No reference counterpart."""
+        from tts_tpu.ops.quant import quantize_int8
+
+        if compute_dtype is None:
+            compute_dtype = (
+                jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+            )
+        self.gpt_params = jax.tree.map(jnp.asarray, quantize_int8(self.gpt_params))
+        self._gpt_int8 = True
+        self._int8_dtype = compute_dtype
+
+    def _dq(self, params):
+        """Dequantize int8 GPT params (inside jit when called from a traced
+        closure); identity when quantization is off."""
+        if getattr(self, "_gpt_int8", False):
+            from tts_tpu.ops.quant import dequantize
+
+            return dequantize(params, self._int8_dtype)
+        return params
+
+    # ------------------------------------------------------------------
     def get_gpt_cond_latents(
         self, audio: np.ndarray, sr: int, length: int = 30, chunk_length: int = 6
     ) -> jnp.ndarray:
@@ -211,7 +240,7 @@ class Xtts:
                 hop_length=1024,
                 win_length=4096,
             )
-            return self.gpt.apply(self.gpt_params, mel, method=self.gpt.get_style_emb)
+            return self.gpt.apply(self._dq(self.gpt_params), mel, method=self.gpt.get_style_emb)
         style_embs = []
         step = 22050 * chunk_length
         for i in range(0, len(audio), step):
@@ -220,7 +249,7 @@ class Xtts:
                 continue
             mel = wav_to_mel_cloning(jnp.asarray(chunk)[None], mel_norms=self.mel_stats)
             emb = self.gpt.apply(
-                self.gpt_params, mel, method=self.gpt.get_style_emb
+                self._dq(self.gpt_params), mel, method=self.gpt.get_style_emb
             )
             style_embs.append(emb)
         if not style_embs:
@@ -299,7 +328,7 @@ class Xtts:
         max_new = max_new_tokens or self.gpt.max_mel_tokens - 3
 
         gen = self.gpt.apply(
-            self.gpt_params,
+            self._dq(self.gpt_params),
             gpt_cond_latent,
             text_tokens,
             jnp.asarray([text_tokens.shape[1]]),
@@ -352,7 +381,7 @@ class Xtts:
 
         prefill = jax.jit(
             lambda p, c, t: self.gpt.apply(
-                p, c, t, jnp.asarray([t.shape[1]]),
+                self._dq(p), c, t, jnp.asarray([t.shape[1]]),
                 max_new_tokens=n_chunks * stream_chunk_size,
                 method=self.gpt.prefill,
             ),
@@ -360,7 +389,7 @@ class Xtts:
         )
         chunk_fn = jax.jit(
             lambda p, s, r: self.gpt.apply(
-                p, s, r, chunk_size=stream_chunk_size,
+                self._dq(p), s, r, chunk_size=stream_chunk_size,
                 temperature=temperature, top_k=top_k, top_p=top_p,
                 repetition_penalty=repetition_penalty,
                 method=self.gpt.decode_chunk,
