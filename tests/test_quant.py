@@ -66,3 +66,46 @@ def test_xtts_int8_decode_close_to_fp32():
     b = np.asarray(got["latents"], np.float32)
     cos = (a * b).sum() / max(np.linalg.norm(a) * np.linalg.norm(b), 1e-8)
     assert cos > 0.99, cos
+
+
+def test_bark_int8_semantic_generation():
+    """Bark AR stages run with int8 weights and stay in-vocab."""
+    # rebuild the tiny Bark via the other module's fixture function
+    import tests.test_bark as tb
+
+    model = tb.bark_tiny.__wrapped__()
+    model.quantize_weights_int8(compute_dtype=jnp.float32)
+    assert is_quantized(model.semantic_params)
+    sem = model.generate_text_semantic(
+        np.arange(10), jax.random.PRNGKey(1), max_gen_duration_s=0.5
+    )
+    assert sem.ndim == 1 and (sem <= model.config.SEMANTIC_VOCAB_SIZE).all()
+
+
+def test_tortoise_int8_decode():
+    """Tortoise AR decode runs with int8 weights; codes stay in-vocab."""
+    from tts_tpu.models.tortoise import Tortoise, TortoiseConfig
+    from tts_tpu.models.tortoise.config import TortoiseArgs
+
+    cfg = TortoiseConfig()
+    cfg.model_args = TortoiseArgs(
+        ar_layers=1, ar_model_dim=32, ar_heads=2,
+        ar_number_text_tokens=30, ar_number_mel_codes=20,
+        ar_start_mel_token=18, ar_stop_mel_token=19, ar_start_text_token=29,
+        ar_max_text_tokens=24, ar_max_mel_tokens=32,
+        diff_model_channels=32, diff_num_layers=3, diff_in_channels=20,
+        diff_in_latent_channels=32, diff_num_heads=2, diffusion_iterations=2,
+    )
+    model = Tortoise(cfg)
+    model.init_params(jax.random.PRNGKey(0))
+    model.quantize_weights_int8(compute_dtype=jnp.float32)
+    assert is_quantized(model.ar_params)
+    text = jnp.asarray(np.random.RandomState(0).randint(1, 29, (1, 8)))
+    cond = jnp.asarray(np.random.RandomState(1).randn(1, 32, 80).astype(np.float32))
+    dcond = jnp.asarray(np.random.RandomState(2).randn(1, 24, 20).astype(np.float32))
+    out = model.inference(
+        text, cond, diffusion_cond_mels=dcond, rng=jax.random.PRNGKey(2),
+        max_mel_tokens=6,
+    )
+    codes = np.asarray(out["codes"])
+    assert ((codes >= 0) & (codes < 20)).all()

@@ -184,6 +184,32 @@ class Bark:
     def init_from_config(cls, config: BarkConfig, samples=None):
         return cls(config)
 
+    def quantize_weights_int8(self, compute_dtype=None) -> None:
+        """Serving optimization: int8 weight-only storage for the three AR
+        GPTs (see ``ops/quant.py`` and the XTTS counterpart) — Bark decode is
+        likewise HBM-bandwidth-bound."""
+        import jax as _jax
+
+        from tts_tpu.ops.quant import quantize_int8
+
+        if compute_dtype is None:
+            compute_dtype = (
+                jnp.bfloat16 if _jax.default_backend() == "tpu" else jnp.float32
+            )
+        for attr in ("semantic_params", "coarse_params", "fine_params"):
+            p = getattr(self, attr)
+            if p is not None:
+                setattr(self, attr, _jax.tree.map(jnp.asarray, quantize_int8(p)))
+        self._gpt_int8 = True
+        self._int8_dtype = compute_dtype
+
+    def _dq(self, params):
+        if getattr(self, "_gpt_int8", False):
+            from tts_tpu.ops.quant import dequantize
+
+            return dequantize(params, self._int8_dtype)
+        return params
+
     def init_params(self, rng, t: int = 16):
         r1, r2, r3 = jax.random.split(rng, 3)
         tok = jnp.zeros((1, t), jnp.int32)
@@ -242,7 +268,7 @@ class Bark:
         )
         n = int(max_gen_duration_s * c.SEMANTIC_RATE_HZ)
         out = self.semantic_model.apply(
-            self.semantic_params, prompt, rng, max_new_tokens=n,
+            self._dq(self.semantic_params), prompt, rng, max_new_tokens=n,
             eos_token=c.SEMANTIC_VOCAB_SIZE, temperature=temperature, top_k=top_k,
             top_p=top_p, logit_slice=c.SEMANTIC_VOCAB_SIZE + 1, merge_context=True,
             method=self.semantic_model.generate,
@@ -300,7 +326,7 @@ class Bark:
             steps = int(min(sliding_window_len, n_steps - n_step))
             rng, sub = jax.random.split(rng)
             out = self.coarse_model.apply(
-                self.coarse_params, jnp.asarray(prompt[None]), sub,
+                self._dq(self.coarse_params), jnp.asarray(prompt[None]), sub,
                 max_new_tokens=steps,
                 eos_token=c.coarse_config.output_vocab_size - 1,
                 temperature=temperature, top_k=top_k, top_p=top_p,
@@ -337,7 +363,7 @@ class Bark:
             T = codes.shape[1]
         idx = jnp.asarray(codes.T[None], jnp.int32)  # [1, T, n_fine]
         for k in range(coarse_codes.shape[0], n_fine):
-            logits = self.fine_model.apply(self.fine_params, k, idx)
+            logits = self.fine_model.apply(self._dq(self.fine_params), k, idx)
             rng, sub = jax.random.split(rng)
             sampled = sample_logits(
                 sub, logits.reshape(-1, logits.shape[-1])[:, : c.CODEBOOK_SIZE],

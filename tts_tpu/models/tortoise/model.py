@@ -425,6 +425,28 @@ class Tortoise:
         )
         return self.ar_params, self.diff_params
 
+    def quantize_weights_int8(self, compute_dtype=None) -> None:
+        """Serving optimization: int8 weight-only storage for the UnifiedVoice
+        AR stack (see ``ops/quant.py`` and the XTTS counterpart) — the
+        autoregressive decode is HBM-bandwidth-bound."""
+        from tts_tpu.ops.quant import quantize_int8
+
+        if compute_dtype is None:
+            compute_dtype = (
+                jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+            )
+        if self.ar_params is not None:
+            self.ar_params = jax.tree.map(jnp.asarray, quantize_int8(self.ar_params))
+        self._gpt_int8 = True
+        self._int8_dtype = compute_dtype
+
+    def _dq(self, params):
+        if getattr(self, "_gpt_int8", False):
+            from tts_tpu.ops.quant import dequantize
+
+            return dequantize(params, self._int8_dtype)
+        return params
+
     def rerank(self, text_tokens: jnp.ndarray, candidate_codes: jnp.ndarray) -> jnp.ndarray:
         """CLVP scores for k candidate code sequences (reference
         ``tortoise.py`` clvp reranking); requires ``clvp_params``."""
@@ -442,7 +464,7 @@ class Tortoise:
         a = self.config.model_args
         auto_lats, diff_lats = [], []
         ar_cond = self._jitted("ar_cond", lambda: lambda p, m: self.autoregressive.apply(
-            p, m, method=self.autoregressive.get_conditioning))
+            self._dq(p), m, method=self.autoregressive.get_conditioning))
         diff_cond = self._jitted("diff_cond", lambda: lambda p, m: self.diffusion.apply(
             p, wav_to_univnet_mel(m), method=self.diffusion.get_conditioning))
         for wav22, wav24 in voice_samples:
@@ -492,7 +514,7 @@ class Tortoise:
             if cond_mels is None:
                 raise ValueError("pass auto_latent or cond_mels")
             auto_latent = self._jitted("ar_cond", lambda: lambda p, m: self.autoregressive.apply(
-                p, m, method=self.autoregressive.get_conditioning))(self.ar_params, cond_mels)
+                self._dq(p), m, method=self.autoregressive.get_conditioning))(self.ar_params, cond_mels)
         if diffusion_latent is None:
             if diffusion_cond_mels is None:
                 raise ValueError(
@@ -516,7 +538,7 @@ class Tortoise:
         gen = self._jitted(
             ("generate", max_mel_tokens, a.temperature, a.top_p, a.repetition_penalty),
             lambda: lambda p, c, t, r: self.autoregressive.apply(
-                p, c, t, r, max_new_tokens=max_mel_tokens,
+                self._dq(p), c, t, r, max_new_tokens=max_mel_tokens,
                 temperature=a.temperature, top_p=a.top_p,
                 repetition_penalty=a.repetition_penalty,
                 method=self.autoregressive.generate,
@@ -539,7 +561,7 @@ class Tortoise:
         # Teacher-forced re-run over the fixed codes for the diffusion
         # conditioning latents (reference tortoise.py:761 return_latent=True)
         _, _, mel_latents = self._jitted(
-            "teacher_forced", lambda: lambda p, cl, t, c: self.autoregressive.apply(p, cl, t, c)
+            "teacher_forced", lambda: lambda p, cl, t, c: self.autoregressive.apply(self._dq(p), cl, t, c)
         )(self.ar_params, auto_latent, text_tokens, jnp.asarray(codes))
         latents = mel_latents[:, :-2]  # strip the start/stop positions
 
