@@ -17,28 +17,12 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 import numpy as np  # noqa: E402
 
 
-def _probe_default_backend(timeout_s: float = 180.0) -> bool:
-    """True iff the default (tunneled TPU) backend initializes and answers
-    within timeout. Probed in a subprocess: a wedged tunnel can HANG device
-    init, not just raise, and only a separate process can be timed out."""
-    import subprocess
-    import sys as _sys
-
-    try:
-        proc = subprocess.run(
-            [_sys.executable, "-c", "import jax; jax.devices()"],
-            timeout=timeout_s,
-            capture_output=True,
-        )
-        return proc.returncode == 0
-    except subprocess.TimeoutExpired:
-        return False
-
-
 def main():
     import jax
 
-    if os.environ.get("BENCH_FORCE_CPU") or not _probe_default_backend():
+    from tts_tpu.utils.backend import default_backend_alive
+
+    if os.environ.get("BENCH_FORCE_CPU") or not default_backend_alive():
         print(
             "default TPU backend unavailable or wedged; benchmarking on CPU "
             "(numbers will NOT be chip-representative)",

@@ -110,3 +110,56 @@ def test_non_interpolating_variant_uses_decoder_rates():
         gp, np.zeros((1, 8), np.int32), np.asarray([8], np.int32), max_frames=16
     )
     assert np.asarray(out["model_outputs"]).shape == (1, 16 * 16 * 2, 1)
+
+
+def test_voice_conversion_upsamples_latent():
+    """VC must emit output-rate audio (intentional divergence: the reference
+    omits upsampling_z in voice_conversion and would emit factor× too-short
+    audio)."""
+    cfg = _cfg(interpolate_z=True, factor=2)
+    cfg.model_args.use_speaker_embedding = True
+    cfg.model_args.num_speakers = 4
+    model = Vits(cfg)
+    gp, _ = model.init_params(jax.random.PRNGKey(0))
+    T = 12
+    y = np.abs(np.random.RandomState(0).randn(1, T, 65)).astype(np.float32)
+    # through the host wrapper the Synthesizer's transfer path dispatches to
+    out = model.voice_conversion(
+        gp, y, np.asarray([T], np.int32),
+        np.asarray([0], np.int32), np.asarray([1], np.int32),
+    )
+    # T encoder frames × hop 16 × factor 2 output samples
+    assert np.asarray(out).shape[1] == T * 16 * 2
+
+
+def test_multispeaker_multilingual_train_step():
+    """Init must create emb_g/emb_l and the g-projection layers so a
+    multi-speaker multilingual VITS trains from scratch (reference
+    test_vits_multilingual_speaker_emb_train.py analogue)."""
+    from tts_tpu.models.vits.train import create_train_state, make_train_step
+
+    cfg = _cfg(interpolate_z=True, factor=1)
+    cfg.model_args.encoder_sample_rate = None
+    cfg.model_args.use_speaker_embedding = True
+    cfg.model_args.num_speakers = 4
+    cfg.model_args.use_language_embedding = True
+    cfg.model_args.num_languages = 3
+    cfg.model_args.embedded_language_dim = 4
+    model = Vits(cfg)
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0))
+    assert "emb_g" in state.params["gen"]["params"]
+    assert "emb_l" in state.params["gen"]["params"]
+    step, _, _ = make_train_step(model, cfg)
+    B, T_de = 2, 16
+    rng = np.random.RandomState(0)
+    batch = {
+        "text_input": rng.randint(0, 40, (B, 9)).astype(np.int32),
+        "text_lengths": np.full((B,), 9, np.int32),
+        "spec": np.abs(rng.randn(B, T_de, 65)).astype(np.float32),
+        "spec_lengths": np.full((B,), T_de, np.int32),
+        "waveform": (0.1 * rng.randn(B, T_de * 16, 1)).astype(np.float32),
+        "speaker_ids": np.asarray([0, 3], np.int32),
+        "language_ids": np.asarray([1, 2], np.int32),
+    }
+    state, metrics = jax.jit(step)(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))

@@ -153,10 +153,11 @@ def test_gan_eval_log_figures_and_audio():
         "mel": jnp.asarray(rng.randn(2, cfg.seq_len // 64, 20).astype(np.float32)),
     }
     figures, audios = model.eval_log(batch, state)
+    # unprefixed keys: the Trainer's dashboard scopes them under "eval"
     assert {
-        "eval/spectrogram/fake",
-        "eval/spectrogram/real",
-        "eval/spectrogram/diff",
-        "eval/speech_comparison",
+        "spectrogram/fake",
+        "spectrogram/real",
+        "spectrogram/diff",
+        "speech_comparison",
     } <= set(figures)
-    assert audios["eval/audio"].ndim == 1 and len(audios["eval/audio"]) == cfg.seq_len
+    assert audios["audio"].ndim == 1 and len(audios["audio"]) == cfg.seq_len

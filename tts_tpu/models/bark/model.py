@@ -188,27 +188,16 @@ class Bark:
         """Serving optimization: int8 weight-only storage for the three AR
         GPTs (see ``ops/quant.py`` and the XTTS counterpart) — Bark decode is
         likewise HBM-bandwidth-bound."""
-        import jax as _jax
+        from tts_tpu.ops.quant import install_int8
 
-        from tts_tpu.ops.quant import quantize_int8
-
-        if compute_dtype is None:
-            compute_dtype = (
-                jnp.bfloat16 if _jax.default_backend() == "tpu" else jnp.float32
-            )
-        for attr in ("semantic_params", "coarse_params", "fine_params"):
-            p = getattr(self, attr)
-            if p is not None:
-                setattr(self, attr, _jax.tree.map(jnp.asarray, quantize_int8(p)))
-        self._gpt_int8 = True
-        self._int8_dtype = compute_dtype
+        install_int8(
+            self, ("semantic_params", "coarse_params", "fine_params"), compute_dtype
+        )
 
     def _dq(self, params):
-        if getattr(self, "_gpt_int8", False):
-            from tts_tpu.ops.quant import dequantize
+        from tts_tpu.ops.quant import maybe_dequantize
 
-            return dequantize(params, self._int8_dtype)
-        return params
+        return maybe_dequantize(self, params)
 
     def init_params(self, rng, t: int = 16):
         r1, r2, r3 = jax.random.split(rng, 3)
@@ -315,6 +304,7 @@ class Bark:
         n_hist_coarse = len(flat)
 
         n_step = 0
+        coarse_params = self._dq(self.coarse_params)  # once, not per window
         while n_step < n_steps:
             sem_idx = base_idx + int(round(n_step / ratio))
             window = x_semantic[max(0, sem_idx - max_sem_hist):][:256]
@@ -326,7 +316,7 @@ class Bark:
             steps = int(min(sliding_window_len, n_steps - n_step))
             rng, sub = jax.random.split(rng)
             out = self.coarse_model.apply(
-                self._dq(self.coarse_params), jnp.asarray(prompt[None]), sub,
+                coarse_params, jnp.asarray(prompt[None]), sub,
                 max_new_tokens=steps,
                 eos_token=c.coarse_config.output_vocab_size - 1,
                 temperature=temperature, top_k=top_k, top_p=top_p,
@@ -362,8 +352,9 @@ class Bark:
             codes = np.concatenate([hist[:n_fine], codes], axis=1)
             T = codes.shape[1]
         idx = jnp.asarray(codes.T[None], jnp.int32)  # [1, T, n_fine]
+        fine_params = self._dq(self.fine_params)  # once per utterance, not per codebook
         for k in range(coarse_codes.shape[0], n_fine):
-            logits = self.fine_model.apply(self._dq(self.fine_params), k, idx)
+            logits = self.fine_model.apply(fine_params, k, idx)
             rng, sub = jax.random.split(rng)
             sampled = sample_logits(
                 sub, logits.reshape(-1, logits.shape[-1])[:, : c.CODEBOOK_SIZE],

@@ -429,23 +429,14 @@ class Tortoise:
         """Serving optimization: int8 weight-only storage for the UnifiedVoice
         AR stack (see ``ops/quant.py`` and the XTTS counterpart) — the
         autoregressive decode is HBM-bandwidth-bound."""
-        from tts_tpu.ops.quant import quantize_int8
+        from tts_tpu.ops.quant import install_int8
 
-        if compute_dtype is None:
-            compute_dtype = (
-                jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
-            )
-        if self.ar_params is not None:
-            self.ar_params = jax.tree.map(jnp.asarray, quantize_int8(self.ar_params))
-        self._gpt_int8 = True
-        self._int8_dtype = compute_dtype
+        install_int8(self, ("ar_params",), compute_dtype)
 
     def _dq(self, params):
-        if getattr(self, "_gpt_int8", False):
-            from tts_tpu.ops.quant import dequantize
+        from tts_tpu.ops.quant import maybe_dequantize
 
-            return dequantize(params, self._int8_dtype)
-        return params
+        return maybe_dequantize(self, params)
 
     def rerank(self, text_tokens: jnp.ndarray, candidate_codes: jnp.ndarray) -> jnp.ndarray:
         """CLVP scores for k candidate code sequences (reference

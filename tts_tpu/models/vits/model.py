@@ -303,7 +303,11 @@ class VitsModule(nn.Module):
         z, _, _, y_mask = self.posterior_encoder(y, y_lengths, g=g_src)
         z_p = self.flow(z, y_mask, g=g_src)
         z_hat = self.flow(z_p, y_mask, g=g_tgt, reverse=True)
-        return self.waveform_decoder(z_hat * y_mask, g=g_tgt)
+        # intentional divergence: the reference omits upsampling_z here
+        # (vits.py:1202-1228), which would emit factor× too-short audio for
+        # encoder_sample_rate models — apply the same latent upsampling as
+        # inference()
+        return self.waveform_decoder(self._upsample_z(z_hat * y_mask), g=g_tgt)
 
 
 # ---------------------------------------------------------------------------
@@ -460,6 +464,27 @@ class Vits:
             ).astype(np.int32)
         return batch
 
+    def voice_conversion(self, params, y, y_lengths, speaker_cond_src, speaker_cond_tgt):
+        """Same-model voice transfer (reference ``vits.py:1202``): spec +
+        source speaker → shared latent → target speaker → waveform. Speaker
+        conds may be integer ids (embedded via ``emb_g``) or d-vectors."""
+        def _g(c):
+            c = jnp.asarray(c)
+            if jnp.issubdtype(c.dtype, jnp.integer):
+                emb = params["params"]["emb_g"]["embedding"]
+                return emb[c.reshape(-1)]
+            return c
+
+        return self.module.apply(
+            params,
+            jnp.asarray(y),
+            jnp.asarray(y_lengths),
+            _g(speaker_cond_src),
+            _g(speaker_cond_tgt),
+            method=self.module.voice_conversion,
+            rngs={"noise": jax.random.PRNGKey(0)},
+        )
+
     def init_params(self, rng: jax.Array, t_en: int = 17, t_de: int = 64):
         a = self.args
         hop = int(np.prod(a.upsample_rates_decoder))
@@ -471,6 +496,18 @@ class Vits:
 
         # one fused jitted init graph: eager flax init dispatches every op
         # separately, which dominates cold-cache test/start-up time
+        # conditioning inputs must be present at init or flax never creates
+        # emb_g/emb_l and the g-projection layers (multi-speaker/-lingual
+        # training would then start with missing params)
+        aux = {}
+        if a.use_d_vector_file:
+            aux["d_vectors"] = jnp.zeros((1, a.d_vector_dim), jnp.float32)
+        elif a.use_speaker_embedding and a.num_speakers > 0:
+            aux["speaker_ids"] = jnp.zeros((1,), jnp.int32)
+        if a.use_language_embedding and a.num_languages > 0:
+            aux["language_ids"] = jnp.zeros((1,), jnp.int32)
+        aux = aux or None
+
         def _init(rng_):
             x = jnp.zeros((1, t_en), jnp.int32)
             xl = jnp.full((1,), t_en, jnp.int32)
@@ -479,7 +516,8 @@ class Vits:
             wav = jnp.zeros((1, t_de * hop, 1), jnp.float32)
             r1, r2, r3, r4 = jax.random.split(rng_, 4)
             gen_params = self.module.init(
-                {"params": r1, "noise": r2, "segments": r3, "dropout": r4}, x, xl, y, yl, wav
+                {"params": r1, "noise": r2, "segments": r3, "dropout": r4},
+                x, xl, y, yl, wav, aux_input=aux,
             )
             seg_wav = jnp.zeros((1, a.spec_segment_size * hop, 1))
             disc_params = self.discriminator.init(r1, seg_wav, seg_wav)

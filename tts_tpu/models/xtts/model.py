@@ -201,24 +201,16 @@ class Xtts:
         token re-reads all weights — so int8 weights nearly halve step time
         on TPU. Dequantization happens inside the jitted steps where XLA
         fuses it into the consuming dot. No reference counterpart."""
-        from tts_tpu.ops.quant import quantize_int8
+        from tts_tpu.ops.quant import install_int8
 
-        if compute_dtype is None:
-            compute_dtype = (
-                jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
-            )
-        self.gpt_params = jax.tree.map(jnp.asarray, quantize_int8(self.gpt_params))
-        self._gpt_int8 = True
-        self._int8_dtype = compute_dtype
+        install_int8(self, ("gpt_params",), compute_dtype)
 
     def _dq(self, params):
         """Dequantize int8 GPT params (inside jit when called from a traced
         closure); identity when quantization is off."""
-        if getattr(self, "_gpt_int8", False):
-            from tts_tpu.ops.quant import dequantize
+        from tts_tpu.ops.quant import maybe_dequantize
 
-            return dequantize(params, self._int8_dtype)
-        return params
+        return maybe_dequantize(self, params)
 
     # ------------------------------------------------------------------
     def get_gpt_cond_latents(

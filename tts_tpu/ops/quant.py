@@ -86,6 +86,31 @@ def is_quantized(tree: Any) -> bool:
     return found
 
 
+def install_int8(model: Any, attr_names, compute_dtype=None) -> None:
+    """Shared model-side wiring: quantize the named param-tree attributes in
+    place and mark the model so :func:`maybe_dequantize` activates. Used by
+    Xtts/Bark/Tortoise ``quantize_weights_int8``."""
+    if compute_dtype is None:
+        compute_dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    for attr in attr_names:
+        p = getattr(model, attr, None)
+        if p is not None:
+            setattr(model, attr, jax.tree.map(jnp.asarray, quantize_int8(p)))
+    model._gpt_int8 = True
+    model._int8_dtype = compute_dtype
+
+
+def maybe_dequantize(model: Any, params: Any) -> Any:
+    """Dequantize ``params`` iff :func:`install_int8` ran on ``model``.
+    Call INSIDE a jitted closure where possible — there XLA fuses the
+    convert+scale into the consuming matmul and weights stream from HBM as
+    int8; on eager paths the dequantized copy is transient per call (weights
+    still sit in HBM at rest as int8)."""
+    if getattr(model, "_gpt_int8", False):
+        return dequantize(params, model._int8_dtype)
+    return params
+
+
 def quantized_bytes(tree: Any) -> int:
     """Total parameter bytes of the (possibly partly quantized) tree."""
     total = 0

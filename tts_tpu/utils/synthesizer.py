@@ -386,6 +386,13 @@ class Synthesizer:
         from tts_tpu.audio.numpy_transforms import load_wav
 
         wav = load_wav(filename=reference_wav, sample_rate=self.ap.sample_rate, resample=True)
+        enc_sr = getattr(getattr(model, "args", None), "encoder_sample_rate", None)
+        if enc_sr and enc_sr != self.ap.sample_rate:
+            # encoder_sample_rate models: the posterior encoder consumes
+            # spectrograms at the (lower) encoder rate
+            from tts_tpu.audio.numpy_transforms import resample_wav
+
+            wav = resample_wav(wav, self.ap.sample_rate, enc_sr)
         spec = self.ap.spectrogram(wav)  # [C, T]
         y = jnp.asarray(spec.T[None])
         y_lengths = jnp.asarray([spec.shape[1]])

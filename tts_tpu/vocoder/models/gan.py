@@ -158,8 +158,9 @@ class GAN:
             self._eval_ap = AudioProcessor.init_from_config(self.config.audio, verbose=False)
         y_hat = np.asarray(self.generate(state.params["gen"], batch["mel"][:1]))
         y = np.asarray(batch["waveform"][:1])
-        figures = plot_results(y_hat, y, self._eval_ap, "eval/")
-        audios = {"eval/audio": y_hat[0].squeeze()}
+        # unprefixed keys: the Trainer's dashboard already scopes by "eval"
+        figures = plot_results(y_hat, y, self._eval_ap)
+        audios = {"audio": y_hat[0].squeeze()}
         return figures, audios
 
     def get_dataset(self, config, samples, is_eval: bool = False):
