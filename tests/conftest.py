@@ -22,8 +22,29 @@ jax.config.update("jax_platforms", "cpu")
 
 # persistent compile cache: XLA compiles dominate suite wall-time on CPU;
 # repeat runs (CI re-runs, local iteration) hit the cache and finish far
-# faster.  First run populates ``.jax_cache_cpu`` (gitignored).
-_cache_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache_cpu")
+# faster.  First run populates ``.jax_cache_cpu-<fingerprint>`` (gitignored).
+# The dir is keyed by the host's CPU feature set: XLA loads AOT results
+# compiled for OTHER machines with only a warning ("could lead to ... SIGILL")
+# and sandbox sessions land on heterogeneous hosts.
+def _host_fingerprint() -> str:
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.sha1(line.encode()).hexdigest()[:10]
+    except OSError:
+        pass
+    import platform
+
+    return hashlib.sha1(platform.processor().encode()).hexdigest()[:10]
+
+
+_cache_dir = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    f".jax_cache_cpu-{_host_fingerprint()}",
+)
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _cache_dir)  # subprocesses too
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
