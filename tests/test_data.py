@@ -134,3 +134,24 @@ def test_process_pool_prefetch(ljspeech_dataset):
     for a, b in zip(got, want):
         np.testing.assert_array_equal(a["text_input"], b["text_input"])
         np.testing.assert_allclose(a["mel_input"], b["mel_input"], atol=1e-6)
+
+
+def test_benchmark_loader_tool(capsys):
+    """The loader-overlap measurement tool emits one JSON line covering all
+    three worker modes (serial / thread pool / forked processes)."""
+    import json
+    import sys
+
+    from tts_tpu.bin import benchmark_loader
+
+    old = sys.argv
+    sys.argv = ["benchmark_loader", "--num_samples", "8", "--batch_size", "4",
+                "--step_ms", "5", "--workers", "2"]
+    try:
+        benchmark_loader.main()
+    finally:
+        sys.argv = old
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    for mode in ("serial", "thread", "process"):
+        assert out[mode]["batches_s"] > 0
+        assert 0 < out[mode]["overlap_efficiency"] <= 1
