@@ -44,6 +44,9 @@ def measure_ttfa(with_throughput: bool = False):
 
     T_TEXT = int(os.environ.get("BENCH_TEXT_TOKENS", "50"))
     CHUNK = int(os.environ.get("BENCH_CHUNK", "20"))
+    # serving capacity: decode BATCH concurrent streams in one scan (the
+    # decode is weight-bandwidth-bound, so tokens/s scales nearly with B)
+    BATCH = int(os.environ.get("BENCH_XTTS_BATCH", "1"))
     DTYPE = os.environ.get("BENCH_XTTS_DTYPE", "bfloat16")
     MAX_NEW = 600
 
@@ -51,13 +54,13 @@ def measure_ttfa(with_throughput: bool = False):
     dec = HifiDecoder()
 
     rng = jax.random.PRNGKey(0)
-    text = jnp.asarray(np.random.RandomState(0).randint(1, 6000, (1, T_TEXT)))
-    tlen = jnp.full((1,), T_TEXT, jnp.int32)
+    text = jnp.asarray(np.random.RandomState(0).randint(1, 6000, (BATCH, T_TEXT)))
+    tlen = jnp.full((BATCH,), T_TEXT, jnp.int32)
     cond_mel = jnp.asarray(np.random.RandomState(1).randn(1, 64, 80), jnp.float32)
     spk_mel = jnp.abs(jnp.asarray(np.random.RandomState(2).randn(1, 90, 64), jnp.float32)) + 0.1
 
     gpt_params = gpt.init(
-        {"params": rng}, text, tlen, jnp.zeros((1, 8), jnp.int32),
+        {"params": rng}, text[:1], tlen[:1], jnp.zeros((1, 8), jnp.int32),
         jnp.full((1,), 8, jnp.int32), cond_mels=cond_mel,
     )
     dec_params = dec.init(rng, jnp.zeros((1, CHUNK, 1024)), jnp.zeros((1, 1, 512)),
@@ -96,6 +99,9 @@ def measure_ttfa(with_throughput: bool = False):
     # precomputed conditioning (cached per speaker in the serving path)
     cond = style(gpt_params, cond_mel)
     g = embed_spk(dec_params, spk_mel)[:, None, :]
+    if BATCH > 1:
+        cond = jnp.broadcast_to(cond, (BATCH,) + tuple(cond.shape[1:]))
+        g = jnp.broadcast_to(g, (BATCH,) + tuple(g.shape[1:]))
 
     def first_audio(r):
         state = prefill(gpt_params, cond, text, tlen)
@@ -132,7 +138,7 @@ def measure_ttfa(with_throughput: bool = False):
         wav = vocode(dec_params, latents, g)
     _ = np.asarray(wav[0, 0, 0])
     dt = time.time() - t0
-    n_tokens = N_CHUNKS * CHUNK
+    n_tokens = N_CHUNKS * CHUNK * BATCH  # aggregate across concurrent streams
     decode_tok_s = n_tokens / dt
     stream_rtf = (n_tokens * samples_per_token / 24000.0) / dt
     return ttfa_ms, float(decode_tok_s), float(stream_rtf)

@@ -142,3 +142,46 @@ def test_v1_layout_cond_latents_keep_frames():
     assert lat.shape[0] == 1 and lat.shape[2] == 64
     assert 40 <= lat.shape[1] <= 48
     assert np.isfinite(lat).all()
+
+
+def test_batched_streaming_matches_single_greedy(xtts_tiny):
+    """inference_stream_batched decodes B streams in one scan; with greedy
+    sampling (top_k=1) each row must reproduce the single-stream decode."""
+    model = xtts_tiny
+    cond = jnp.asarray(np.random.RandomState(5).randn(1, 8, 64), jnp.float32)
+    spk = jnp.asarray(np.random.RandomState(6).randn(1, 512), jnp.float32)
+    model.tokenizer = type(
+        "_Tok", (), {"encode": staticmethod(lambda t, l: [5, 9, 11, 3])}
+    )()
+    kw = dict(stream_chunk_size=4, max_new_tokens=12, temperature=0.01, top_k=1,
+              top_p=1.0, rng=jax.random.PRNGKey(7))
+    single = list(model.inference_stream("x", "en", cond, spk, **kw))
+    batched = list(
+        model.inference_stream_batched(["x", "x"], "en", cond, spk, **kw)
+    )
+    got_rows = [[c[i] for c in batched if c[i] is not None] for i in range(2)]
+    for row in got_rows:
+        assert len(row) == len(single)
+        for a, b in zip(row, single):
+            np.testing.assert_allclose(a, b, atol=2e-4)
+
+
+def test_batched_streaming_ragged_lengths(xtts_tiny):
+    """Ragged texts: pad rows see stop tokens, outputs stay finite and each
+    stream terminates independently."""
+    model = xtts_tiny
+    cond = jnp.asarray(np.random.RandomState(8).randn(1, 8, 64), jnp.float32)
+    spk = jnp.asarray(np.random.RandomState(9).randn(1, 512), jnp.float32)
+    rows = {"a": [5, 9], "bbb": [5, 9, 11, 3, 7, 2]}
+    model.tokenizer = type(
+        "_Tok", (), {"encode": staticmethod(lambda t, l: rows[t])}
+    )()
+    chunks = list(model.inference_stream_batched(
+        ["a", "bbb"], "en", cond, spk,
+        stream_chunk_size=4, max_new_tokens=8, rng=jax.random.PRNGKey(1),
+    ))
+    assert chunks, "no audio yielded"
+    for c in chunks:
+        for item in c:
+            if item is not None:
+                assert np.isfinite(item).all()

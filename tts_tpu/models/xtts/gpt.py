@@ -279,6 +279,13 @@ class XttsGPT(nn.Module):
         pytree consumed by :meth:`decode_chunk` (chunked streaming) or the
         full scan in :meth:`generate`."""
         B = text_inputs.shape[0]
+        # ragged batches: pad positions become stop tokens (same convention
+        # as the training forward above) so shorter rows see repeated stops
+        # instead of arbitrary pad ids
+        t_idx = jnp.arange(text_inputs.shape[1])[None]
+        text_inputs = jnp.where(
+            t_idx < text_lengths[:, None], text_inputs, self.stop_text_token
+        )
         text_wrapped = jnp.concatenate(
             [
                 jnp.full((B, 1), self.start_text_token),

@@ -418,6 +418,102 @@ class Xtts:
             if bool(np.asarray(state["done"])[0]):
                 break
 
+    def inference_stream_batched(
+        self,
+        texts: List[str],
+        language: str,
+        gpt_cond_latent: jnp.ndarray,  # [1|B, L, D]
+        speaker_embedding: jnp.ndarray,  # [1|B, 512]
+        stream_chunk_size: int = 20,
+        overlap_wav_len: int = 1024,
+        max_new_tokens: Optional[int] = None,
+        rng: Optional[jax.Array] = None,
+        temperature: float = 0.75,
+        top_k: int = 50,
+        top_p: float = 0.85,
+        repetition_penalty: float = 5.0,
+    ) -> Iterator[List[Optional[np.ndarray]]]:
+        """Serving-capacity streaming: decode B utterances in ONE KV-cached
+        scan (shared weight reads — AR decode is HBM-bound, so tokens/s
+        scales nearly with B until compute saturates). Yields one list per
+        chunk: item i is utterance i's crossfaded audio chunk, or None once
+        that stream has finished. No reference counterpart (the reference
+        streams batch-1 only, ``xtts.py:611``)."""
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        B = len(texts)
+        token_rows = [self.tokenizer.encode(t, language) for t in texts]
+        T = max(len(r) for r in token_rows)
+        text_tokens = jnp.asarray(
+            [r + [0] * (T - len(r)) for r in token_rows], jnp.int32
+        )
+        text_lengths = jnp.asarray([len(r) for r in token_rows], jnp.int32)
+        cond = jnp.broadcast_to(
+            gpt_cond_latent, (B,) + tuple(gpt_cond_latent.shape[1:])
+        )
+        spk = jnp.broadcast_to(
+            speaker_embedding, (B,) + tuple(speaker_embedding.shape[1:])
+        )
+        max_new = max_new_tokens or self.gpt.max_mel_tokens - 3
+        n_chunks = -(-max_new // stream_chunk_size)
+
+        prefill = jax.jit(
+            lambda p, c, t, tl: self.gpt.apply(
+                self._dq(p), c, t, tl,
+                max_new_tokens=n_chunks * stream_chunk_size,
+                method=self.gpt.prefill,
+            )
+        )
+        chunk_fn = jax.jit(
+            lambda p, s, r: self.gpt.apply(
+                self._dq(p), s, r, chunk_size=stream_chunk_size,
+                temperature=temperature, top_k=top_k, top_p=top_p,
+                repetition_penalty=repetition_penalty,
+                method=self.gpt.decode_chunk,
+            ),
+            donate_argnums=(1,),
+        )
+        vocode = jax.jit(lambda p, lat, spk_: self.hifigan_decoder.apply(p, lat, spk_))
+
+        state = prefill(self.gpt_params, cond, text_tokens, text_lengths)
+        tails: List[Optional[np.ndarray]] = [None] * B
+        finished = [False] * B
+        for _ in range(n_chunks):
+            rng, sub = jax.random.split(rng)
+            state, toks, latents = chunk_fn(self.gpt_params, state, sub)
+            wavs = np.asarray(
+                vocode(self.decoder_params, latents, spk), np.float32
+            )[:, :, 0]
+            toks_np = np.asarray(toks)
+            samples_per_code = wavs.shape[1] // latents.shape[1]
+            out: List[Optional[np.ndarray]] = []
+            for i in range(B):
+                if finished[i]:
+                    out.append(None)
+                    continue
+                n_valid = int(np.sum(toks_np[i] != self.gpt.stop_audio_token))
+                if n_valid == 0:
+                    finished[i] = True
+                    out.append(None)
+                    continue
+                chunk = wavs[i, : n_valid * samples_per_code].copy()
+                if tails[i] is not None and len(chunk) >= overlap_wav_len:
+                    fade = np.linspace(0, 1, overlap_wav_len, dtype=np.float32)
+                    chunk[:overlap_wav_len] = (
+                        chunk[:overlap_wav_len] * fade + tails[i] * (1 - fade)
+                    )
+                tails[i] = (
+                    chunk[-overlap_wav_len:].copy()
+                    if len(chunk) >= overlap_wav_len
+                    else None
+                )
+                out.append(chunk)
+                if bool(np.asarray(state["done"])[i]):
+                    finished[i] = True
+            if any(c is not None for c in out):
+                yield out
+            if all(finished):
+                break
+
     def synthesize(
         self,
         text: str,
