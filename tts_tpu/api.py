@@ -25,10 +25,20 @@ class TTS:
         vocoder_path: Optional[str] = None,
         vocoder_config_path: Optional[str] = None,
         progress_bar: bool = True,
+        speakers_file_path: Optional[str] = None,
+        language_ids_file_path: Optional[str] = None,
+        encoder_path: Optional[str] = None,
+        encoder_config_path: Optional[str] = None,
+        voice_dir: Optional[str] = None,
     ):
         self.synthesizer: Optional[Synthesizer] = None
         self.voice_converter: Optional[Synthesizer] = None
         self.model_name = model_name
+        self._speakers_file_path = speakers_file_path or ""
+        self._language_ids_file_path = language_ids_file_path or ""
+        self._encoder_path = encoder_path or ""
+        self._encoder_config_path = encoder_config_path or ""
+        self._voice_dir = voice_dir
         if model_name:
             if "voice_conversion" in model_name:
                 self.load_vc_model_by_name(model_name)
@@ -83,7 +93,7 @@ class TTS:
         model_path, config_path, model_item = manager.download_model(model_name)
         if config_path is None and os.path.isdir(model_path):
             # multi-file model dir (XTTS): Synthesizer loads it whole
-            self.synthesizer = Synthesizer(model_dir=model_path)
+            self.synthesizer = Synthesizer(model_dir=model_path, voice_dir=self._voice_dir)
             return
         vocoder_name = model_item.get("default_vocoder")
         vocoder_path = vocoder_config = None
@@ -99,8 +109,13 @@ class TTS:
         self.synthesizer = Synthesizer(
             tts_checkpoint=model_path,
             tts_config_path=config_path or "",
+            tts_speakers_file=self._speakers_file_path,
+            tts_languages_file=self._language_ids_file_path,
             vocoder_checkpoint=vocoder_path or "",
             vocoder_config=vocoder_config or "",
+            encoder_checkpoint=self._encoder_path,
+            encoder_config=self._encoder_config_path,
+            voice_dir=self._voice_dir,
         )
 
     def load_vc_model_by_name(self, model_name: str) -> None:

@@ -67,6 +67,53 @@ class ModelManager:
         model_type, lang, dataset, model = name.split("/")
         return self.models_dict[model_type][lang][dataset][model]
 
+    def model_info_by_name(self, model_query_name: str) -> None:
+        """Print a zoo entry's details from its full name (reference
+        ``manage.py model_info_by_full_name``)."""
+        parts = model_query_name.split("/")
+        if len(parts) != 4:
+            print("> model_query_name should be in format <model_type>/<language>/<dataset>/<model_name>")
+            return
+        model_type, lang, dataset, model = parts
+        try:
+            item = self.models_dict[model_type][lang][dataset][model]
+        except KeyError as e:
+            print(f"> {e.args[0]} does not exist in the model list.")
+            return
+        self._print_model_item(model_type, lang, dataset, model, item)
+
+    def model_info_by_idx(self, model_query: str) -> None:
+        """Print a zoo entry's details from ``<model_type>/<idx>`` (1-based;
+        reference ``manage.py model_info_by_idx``)."""
+        try:
+            model_type, idx_str = model_query.split("/")
+            idx = int(idx_str)
+        except ValueError:
+            print("> model_query should be in format <model_type>/<model_query_idx> with an integer idx")
+            return
+        if idx <= 0:
+            print("> model_query_idx should be a positive integer!")
+            return
+        names = [n for n in self._list() if n.startswith(model_type + "/")]
+        if not names:
+            print(f"> model_type {model_type} does not exist in the list.")
+            return
+        if idx > len(names):
+            print(f"model query idx exceeds the number of available models [{len(names)}]")
+            return
+        model_type, lang, dataset, model = names[idx - 1].split("/")
+        self._print_model_item(model_type, lang, dataset, model, self.models_dict[model_type][lang][dataset][model])
+
+    @staticmethod
+    def _print_model_item(model_type: str, lang: str, dataset: str, model: str, item: Dict) -> None:
+        print(f"> model type : {model_type}")
+        print(f"> language supported : {lang}")
+        print(f"> dataset used : {dataset}")
+        print(f"> model name : {model}")
+        print(f"> description : {item.get('description') or 'coming soon'}")
+        if item.get("default_vocoder"):
+            print(f"> default_vocoder : {item['default_vocoder']}")
+
     # ------------------------------------------------------------------
     def _set_model_item(self, model_name: str) -> Tuple[Dict, str, str]:
         model_type, lang, dataset, model = model_name.split("/")

@@ -62,6 +62,8 @@ class Synthesizer:
         self.vocoder_ap = None
         self.vc_model = None
         self.vc_params = None
+        self.tts_speakers_file = tts_speakers_file
+        self.tts_languages_file = tts_languages_file
         self.voice_dir = voice_dir
         self.use_griffin_lim = use_griffin_lim
         self.output_sample_rate = 22050
@@ -90,6 +92,15 @@ class Synthesizer:
         else:
             model_name = config_dict.get("model", "")
             config = register_config(model_name.lower()).from_dict(config_dict)
+        # external speakers/languages files override the checkpoint-embedded
+        # ones (reference CLI --speakers_file_path / --language_ids_file_path)
+        for tgt in (config, getattr(config, "model_args", None)):
+            if tgt is None:
+                continue
+            if self.tts_speakers_file and hasattr(tgt, "speakers_file"):
+                tgt.speakers_file = self.tts_speakers_file
+            if self.tts_languages_file and hasattr(tgt, "language_ids_file"):
+                tgt.language_ids_file = self.tts_languages_file
         self.tts_config = config
         self.tts_model = setup_model(config)
         # trainer checkpoints hold named param groups; inference wants the
