@@ -17,6 +17,20 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 import numpy as np  # noqa: E402
 
 
+_T0 = time.time()
+# optional measurements (bf16 re-run, train step, XTTS TTFA) are skipped
+# once this much wall-clock has elapsed, so the mandatory JSON line always
+# lands inside the driver's patience even on a cold compile cache
+_DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", "420"))
+
+
+def _past_deadline(label: str) -> bool:
+    if time.time() - _T0 > _DEADLINE_S:
+        print(f"skipping {label}: past {_DEADLINE_S:.0f}s bench deadline", file=sys.stderr)
+        return True
+    return False
+
+
 def main():
     import jax
 
@@ -88,7 +102,7 @@ def main():
     # bf16 weights/activations: the deployment-precision RTF (38% over fp32
     # on one v5e — fp32 stays the headline for series consistency)
     rtf_bf16 = None
-    if DTYPE == "float32" and not os.environ.get("BENCH_SKIP_BF16"):
+    if DTYPE == "float32" and not os.environ.get("BENCH_SKIP_BF16") and not _past_deadline("bf16 RTF"):
         try:
             dt16, out16 = timed(infer, to_bf16(gen_params), x, xl, rng)
             wav16 = np.asarray(out16["model_outputs"], np.float32)
@@ -100,9 +114,7 @@ def main():
     # MFU: compiled-graph flops per step / chip peak (v5e: 197 TFLOP/s bf16)
     vits_mfu = None
     try:
-        cost = jax.jit(
-            lambda p, x, xl, r: model.inference(p, x, xl, max_frames=MAXF, rng=r)
-        ).lower(gen_params, x, xl, rng).compile().cost_analysis()
+        cost = infer.lower(gen_params, x, xl, rng).compile().cost_analysis()
         if isinstance(cost, list):
             cost = cost[0]
         flops = float(cost.get("flops", 0.0))
@@ -115,19 +127,10 @@ def main():
     except Exception:
         pass
 
-    # VITS GAN training step at LJSpeech dims (BASELINE.json lists DP
-    # training as a tracked config); non-fatal
-    train_ms = train_mfu = None
-    if not os.environ.get("BENCH_SKIP_TRAIN"):
-        try:
-            train_ms, train_mfu = measure_train_step(model, cfg)
-        except Exception as e:  # pragma: no cover
-            print(f"train-step measurement failed: {e}", file=sys.stderr)
-
     # XTTS streaming TTFA (the reference's headline metric) + sustained
     # decode throughput / streaming RTF; non-fatal
     xtts_ttfa_ms = xtts_tok_s = xtts_stream_rtf = None
-    if not os.environ.get("BENCH_SKIP_XTTS"):
+    if not os.environ.get("BENCH_SKIP_XTTS") and not _past_deadline("xtts ttfa"):
         try:
             from bench_xtts import measure_ttfa
 
@@ -137,6 +140,15 @@ def main():
             xtts_stream_rtf = round(xtts_stream_rtf, 2)
         except Exception as e:  # pragma: no cover
             print(f"xtts ttfa measurement failed: {e}", file=sys.stderr)
+
+    # VITS GAN training step at LJSpeech dims (BASELINE.json lists DP
+    # training as a tracked config); non-fatal
+    train_ms = train_mfu = None
+    if not os.environ.get("BENCH_SKIP_TRAIN") and not _past_deadline("train step"):
+        try:
+            train_ms, train_mfu = measure_train_step(model, cfg)
+        except Exception as e:  # pragma: no cover
+            print(f"train-step measurement failed: {e}", file=sys.stderr)
 
     print(
         json.dumps(
@@ -196,7 +208,7 @@ def measure_train_step(model, cfg):
 
     mfu = None
     try:
-        cost = jax.jit(train_step).lower(state, batch, key).compile().cost_analysis()
+        cost = step.lower(state, batch, key).compile().cost_analysis()
         if isinstance(cost, list):
             cost = cost[0]
         flops = float(cost.get("flops", 0.0))

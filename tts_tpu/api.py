@@ -43,7 +43,9 @@ class TTS:
             if "voice_conversion" in model_name:
                 self.load_vc_model_by_name(model_name)
             else:
-                self.load_tts_model_by_name(model_name)
+                self.load_tts_model_by_name(
+                    model_name, vocoder_path=vocoder_path, vocoder_config=vocoder_config_path
+                )
         elif model_path:
             self.load_tts_model_by_path(
                 model_path, config_path, vocoder_path=vocoder_path, vocoder_config=vocoder_config_path
@@ -86,7 +88,9 @@ class TTS:
 
         return ModelManager().list_models()
 
-    def load_tts_model_by_name(self, model_name: str) -> None:
+    def load_tts_model_by_name(
+        self, model_name: str, vocoder_path: Optional[str] = None, vocoder_config: Optional[str] = None
+    ) -> None:
         from tts_tpu.utils.manage import ModelManager
 
         manager = ModelManager()
@@ -95,10 +99,13 @@ class TTS:
             # multi-file model dir (XTTS): Synthesizer loads it whole
             self.synthesizer = Synthesizer(model_dir=model_path, voice_dir=self._voice_dir)
             return
-        vocoder_name = model_item.get("default_vocoder")
-        vocoder_path = vocoder_config = None
-        if vocoder_name:
-            vocoder_path, vocoder_config, _ = manager.download_model(vocoder_name)
+        if vocoder_path is None:
+            # explicit vocoder override beats the zoo default (reference
+            # synthesize.py --vocoder_name / --vocoder_path handling)
+            vocoder_name = model_item.get("default_vocoder")
+            vocoder_config = None
+            if vocoder_name:
+                vocoder_path, vocoder_config, _ = manager.download_model(vocoder_name)
         self.load_tts_model_by_path(
             model_path, config_path, vocoder_path=vocoder_path, vocoder_config=vocoder_config
         )

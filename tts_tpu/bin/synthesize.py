@@ -96,12 +96,20 @@ def main():
 
     from tts_tpu.api import TTS
 
+    vocoder_path, vocoder_config_path = args.vocoder_path, args.vocoder_config_path
+    if args.vocoder_name and not vocoder_path:
+        from tts_tpu.utils.manage import ModelManager
+
+        vocoder_path, vocoder_config_path, _ = ModelManager(
+            progress_bar=args.progress_bar
+        ).download_model(args.vocoder_name)
+
     tts = TTS(
         model_name=args.model_name or "",
         model_path=args.model_path,
         config_path=args.config_path,
-        vocoder_path=args.vocoder_path,
-        vocoder_config_path=args.vocoder_config_path,
+        vocoder_path=vocoder_path,
+        vocoder_config_path=vocoder_config_path,
         speakers_file_path=args.speakers_file_path,
         language_ids_file_path=args.language_ids_file_path,
         encoder_path=args.encoder_path,

@@ -232,26 +232,50 @@ def create_server(
 
 def main():
     parser = argparse.ArgumentParser()
+    parser.add_argument("--list_models", action="store_true",
+                        help="list released zoo models and exit")
     parser.add_argument("--model_name", default=None)
     parser.add_argument("--model_path", default=None)
     parser.add_argument("--config_path", default=None)
+    parser.add_argument("--vocoder_name", default=None,
+                        help="zoo vocoder name (overrides the model's default_vocoder)")
     parser.add_argument("--vocoder_path", default=None)
     parser.add_argument("--vocoder_config_path", default=None)
+    parser.add_argument("--speakers_file_path", default=None,
+                        help="JSON speakers file for a multi-speaker model")
     parser.add_argument("--port", type=int, default=5002)
+    parser.add_argument("--use_cuda", action="store_true", help="ignored (JAX selects the device)")
+    parser.add_argument("--debug", action="store_true", help="verbose request logging")
+    parser.add_argument("--show_details", action="store_true",
+                        help="accepted for reference compat (the /details route is always on)")
     parser.add_argument("--max_batch", type=int, default=1,
                         help="dynamic batching: max concurrent requests per device dispatch")
     parser.add_argument("--batch_window_ms", type=float, default=10.0,
                         help="how long the first queued request waits for batch mates")
     args = parser.parse_args()
 
+    if args.list_models:
+        from tts_tpu.utils.manage import ModelManager
+
+        for name in ModelManager().list_models():
+            print(name)
+        return
+
     from tts_tpu.api import TTS
+
+    vocoder_path, vocoder_config = args.vocoder_path, args.vocoder_config_path
+    if args.vocoder_name and not vocoder_path:
+        from tts_tpu.utils.manage import ModelManager
+
+        vocoder_path, vocoder_config, _ = ModelManager().download_model(args.vocoder_name)
 
     tts = TTS(
         model_name=args.model_name or "",
         model_path=args.model_path,
         config_path=args.config_path,
-        vocoder_path=args.vocoder_path,
-        vocoder_config_path=args.vocoder_config_path,
+        vocoder_path=vocoder_path,
+        vocoder_config_path=vocoder_config,
+        speakers_file_path=args.speakers_file_path,
     )
     server = create_server(
         tts.synthesizer, args.port, max_batch=args.max_batch,
