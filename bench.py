@@ -99,6 +99,17 @@ def main():
     eff_seconds = float(np.asarray(out["y_lengths"], np.float64).sum()) * hop / sr
     rtf_effective = round(eff_seconds / dt, 1)
 
+    # VITS GAN training step at LJSpeech dims (BASELINE.json lists DP
+    # training as a tracked config).  Runs FIRST among the optional stages:
+    # rounds 2+3 shipped vits_train_step_ms:null because this sat behind the
+    # expensive XTTS compile and starved on the 420 s deadline.
+    train_ms = train_mfu = None
+    if not os.environ.get("BENCH_SKIP_TRAIN") and not _past_deadline("train step"):
+        try:
+            train_ms, train_mfu = measure_train_step(model, cfg)
+        except Exception as e:  # pragma: no cover
+            print(f"train-step measurement failed: {e}", file=sys.stderr)
+
     # bf16 weights/activations: the deployment-precision RTF (38% over fp32
     # on one v5e — fp32 stays the headline for series consistency)
     rtf_bf16 = None
@@ -140,15 +151,6 @@ def main():
             xtts_stream_rtf = round(xtts_stream_rtf, 2)
         except Exception as e:  # pragma: no cover
             print(f"xtts ttfa measurement failed: {e}", file=sys.stderr)
-
-    # VITS GAN training step at LJSpeech dims (BASELINE.json lists DP
-    # training as a tracked config); non-fatal
-    train_ms = train_mfu = None
-    if not os.environ.get("BENCH_SKIP_TRAIN") and not _past_deadline("train step"):
-        try:
-            train_ms, train_mfu = measure_train_step(model, cfg)
-        except Exception as e:  # pragma: no cover
-            print(f"train-step measurement failed: {e}", file=sys.stderr)
 
     print(
         json.dumps(

@@ -1,0 +1,118 @@
+"""Shared tiny-model factories used by more than one test module.
+
+Cross-test imports like ``from tests.test_xtts import _tiny_config`` broke
+whenever /root/reference's regular ``tests`` package shadowed this repo's
+namespace ``tests`` dir (round-3 verdict).  Factories live here instead and
+are imported top-level (``from helpers import ...``) — pytest puts this
+directory on sys.path, same mechanism as ``ref_stubs``.
+"""
+
+import json
+
+
+def tiny_xtts_config():
+    """A 2-layer 64-dim XTTS config small enough for CPU unit tests."""
+    from tts_tpu.models.xtts import XttsArgs, XttsConfig
+
+    cfg = XttsConfig()
+    cfg.model_args = XttsArgs(
+        gpt_layers=2,
+        gpt_n_model_channels=64,
+        gpt_n_heads=4,
+        gpt_number_text_tokens=50,
+        gpt_num_audio_tokens=34,
+        gpt_start_audio_token=32,
+        gpt_stop_audio_token=33,
+        gpt_start_text_token=48,
+        gpt_stop_text_token=0,
+        gpt_max_text_tokens=40,
+        gpt_max_audio_tokens=64,
+        gpt_use_perceiver_resampler=True,
+        decoder_input_dim=64,
+    )
+    return cfg
+
+
+def make_tiny_bark(seed=0):
+    """A 1-layer 32-dim Bark (3 AR stages + fine GPT), params initialised."""
+    import jax
+
+    from tts_tpu.models.bark import Bark, BarkConfig
+    from tts_tpu.models.bark.config import BarkGPTArgs
+
+    cfg = BarkConfig()
+    cfg.SEMANTIC_VOCAB_SIZE = 100
+    cfg.CODEBOOK_SIZE = 16
+    cfg.TEXT_ENCODING_OFFSET = 104
+    cfg.TEXT_PAD_TOKEN = 250
+    cfg.SEMANTIC_PAD_TOKEN = 100
+    cfg.SEMANTIC_INFER_TOKEN = 255
+    cfg.COARSE_INFER_TOKEN = 140
+    cfg.COARSE_SEMANTIC_PAD_TOKEN = 102
+    cfg.semantic_config = BarkGPTArgs(
+        block_size=640, input_vocab_size=256, output_vocab_size=256,
+        n_layer=1, n_head=2, n_embd=32,
+    )
+    cfg.coarse_config = BarkGPTArgs(
+        block_size=640, input_vocab_size=256, output_vocab_size=256,
+        n_layer=1, n_head=2, n_embd=32,
+    )
+    cfg.fine_config = BarkGPTArgs(
+        block_size=640, input_vocab_size=32, output_vocab_size=32,
+        n_layer=1, n_head=2, n_embd=32, n_codes_total=4, n_codes_given=2,
+    )
+    cfg.N_FINE_CODEBOOKS = 4
+    model = Bark(cfg)
+    model.init_params(jax.random.PRNGKey(seed))
+    return model
+
+
+GLOW_SMOKE_FIXTURE = "/root/reference/tests/data/ljspeech"
+
+
+def write_glow_smoke_config(tmp_path):
+    """Tiny GlowTTS train-smoke config on the 128-clip LJSpeech fixture
+    (reference pattern: tests/tts_tests/test_vits_train.py)."""
+    config = {
+        "model": "glow_tts",
+        "batch_size": 4,
+        "eval_batch_size": 4,
+        "epochs": 1,
+        "print_step": 1,
+        "save_step": 2,
+        "run_eval": True,
+        "eval_split_size": 0.25,
+        "num_flow_blocks_dec": 2,
+        "num_block_layers": 1,
+        "hidden_channels_enc": 32,
+        "hidden_channels_dec": 32,
+        "hidden_channels_dp": 16,
+        "encoder_params": {
+            "kernel_size": 3,
+            "dropout_p": 0.1,
+            "num_layers": 1,
+            "num_heads": 2,
+            "hidden_channels_ffn": 32,
+        },
+        "data_dep_init_steps": 0,
+        # one padded shape for the whole fixture → the train step compiles once
+        "max_audio_len": int(2.5 * 22050),
+        "pad_to_multiple_text": 192,
+        "pad_to_multiple_mel": 256,
+        "text_cleaner": "english_cleaners",
+        "use_phonemes": False,
+        "output_path": str(tmp_path / "run"),
+        "datasets": [
+            {
+                "formatter": "ljspeech",
+                "dataset_name": "ljspeech",
+                "path": GLOW_SMOKE_FIXTURE,
+                "meta_file_train": "metadata.csv",
+                "meta_file_val": "",
+                "language": "en",
+            }
+        ],
+    }
+    config_path = tmp_path / "config.json"
+    config_path.write_text(json.dumps(config))
+    return str(config_path)

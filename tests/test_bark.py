@@ -4,37 +4,12 @@ import jax
 import numpy as np
 import pytest
 
-from tts_tpu.models.bark import Bark, BarkConfig
-from tts_tpu.models.bark.config import BarkGPTArgs
+from helpers import make_tiny_bark  # noqa: E402
 
 
 @pytest.fixture(scope="module")
 def bark_tiny():
-    cfg = BarkConfig()
-    cfg.SEMANTIC_VOCAB_SIZE = 100
-    cfg.CODEBOOK_SIZE = 16
-    cfg.TEXT_ENCODING_OFFSET = 104
-    cfg.TEXT_PAD_TOKEN = 250
-    cfg.SEMANTIC_PAD_TOKEN = 100
-    cfg.SEMANTIC_INFER_TOKEN = 255
-    cfg.COARSE_INFER_TOKEN = 140
-    cfg.COARSE_SEMANTIC_PAD_TOKEN = 102
-    cfg.semantic_config = BarkGPTArgs(
-        block_size=640, input_vocab_size=256, output_vocab_size=256,
-        n_layer=1, n_head=2, n_embd=32,
-    )
-    cfg.coarse_config = BarkGPTArgs(
-        block_size=640, input_vocab_size=256, output_vocab_size=256,
-        n_layer=1, n_head=2, n_embd=32,
-    )
-    cfg.fine_config = BarkGPTArgs(
-        block_size=640, input_vocab_size=32, output_vocab_size=32,
-        n_layer=1, n_head=2, n_embd=32, n_codes_total=4, n_codes_given=2,
-    )
-    cfg.N_FINE_CODEBOOKS = 4
-    model = Bark(cfg)
-    model.init_params(jax.random.PRNGKey(0))
-    return model
+    return make_tiny_bark()
 
 
 def test_semantic_generation(bark_tiny):

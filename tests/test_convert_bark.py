@@ -13,7 +13,6 @@ sys.path.insert(0, "/root/repo")
 from ref_stubs import import_reference, install_reference_stubs
 
 install_reference_stubs()
-sys.path.insert(0, "/root/reference")
 
 from tts_tpu.models.bark.config import BarkGPTArgs
 from tts_tpu.models.bark.model import BarkFineGPT, BarkGPT

@@ -14,7 +14,6 @@ sys.path.insert(0, "/root/repo/tests")
 from ref_stubs import import_reference, install_reference_stubs
 
 install_reference_stubs()
-sys.path.insert(0, "/root/reference")
 
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402

@@ -35,8 +35,9 @@ def ref_parts():
     lib.feature = stub("librosa.feature", melspectrogram=None)
     stub("soundfile", read=None, write=None)
     stub("anyascii", anyascii=lambda s: s)
-    if "/root/reference" not in sys.path:
-        sys.path.insert(0, "/root/reference")
+    from ref_stubs import ensure_reference_importable
+
+    ensure_reference_importable()
     for key in list(sys.modules):
         if key == "TTS" or key.startswith("TTS."):
             if not str(getattr(sys.modules[key], "__file__", "")).startswith("/root/reference"):

@@ -13,7 +13,6 @@ sys.path.insert(0, "/root/repo")
 from ref_stubs import import_reference, install_reference_stubs
 
 install_reference_stubs()
-sys.path.insert(0, "/root/reference")
 
 
 def test_diffusion_decoder_parity():

@@ -15,7 +15,6 @@ from ref_stubs import install_reference_stubs
 
 def _ref_wavlm(cfg_overrides):
     install_reference_stubs()
-    sys.path.insert(0, "/root/reference")
     import torch
 
     from TTS.vc.modules.freevc.wavlm.wavlm import WavLM as RefWavLM, WavLMConfig as RefCfg

@@ -74,7 +74,6 @@ def test_load_wavlm_converts_torch_checkpoint(tmp_path):
     from ref_stubs import install_reference_stubs
 
     install_reference_stubs()
-    sys.path.insert(0, "/root/reference")
     from TTS.vc.modules.freevc.wavlm.wavlm import WavLM as RefWavLM, WavLMConfig as RefCfg
 
     cfg_dict = {

@@ -43,10 +43,11 @@ def test_bytes_halved():
 def test_xtts_int8_decode_close_to_fp32():
     """End to end: quantized GPT decode matches fp32 latents closely and
     still streams."""
-    from tests.test_xtts import _tiny_config
+    from helpers import tiny_xtts_config
+
     from tts_tpu.models.xtts import Xtts
 
-    model = Xtts(_tiny_config())
+    model = Xtts(tiny_xtts_config())
     model.init_params(jax.random.PRNGKey(0))
     cond = jnp.asarray(np.random.RandomState(2).randn(1, 8, 64), jnp.float32)
     text = jnp.asarray([[5, 9, 11, 3]], jnp.int32)
@@ -70,10 +71,9 @@ def test_xtts_int8_decode_close_to_fp32():
 
 def test_bark_int8_semantic_generation():
     """Bark AR stages run with int8 weights and stay in-vocab."""
-    # rebuild the tiny Bark via the other module's fixture function
-    import tests.test_bark as tb
+    from helpers import make_tiny_bark
 
-    model = tb.bark_tiny.__wrapped__()
+    model = make_tiny_bark()
     model.quantize_weights_int8(compute_dtype=jnp.float32)
     assert is_quantized(model.semantic_params)
     sem = model.generate_text_semantic(

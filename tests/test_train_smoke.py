@@ -10,53 +10,8 @@ import sys
 import numpy as np
 import pytest
 
-FIXTURE = "/root/reference/tests/data/ljspeech"
-
-
-def _write_config(tmp_path):
-    config = {
-        "model": "glow_tts",
-        "batch_size": 4,
-        "eval_batch_size": 4,
-        "epochs": 1,
-        "print_step": 1,
-        "save_step": 2,
-        "run_eval": True,
-        "eval_split_size": 0.25,
-        "num_flow_blocks_dec": 2,
-        "num_block_layers": 1,
-        "hidden_channels_enc": 32,
-        "hidden_channels_dec": 32,
-        "hidden_channels_dp": 16,
-        "encoder_params": {
-            "kernel_size": 3,
-            "dropout_p": 0.1,
-            "num_layers": 1,
-            "num_heads": 2,
-            "hidden_channels_ffn": 32,
-        },
-        "data_dep_init_steps": 0,
-        # one padded shape for the whole fixture → the train step compiles once
-        "max_audio_len": int(2.5 * 22050),
-        "pad_to_multiple_text": 192,
-        "pad_to_multiple_mel": 256,
-        "text_cleaner": "english_cleaners",
-        "use_phonemes": False,
-        "output_path": str(tmp_path / "run"),
-        "datasets": [
-            {
-                "formatter": "ljspeech",
-                "dataset_name": "ljspeech",
-                "path": FIXTURE,
-                "meta_file_train": "metadata.csv",
-                "meta_file_val": "",
-                "language": "en",
-            }
-        ],
-    }
-    config_path = tmp_path / "config.json"
-    config_path.write_text(json.dumps(config))
-    return str(config_path)
+from helpers import GLOW_SMOKE_FIXTURE as FIXTURE  # noqa: E402
+from helpers import write_glow_smoke_config as _write_config  # noqa: E402
 
 
 @pytest.mark.skipif(not os.path.isdir(FIXTURE), reason="fixture missing")

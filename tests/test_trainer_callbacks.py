@@ -67,7 +67,8 @@ def test_experiment_folder_path_stamp(tmp_path):
 def test_keyboard_interrupt_saves_checkpoint(tmp_path):
     """Ctrl-C mid-epoch → full-state checkpoint lands on disk and fit()
     returns instead of propagating."""
-    from tests.test_train_smoke import _write_config
+    from helpers import write_glow_smoke_config as _write_config
+
     from tts_tpu.config import load_config
     from tts_tpu.data import load_tts_samples
     from tts_tpu.models import setup_model

@@ -10,24 +10,7 @@ from tts_tpu.models.xtts.gpt import XttsGPT
 from tts_tpu.models.xtts.gpt_core import sample_logits
 
 
-def _tiny_config():
-    cfg = XttsConfig()
-    cfg.model_args = XttsArgs(
-        gpt_layers=2,
-        gpt_n_model_channels=64,
-        gpt_n_heads=4,
-        gpt_number_text_tokens=50,
-        gpt_num_audio_tokens=34,
-        gpt_start_audio_token=32,
-        gpt_stop_audio_token=33,
-        gpt_start_text_token=48,
-        gpt_stop_text_token=0,
-        gpt_max_text_tokens=40,
-        gpt_max_audio_tokens=64,
-        gpt_use_perceiver_resampler=True,
-        decoder_input_dim=64,
-    )
-    return cfg
+from helpers import tiny_xtts_config as _tiny_config  # noqa: E402
 
 
 @pytest.fixture(scope="module")
