@@ -1,0 +1,169 @@
+"""Offline Spanish/Italian/German G2P fallback (``tts_tpu.text.latin_g2p``).
+
+The reference phonemizes these languages only through the espeak binary
+(``TTS/tts/utils/text/phonemizers/espeak_wrapper.py:47-83``); with espeak
+absent its ``use_phonemes`` configs silently degrade to graphemes.  Here a
+rule transducer must produce IPA instead.  Gold word lists are standard
+phonemic dictionary transcriptions (stress marks included, no narrow
+diacritics).
+"""
+
+import warnings
+
+import pytest
+
+from tts_tpu.text.characters import IPAPhonemes
+from tts_tpu.text.latin_g2p import get_latin_g2p
+
+GOLD_ES = {
+    "hola": "ˈola",
+    "gracias": "ˈɡɾaθjas",
+    "mucho": "ˈmutʃo",
+    "zapato": "θaˈpato",
+    "guerra": "ˈɡera",
+    "año": "ˈaɲo",
+    "ciudad": "θjuˈdad",
+    "corazón": "koɾaˈθon",
+    "caballo": "kaˈbaʎo",
+    "general": "xeneˈɾal",
+    "querer": "keˈɾeɾ",
+    "agua": "ˈaɡwa",
+    "noche": "ˈnotʃe",
+    "tiempo": "ˈtjempo",
+    "bueno": "ˈbweno",
+    "trabajo": "tɾaˈbaxo",
+    "español": "espaˈɲol",
+    "verdad": "beɾˈdad",
+    "hacer": "aˈθeɾ",
+    "gente": "ˈxente",
+    "palabra": "paˈlabɾa",
+    "entrar": "enˈtɾaɾ",
+    "días": "ˈdias",
+    "señora": "seˈɲoɾa",
+}
+
+GOLD_IT = {
+    "ciao": "tʃao",
+    "grazie": "ˈɡrattsje",
+    "buongiorno": "bwonˈdʒorno",
+    "casa": "ˈkaza",
+    "scienza": "ˈʃentsa",
+    "famiglia": "faˈmiʎa",
+    "perché": "perˈke",
+    "città": "tʃitˈta",
+    "pesce": "ˈpeʃe",
+    "gnocchi": "ˈɲokki",
+    "amore": "aˈmore",
+    "parlare": "parˈlare",
+    "giorno": "ˈdʒorno",
+    "chiesa": "ˈkjeza",
+    "ragazzo": "raˈɡattso",
+    "stagione": "staˈdʒone",
+    "bagno": "ˈbaɲo",
+    "problema": "proˈblema",
+    "libro": "ˈlibro",
+}
+
+GOLD_DE = {
+    "sprechen": "ˈʃpʁɛçən",
+    "deutsch": "dɔʏtʃ",
+    "schön": "ʃøːn",
+    "ich": "ɪç",
+    "buch": "buːx",
+    "nacht": "naxt",
+    "wasser": "ˈvasɐ",
+    "zeitung": "ˈtsaɪtʊŋ",
+    "verstehen": "fɛɐˈʃteːən",
+    "mädchen": "ˈmɛːtçən",
+    "freundlich": "ˈfʁɔʏntlɪç",
+    "universität": "univɛʁziˈtɛːt",
+    "morgen": "ˈmɔʁɡən",
+    "haben": "ˈhaːbən",
+    "möglich": "ˈmøːklɪç",
+    "station": "ʃtaˈtsjoːn",
+    "tag": "taːk",
+    "hund": "hʊnt",
+    "sagen": "ˈzaːɡən",
+    "schule": "ˈʃuːlə",
+    "jahr": "jaːʁ",
+    "gut": "ɡuːt",
+    "kommen": "ˈkɔmən",
+    "singen": "ˈzɪŋən",
+}
+
+
+@pytest.mark.parametrize(
+    "lang,gold", [("es", GOLD_ES), ("it", GOLD_IT), ("de", GOLD_DE)]
+)
+def test_gold_words(lang, gold):
+    eng = get_latin_g2p(lang)
+    misses = {
+        w: (eng.phonemize_word(w), ipa)
+        for w, ipa in gold.items()
+        if eng.phonemize_word(w) != ipa
+    }
+    assert not misses, f"{lang} G2P misses: {misses}"
+
+
+def test_region_variants_and_unknown():
+    assert get_latin_g2p("es-ES") is get_latin_g2p("es")
+    assert get_latin_g2p("de-DE") is get_latin_g2p("de")
+    assert get_latin_g2p("fr") is None
+
+
+@pytest.mark.parametrize(
+    "lang,gold", [("es", GOLD_ES), ("it", GOLD_IT), ("de", GOLD_DE)]
+)
+def test_output_within_ipa_charset(lang, gold):
+    """Every emitted symbol must be encodable by IPAPhonemes (otherwise the
+    tokenizer drops it and the model never sees the phoneme)."""
+    charset = set(IPAPhonemes().characters) | set("ˈ ")
+    eng = get_latin_g2p(lang)
+    for word in gold:
+        out = eng.phonemize_word(word)
+        assert set(out) <= charset, (word, out, set(out) - charset)
+
+
+def test_sentence_keeps_punctuation():
+    es = get_latin_g2p("es")
+    out = es.phonemize("¿Dónde está la biblioteca?")
+    assert out.startswith("¿") and out.endswith("?")
+    assert "ˈdonde" in out and "esˈta" in out
+
+
+def test_espeak_request_falls_back_when_absent():
+    """``get_phonemizer_by_name('espeak', language='de')`` on a machine
+    without the binary must return the rule G2P (with a warning), not fail
+    or degrade to graphemes."""
+    from tts_tpu.text.phonemizers import ESpeak, get_phonemizer_by_name
+
+    if ESpeak.is_available():
+        pytest.skip("espeak installed; fallback path not reachable")
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        p = get_phonemizer_by_name("espeak", language="de")
+    assert p.name() == "latin_g2p"
+    out = p.phonemize("Guten Morgen")
+    assert "ˈmɔʁɡən" in out
+
+
+@pytest.mark.parametrize("lang,text,expect", [
+    ("es", "Buenos días, señora.", "ˈdias"),
+    ("it", "La vita è bella!", "ˈvita"),
+    ("de", "Das Wetter ist schön.", "ʃøːn"),
+])
+def test_tokenizer_resolves_ipa_not_graphemes(lang, text, expect):
+    """A ``use_phonemes: true`` config for es/it/de produces IPA ids (the
+    round-3 gap: these silently degraded to graphemes without espeak)."""
+    from tts_tpu.models.vits.config import VitsConfig
+    from tts_tpu.text.tokenizer import TTSTokenizer
+
+    cfg = VitsConfig()
+    cfg.use_phonemes = True
+    cfg.phoneme_language = lang
+    cfg.phonemizer = None
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        tok, _ = TTSTokenizer.init_from_config(cfg)
+        decoded = tok.ids_to_text(tok.text_to_ids(text))
+    assert expect in decoded.replace("<BLNK>", "")

@@ -1,0 +1,535 @@
+"""Self-contained Spanish / Italian / German grapheme→phoneme fallback.
+
+The reference phonemizes these languages only through the espeak binary
+(``TTS/tts/utils/text/phonemizers/espeak_wrapper.py:47-83``); without it,
+``use_phonemes: true`` configs for es/it/de silently degrade to graphemes.
+These three orthographies are regular enough for a compact rule transducer:
+
+* per-language ordered context rules ``(left, pattern, right) → IPA``
+  (first match wins, consumes ``len(pattern)`` letters),
+* orthographic accents carry an inline stress marker through the rules,
+* a stress assigner places ``ˈ`` at the onset of the stressed syllable
+  using each language's default rule (Spanish: penult if the word ends in
+  a vowel/n/s else final; Italian: penult; German: first syllable, or the
+  first root syllable after an unstressed verbal prefix),
+* a small exceptions lexicon for words the rules cannot reach
+  (Italian proparoxytones, German function words with irregular length).
+
+Output is phonemic IPA restricted to the ``IPAPhonemes`` character set
+(``tts_tpu/text/characters.py``): no narrow diacritics, no syllable dots.
+Quality is below espeak but far above graphemes; selection logic in
+``tts_tpu.text.phonemizers`` warns once when the fallback engages.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, List, Optional, Tuple
+
+# IPA vowel characters (a nucleus is a maximal run of these, incl. ``ː``)
+_IPA_VOWELS = set("aeiouɛɔɪʊœøyʏəɐɑæʌ")
+_GLIDES = set("jw")
+_LIQUIDS = set("lrɾʁʎ")
+# two-symbol units the onset scanner must not split
+_AFFRICATES = {"tʃ", "dʒ", "ts", "dz", "pf", "kv", "ks"}
+
+_STRESS = "ˈ"
+
+
+class _Rule:
+    __slots__ = ("pattern", "left", "right", "out")
+
+    def __init__(self, left: str, pattern: str, right: str, out: str):
+        self.pattern = pattern
+        self.left = re.compile("(?:" + left + ")$") if left else None
+        self.right = re.compile("^(?:" + right + ")") if right else None
+        self.out = out
+
+    def matches(self, word: str, i: int) -> bool:
+        if not word.startswith(self.pattern, i):
+            return False
+        if self.left is not None and not self.left.search(word[:i]):
+            return False
+        if self.right is not None and not self.right.search(word[i + len(self.pattern):]):
+            return False
+        return True
+
+
+class RuleG2P:
+    """Ordered-rule letter→IPA transducer with syllable-stress placement."""
+
+    #: subclasses fill these in
+    RULES: List[Tuple[str, str, str, str]] = []
+    EXCEPTIONS: Dict[str, str] = {}
+    #: orthographic vowel letters (for language-default stress decisions)
+    VOWEL_LETTERS = "aeiou"
+    #: absorb a preceding s/ʃ into the stressed onset (German s-clusters;
+    #: Spanish/Italian syllabify /s/+C heterosyllabically: es.tán)
+    ONSET_S_CLUSTERS = False
+
+    def __init__(self):
+        # bucket rules by first letter for O(1) candidate lookup
+        self._buckets: Dict[str, List[_Rule]] = {}
+        for left, pattern, right, out in self.RULES:
+            self._buckets.setdefault(pattern[0], []).append(_Rule(left, pattern, right, out))
+
+    # -- per-language hook -------------------------------------------------
+    def default_stress_index(self, word: str, n_nuclei: int) -> int:
+        """Index (0-based) of the stressed nucleus when no accent mark is
+        present.  Default: penultimate."""
+        return max(0, n_nuclei - 2)
+
+    # -- core --------------------------------------------------------------
+    def _transduce(self, word: str) -> str:
+        out = []
+        i = 0
+        while i < len(word):
+            for rule in self._buckets.get(word[i], ()):
+                if rule.matches(word, i):
+                    out.append(rule.out)
+                    i += len(rule.pattern)
+                    break
+            else:
+                out.append(word[i])  # unknown letter passes through
+                i += 1
+        return "".join(out)
+
+    @staticmethod
+    def _nuclei(phones: str) -> List[Tuple[int, int]]:
+        """(start, end) spans of vowel nuclei.  A run of vowel symbols forms
+        one nucleus (diphthong), except that a long mark ``ː`` closes the
+        nucleus and ``ə`` always starts its own (German hiatus: ``eːə`` in
+        *stehen* is two syllables, not one)."""
+        spans = []
+        i = 0
+        n = len(phones)
+        while i < n:
+            if phones[i] in _IPA_VOWELS:
+                j = i
+                while j < n and (phones[j] in _IPA_VOWELS or phones[j] == "ː"):
+                    if j > i and phones[j] == "ə":
+                        break
+                    j += 1
+                    if phones[j - 1] == "ː":
+                        break
+                spans.append((i, j))
+                i = j
+            else:
+                i += 1
+        return spans
+
+    @classmethod
+    def _onset_start(cls, phones: str, nucleus_start: int, prev_end: int) -> int:
+        """Start index of the stressed syllable's onset: glides, then an
+        optional liquid, then one obstruent (kept whole across affricates),
+        then — where the language allows onset s-clusters — a sibilant."""
+        k = nucleus_start
+        while k > prev_end and phones[k - 1] in _GLIDES:
+            k -= 1
+        took_liquid = False
+        if k > prev_end and phones[k - 1] in _LIQUIDS:
+            k -= 1
+            took_liquid = True
+        prev = phones[k - 1] if k > prev_end else ""
+        # the obstruent slot: never a liquid (a second liquid is a coda,
+        # par.la.re) and, after a liquid, never a nasal either (en.la.ce)
+        if (
+            prev
+            and prev not in _IPA_VOWELS
+            and prev != "ː"
+            and prev not in _LIQUIDS
+            and not (took_liquid and prev in "mnɲŋ")
+        ):
+            k -= 1
+            if k > prev_end and phones[k - 1 : k + 1] in _AFFRICATES:
+                k -= 1
+            if cls.ONSET_S_CLUSTERS and k > prev_end and phones[k - 1] in "sʃ":
+                k -= 1
+        return k
+
+    def _place_stress(self, word: str, phones: str) -> str:
+        marked = phones.find(_STRESS)
+        if marked >= 0:
+            phones = phones.replace(_STRESS, "")
+        nuclei = self._nuclei(phones)
+        if not nuclei:
+            return phones
+        if marked < 0 and len(nuclei) < 2:
+            return phones  # unaccented monosyllables carry no stress mark
+        if marked >= 0:
+            # the inline marker sat immediately before its vowel; after
+            # removal that vowel starts at ``marked``
+            idx = next((n for n, (s, e) in enumerate(nuclei) if s <= marked < e), len(nuclei) - 1)
+        else:
+            idx = self.default_stress_index(word, len(nuclei))
+        start, _ = nuclei[idx]
+        prev_end = nuclei[idx - 1][1] if idx > 0 else 0
+        at = self._onset_start(phones, start, prev_end)
+        return phones[:at] + _STRESS + phones[at:]
+
+    def phonemize_word(self, word: str) -> str:
+        word = word.lower()
+        hit = self.EXCEPTIONS.get(word)
+        if hit is not None:
+            return hit
+        return self._place_stress(word, self._transduce(word))
+
+    def phonemize(self, text: str, separator: str = "") -> str:
+        parts = []
+        for token in text.split():
+            # peel leading/trailing non-letter chars (digits, stray symbols)
+            m = re.match(r"^(\W*)(.*?)(\W*)$", token, re.UNICODE)
+            pre, core, post = m.groups()
+            parts.append(pre + (self.phonemize_word(core) if core else "") + post)
+        return " ".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# Spanish (Castilian — distinción: c/z → θ, ll → ʎ)
+# ---------------------------------------------------------------------------
+
+_ES_V = "[aáeéiíoóuúü]"
+_ES_STRONG = "[aáeéoó]"
+
+
+class SpanishG2P(RuleG2P):
+    VOWEL_LETTERS = "aáeéiíoóuú"
+
+    RULES = [
+        ("", "ch", "", "tʃ"),
+        ("", "ll", "", "ʎ"),
+        ("", "rr", "", "r"),
+        ("^|[nls]", "r", "", "r"),  # trill word-initially / after n,l,s
+        ("", "r", "", "ɾ"),
+        ("", "qu", "[eéií]", "k"),
+        ("", "gü", "", "ɡw"),
+        ("", "gu", "[eéií]", "ɡ"),
+        ("", "c", "[eéií]", "θ"),
+        ("", "cc", "", "kθ"),
+        ("", "c", "", "k"),
+        ("", "z", "", "θ"),
+        ("", "j", "", "x"),
+        ("", "g", "[eéií]", "x"),
+        ("", "g", "", "ɡ"),
+        ("", "ñ", "", "ɲ"),
+        ("", "v", "", "b"),
+        ("", "h", "", ""),
+        ("", "x", "", "ks"),
+        ("", "y", "$", "i"),
+        ("^", "y", "$", "i"),
+        ("", "y", "", "ʝ"),
+        ("", "w", "", "w"),
+        # weak vowels as glides next to a following vowel
+        ("", "i", _ES_STRONG + "|u|ú", "j"),
+        ("", "u", _ES_STRONG + "|i|í", "w"),
+        ("", "á", "", "ˈa"),
+        ("", "é", "", "ˈe"),
+        ("", "í", "", "ˈi"),
+        ("", "ó", "", "ˈo"),
+        ("", "ú", "", "ˈu"),
+        ("", "ü", "", "w"),
+    ] + [("", c, "", c) for c in "abdefiklmnopstu"]
+
+    EXCEPTIONS = {
+        "y": "i",
+        "el": "el",
+        "de": "de",
+        "que": "ke",
+        "la": "la",
+        "los": "los",
+        "las": "las",
+        "un": "un",
+        "una": "ˈuna",
+        "mexico": "ˈmexiko",
+        "méxico": "ˈmexiko",
+    }
+
+    def default_stress_index(self, word: str, n_nuclei: int) -> int:
+        # ends in vowel, n or s → penult; otherwise final syllable
+        if word and (word[-1] in "aeiou" or word[-1] in "ns"):
+            return max(0, n_nuclei - 2)
+        return n_nuclei - 1
+
+
+# ---------------------------------------------------------------------------
+# Italian
+# ---------------------------------------------------------------------------
+
+_IT_V = "[aàeèéiìoòóuù]"
+_IT_BACK = "[aàoòuù]"
+_IT_FRONT = "[eèéiì]"
+
+
+class ItalianG2P(RuleG2P):
+    VOWEL_LETTERS = "aàeèéiìoòóuù"
+
+    RULES = [
+        ("", "sci", _IT_V, "ʃ"),
+        ("", "sc", _IT_FRONT, "ʃ"),
+        ("", "cch", "", "kk"),
+        ("", "ch", "", "k"),
+        ("", "ggh", "", "ɡɡ"),
+        ("", "gh", "", "ɡ"),
+        ("", "gn", "", "ɲ"),
+        ("", "gli", _IT_V, "ʎ"),
+        ("", "gli", "", "ʎi"),
+        ("", "cci", _IT_BACK, "ttʃ"),
+        ("", "cc", _IT_FRONT, "ttʃ"),
+        ("", "cc", "", "kk"),
+        ("", "ci", _IT_BACK, "tʃ"),
+        ("", "c", _IT_FRONT, "tʃ"),
+        ("", "c", "", "k"),
+        ("", "ggi", _IT_BACK, "ddʒ"),
+        ("", "gg", _IT_FRONT, "ddʒ"),
+        ("", "gg", "", "ɡɡ"),
+        ("", "gi", _IT_BACK, "dʒ"),
+        ("", "g", _IT_FRONT, "dʒ"),
+        ("", "g", "", "ɡ"),
+        ("", "qu", "", "kw"),
+        ("", "h", "", ""),
+        ("", "zz", "", "tts"),
+        (_IT_V, "z", _IT_V, "tts"),  # intervocalic z geminates (grazie)
+        ("", "z", "", "ts"),
+        (_IT_V, "s", _IT_V, "z"),
+        ("", "s", "[bdgvlmnr]", "z"),
+        ("", "s", "", "s"),
+        ("", "i", _IT_V, "j"),
+        ("", "u", _IT_V, "w"),
+        ("", "à", "", "ˈa"),
+        ("", "è", "", "ˈɛ"),
+        ("", "é", "", "ˈe"),
+        ("", "ì", "", "ˈi"),
+        ("", "ò", "", "ˈɔ"),
+        ("", "ó", "", "ˈo"),
+        ("", "ù", "", "ˈu"),
+        ("", "j", "", "j"),
+    ] + [("", c, "", c) for c in "abdefiklmnoprtuvw"]
+
+    EXCEPTIONS = {
+        # proparoxytones and irregular stress the penult rule cannot reach
+        "tavolo": "ˈtavolo",
+        "numero": "ˈnumeɾo".replace("ɾ", "r"),
+        "musica": "ˈmuzika",
+        "camera": "ˈkamera",
+        "medico": "ˈmɛdiko",
+        "essere": "ˈɛssere",
+        "zero": "ˈdzɛro",
+        "zona": "ˈdzɔna",
+        "mezzo": "ˈmɛddzo",
+        "e": "e",
+        "il": "il",
+        "di": "di",
+        "la": "la",
+        "un": "un",
+        "che": "ke",
+    }
+
+
+# ---------------------------------------------------------------------------
+# German
+# ---------------------------------------------------------------------------
+
+_DE_C = "[bcdfghjklmnpqrstvwxzß]"
+# one consonant letter then a vowel (open-ish syllable → long vowel) is the
+# default; two consonant letters → short.  The -lich suffix boundary does not
+# close the stem syllable (mög-lich keeps øː); loanword -tion shortens.
+_DE_SHORT = _DE_C + "(?!lich$)" + _DE_C + "|" + _DE_C + "?tion$"
+_DE_VL = "[aeiouäöüy]"
+
+# unstressed verbal/nominal prefixes: phonemized as-is, stress goes to the root
+_DE_PREFIXES = [
+    ("ver", "fɛɐ"),
+    ("zer", "tsɛɐ"),
+    ("ent", "ɛnt"),
+    ("emp", "ɛmp"),
+    ("er", "ɛɐ"),
+    ("be", "bə"),
+    ("ge", "ɡə"),
+]
+
+
+class GermanG2P(RuleG2P):
+    VOWEL_LETTERS = "aeiouäöüy"
+
+    RULES = [
+        # orthographic gemination marks vowel shortness only — degeminate
+        # (must precede the single-letter rules in each bucket)
+        ("", "tt", "", "t"),
+        ("", "nn", "", "n"),
+        ("", "mm", "", "m"),
+        ("", "ll", "", "l"),
+        ("", "pp", "", "p"),
+        ("", "ff", "", "f"),
+        ("", "rr", "", "ʁ"),
+        ("", "dd", "", "d"),
+        ("", "bb", "", "b"),
+        ("", "tsch", "", "tʃ"),
+        ("", "sch", "", "ʃ"),
+        ("", "chs", "", "ks"),
+        ("(?:^|[eä])[aou]|(?:^|[^eä])[aou]u", "ch", "", "x"),  # placeholder; fixed below
+        ("", "ck", "", "k"),
+        ("", "dt", "", "t"),
+        ("", "th", "", "t"),
+        ("", "ph", "", "f"),
+        ("", "pf", "", "pf"),
+        ("", "qu", "", "kv"),
+        ("", "tz", "", "ts"),
+        ("", "tion", "$", "tsjˈoːn"),
+        ("", "ität", "$", "itˈɛːt"),
+        ("^", "sp", "", "ʃp"),
+        ("^", "st", "", "ʃt"),
+        ("", "ss", "", "s"),
+        ("", "ß", "", "s"),
+        # vowel digraphs / h-lengthening
+        ("", "ie", "", "iː"),
+        ("", "ei", "", "aɪ"),
+        ("", "ai", "", "aɪ"),
+        ("", "au", "", "aʊ"),
+        ("", "eu", "", "ɔʏ"),
+        ("", "äu", "", "ɔʏ"),
+        ("", "aa", "", "aː"),
+        ("", "ee", "", "eː"),
+        ("", "oo", "", "oː"),
+        ("", "ah", "", "aː"),
+        ("", "eh", "", "eː"),
+        ("", "ih", "", "iː"),
+        ("", "oh", "", "oː"),
+        ("", "uh", "", "uː"),
+        ("", "äh", "", "ɛː"),
+        ("", "öh", "", "øː"),
+        ("", "üh", "", "yː"),
+        # unstressed final syllables
+        (_DE_VL + r"[a-zäöüß]*", "er", "$", "ɐ"),
+        (_DE_VL + r"[a-zäöüß]*", "en", "$", "ən"),
+        (_DE_VL + r"[a-zäöüß]*", "el", "$", "əl"),
+        (_DE_VL + r"[a-zäöüß]*", "em", "$", "əm"),
+        (_DE_VL + r"[a-zäöüß]*", "es", "$", "əs"),
+        (_DE_VL + r"[a-zäöüß]*", "e", "$", "ə"),
+        ("", "ig", "$", "ɪç"),
+        # single vowels: short before a consonant cluster, else long
+        ("", "a", _DE_SHORT, "a"),
+        ("", "a", "", "aː"),
+        ("", "e", _DE_SHORT, "ɛ"),
+        ("", "e", "", "eː"),
+        ("", "i", _DE_SHORT, "ɪ"),
+        ("", "i", "", "iː"),
+        ("", "o", _DE_SHORT, "ɔ"),
+        ("", "o", "", "oː"),
+        ("", "u", _DE_SHORT, "ʊ"),
+        ("", "u", "", "uː"),
+        ("", "ä", _DE_SHORT, "ɛ"),
+        ("", "ä", "", "ɛː"),
+        ("", "ö", _DE_SHORT, "œ"),
+        ("", "ö", "", "øː"),
+        ("", "ü", _DE_SHORT, "ʏ"),
+        ("", "ü", "", "yː"),
+        ("", "y", _DE_SHORT, "ʏ"),
+        ("", "y", "", "yː"),
+        # consonants
+        # coda devoicing: word-final (incl. -bt/-bs) and before the
+        # consonant-initial suffixes -lich/-bar/-chen
+        ("", "b", "s?$|t|lich|bar$|chen$", "p"),
+        ("", "d", "s?$|t|lich|bar$|chen$", "t"),
+        ("", "g", "s?$|t|lich|bar$|chen$", "k"),
+        ("", "w", "", "v"),
+        ("", "v", "", "f"),
+        ("", "z", "", "ts"),
+        ("", "s", _DE_VL, "z"),
+        ("", "s", "", "s"),
+        ("", "ng", "", "ŋ"),
+        ("", "nk", "", "ŋk"),
+        ("", "j", "", "j"),
+        ("ː", "r", _DE_C + "|$", "ɐ"),  # vocalized coda r after long vowel
+        ("", "r", "", "ʁ"),
+        ("", "g", "", "ɡ"),  # ASCII g → IPA ɡ (U+0261)
+        ("", "x", "", "ks"),
+        ("", "c", "", "k"),
+    ] + [("", c, "", c) for c in "fhklmnpt"]
+
+    EXCEPTIONS = {
+        # function words whose vowel length the cluster rule gets wrong
+        "das": "das",
+        "es": "ɛs",
+        "was": "vas",
+        "man": "man",
+        "an": "an",
+        "am": "am",
+        "ab": "ap",
+        "in": "ɪn",
+        "im": "ɪm",
+        "mit": "mɪt",
+        "um": "ʊm",
+        "ob": "ɔp",
+        "von": "fɔn",
+        "vom": "fɔm",
+        "zum": "tsʊm",
+        "bis": "bɪs",
+        "bin": "bɪn",
+        "hat": "hat",
+        "ein": "aɪn",
+        "un": "ʊn",
+        "der": "deːɐ",
+        "er": "eːɐ",
+        "wir": "viːɐ",
+        "mir": "miːɐ",
+        "dir": "diːɐ",
+        "vor": "foːɐ",
+        "nur": "nuːɐ",
+        "für": "fyːɐ",
+        "herr": "hɛʁ",
+        "ist": "ɪst",
+        "und": "ʊnt",
+        "auch": "aʊx",
+        # vowel length before "ch" is lexical (Buch long, doch short); the
+        # cluster rule guesses short, so long-vowel words are listed
+        "buch": "buːx",
+        "hoch": "hoːx",
+        "nach": "naːx",
+        "sprache": "ˈʃpʁaːxə",
+        "suchen": "ˈzuːxən",
+        "mädchen": "ˈmɛːtçən",
+        "universität": "univɛʁziˈtɛːt",
+    }
+    ONSET_S_CLUSTERS = True
+
+    def __init__(self):
+        # the ach-laut left-context is awkward as a table literal: x after
+        # a/o/u/au but NOT after the front diphthongs eu/äu (where the
+        # preceding letter is also "u")
+        rules = [r for r in self.RULES if r[1] != "ch"]
+        rules.insert(3, (r"(?:^|[^eä])[aou]", "ch", "", "x"))
+        rules.insert(4, ("", "ch", "", "ç"))
+        self.RULES = rules
+        super().__init__()
+
+    def default_stress_index(self, word: str, n_nuclei: int) -> int:
+        return 0
+
+    def phonemize_word(self, word: str) -> str:
+        word = word.lower()
+        hit = self.EXCEPTIONS.get(word)
+        if hit is not None:
+            return hit
+        for prefix, prefix_ipa in _DE_PREFIXES:
+            root = word[len(prefix):]
+            if (
+                word.startswith(prefix)
+                and sum(c in self.VOWEL_LETTERS for c in root) >= 1
+                and len(root) >= 3
+            ):
+                return prefix_ipa + self._place_stress(root, self._transduce(root))
+        return self._place_stress(word, self._transduce(word))
+
+
+_ENGINES: Dict[str, RuleG2P] = {}
+
+
+def get_latin_g2p(language: str) -> Optional[RuleG2P]:
+    """Engine for a supported language code (es/it/de + region variants)."""
+    base = language.lower().split("-")[0]
+    cls = {"es": SpanishG2P, "it": ItalianG2P, "de": GermanG2P}.get(base)
+    if cls is None:
+        return None
+    if base not in _ENGINES:
+        _ENGINES[base] = cls()
+    return _ENGINES[base]

@@ -484,13 +484,57 @@ class EN_Phonemizer(BasePhonemizer):
         return self._g2p.phonemize(text, separator="")
 
 
+class Latin_Phonemizer(BasePhonemizer):
+    """Pure-Python Spanish/Italian/German G2P (``tts_tpu.text.latin_g2p``):
+    ordered context rules + stress assignment → phonemic IPA.  The
+    dependency-free fallback for ``use_phonemes`` es/it/de configs when the
+    espeak binary is absent (reference phonemizes these languages only
+    through espeak, ``espeak_wrapper.py:47-83``, and would otherwise
+    silently degrade to graphemes)."""
+
+    def __init__(self, language: str = "es", punctuations=Punctuation.default_puncs(),
+                 keep_puncs=True, **kwargs):
+        super().__init__(language, punctuations=punctuations, keep_puncs=keep_puncs)
+        from .latin_g2p import get_latin_g2p
+
+        self._g2p = get_latin_g2p(language)
+        if self._g2p is None:
+            raise ValueError(f"latin_g2p does not support language {language!r}")
+
+    @staticmethod
+    def name():
+        return "latin_g2p"
+
+    def is_supported_language(self, language: str) -> bool:
+        return language.lower().split("-")[0] in ("es", "it", "de")
+
+    @classmethod
+    def is_available(cls) -> bool:
+        return True  # dependency-free
+
+    @classmethod
+    def version(cls) -> str:
+        return "0.0.1"
+
+    @staticmethod
+    def supported_languages() -> Dict:
+        return {
+            "es": "Spanish (fallback G2P)",
+            "it": "Italian (fallback G2P)",
+            "de": "German (fallback G2P)",
+        }
+
+    def _phonemize(self, text: str, separator: str = "|") -> str:
+        return self._g2p.phonemize(text, separator="")
+
+
 # registry
 # ---------------------------------------------------------------------------
 
 PHONEMIZERS = {
     b.name(): b
     for b in (ESpeak, Gruut, KO_KR_Phonemizer, BN_Phonemizer, JA_JP_Phonemizer,
-              BEL_Phonemizer, EN_Phonemizer)
+              BEL_Phonemizer, EN_Phonemizer, Latin_Phonemizer)
     if b.is_available()
 }
 
@@ -513,21 +557,27 @@ if BEL_Phonemizer.is_available():
 # English always has a G2P: pure-Python fallback when espeak/gruut are absent
 for _en in ("en", "en-us", "en-gb"):
     DEF_LANG_TO_PHONEMIZER.setdefault(_en, EN_Phonemizer.name())
+# likewise es/it/de via the Latin rule transducer
+for _lt in ("es", "es-es", "it", "it-it", "de", "de-de"):
+    DEF_LANG_TO_PHONEMIZER.setdefault(_lt, Latin_Phonemizer.name())
 
-_WARNED_EN_FALLBACK = False
+_WARNED_FALLBACK: set = set()
 
 
-def _warn_en_fallback(requested: str) -> None:
-    global _WARNED_EN_FALLBACK
-    if not _WARNED_EN_FALLBACK:
+def _warn_fallback(requested: str, module: str, desc: str) -> None:
+    if module not in _WARNED_FALLBACK:
         import warnings
 
         warnings.warn(
             f"{requested} is not installed; falling back to the built-in "
-            "rule-based English G2P (tts_tpu.text.en_g2p). Phoneme quality "
+            f"rule-based {desc} (tts_tpu.text.{module}). Phoneme quality "
             "is below espeak — install espeak-ng for full fidelity.",
         )
-        _WARNED_EN_FALLBACK = True
+        _WARNED_FALLBACK.add(module)
+
+
+def _warn_en_fallback(requested: str) -> None:
+    _warn_fallback(requested, "en_g2p", "English G2P")
 
 
 def get_phonemizer_by_name(name: str, **kwargs) -> BasePhonemizer:
@@ -537,12 +587,19 @@ def get_phonemizer_by_name(name: str, **kwargs) -> BasePhonemizer:
     the language is English (with a warning) instead of failing or silently
     degrading to graphemes."""
     if name == "espeak":
-        if not ESpeak.is_available() and str(kwargs.get("language", "")).startswith("en"):
-            _warn_en_fallback("espeak")
-            return EN_Phonemizer(**kwargs)
+        lang = str(kwargs.get("language", ""))
+        if not ESpeak.is_available():
+            if lang.startswith("en"):
+                _warn_en_fallback("espeak")
+                return EN_Phonemizer(**kwargs)
+            if lang.lower().split("-")[0] in ("es", "it", "de"):
+                _warn_fallback("espeak", "latin_g2p", "es/it/de G2P")
+                return Latin_Phonemizer(**kwargs)
         return ESpeak(**kwargs)
     if name == "en_g2p":
         return EN_Phonemizer(**kwargs)
+    if name == "latin_g2p":
+        return Latin_Phonemizer(**kwargs)
     if name == "gruut":
         return Gruut(**kwargs)
     if name == "zh_cn_phonemizer":
