@@ -107,19 +107,25 @@ def _hira_to_kata(text: str) -> str:
 _TAGGER = None
 _WARNED_KANJI = False
 
+# particle は/へ between a katakana-converted word and a non-hiragana
+# continuation (or sentence end) reads wa/e
+_PARTICLE_WA = re.compile(r"(?<=[ァ-ヶー])は(?=[^ぁ-ゖ]|$)|(?<=[ぁ-ゖ])は(?=[ァ-ヶ])")
+_PARTICLE_E = re.compile(r"(?<=[ァ-ヶー])へ(?=[^ぁ-ゖ]|$)|(?<=[ぁ-ゖ])へ(?=[ァ-ヶ])")
+
 
 def _warn_kanji_passthrough() -> None:
-    """Emit one warning when kanji pass through untransliterated because no
-    morphological analyzer (fugashi/MeCab) is importable — reference uses
-    cutlet romaji here (``xtts/tokenizer.py:578``)."""
+    """Emit one warning when some kanji remain untransliterated because no
+    morphological analyzer (fugashi/MeCab) is importable and the bundled
+    lexicon (``tts_tpu.text.ja_kanji``) has no entry — reference uses cutlet
+    romaji here (``xtts/tokenizer.py:578``) and fails hard without MeCab."""
     global _WARNED_KANJI
     if not _WARNED_KANJI:
         import warnings
 
         warnings.warn(
-            "Japanese input contains kanji but fugashi/MeCab is not installed; "
-            "kanji pass through untransliterated. Install fugashi (+unidic) for "
-            "reference-equivalent romaji.",
+            "Japanese input contains kanji outside the bundled lexicon and "
+            "fugashi/MeCab is not installed; those kanji pass through "
+            "untransliterated. Install fugashi (+unidic) for full coverage.",
             stacklevel=3,
         )
         _WARNED_KANJI = True
@@ -140,10 +146,24 @@ def _text_to_kata(text: str) -> str:
                 _TAGGER = MeCab.Tagger()
             except ImportError:
                 _TAGGER = False
+    if _TAGGER is False:
+        from tts_tpu.text.ja_kanji import has_kanji, kanji_to_kata
+
+        if has_kanji(text):
+            # bundled lexicon: greedy longest match on the raw text (word
+            # keys carry hiragana okurigana), warn only for residual kanji
+            text, unmatched = kanji_to_kata(text)
+            if unmatched:
+                _warn_kanji_passthrough()
+        # topic/direction particles read wa/e: after a converted (katakana)
+        # word and not inside a hiragana run — a tagger-free approximation
+        text = _PARTICLE_WA.sub("ワ", text)
+        text = _PARTICLE_E.sub("エ", text)
+        for greeting, kana in (("こんにちは", "コンニチワ"), ("こんばんは", "コンバンワ")):
+            text = text.replace(greeting, kana)
+        return _hira_to_kata(text)
     text = _hira_to_kata(text)
-    if _TAGGER is False or not re.search(r"[一-鿿]", text):
-        if _TAGGER is False and re.search(r"[一-鿿]", text):
-            _warn_kanji_passthrough()
+    if not re.search(r"[一-鿿]", text):
         return text
     try:  # fugashi word objects expose .feature.kana / MeCab parses to CSV
         words = []
