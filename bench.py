@@ -93,11 +93,19 @@ def main():
     rtf = audio_seconds / dt
     wav = np.asarray(out["model_outputs"], np.float32)
     assert np.isfinite(wav).all(), "non-finite audio"
-    # effective RTF: count only duration-predictor-terminated frames as
-    # audio (the deployment accounting — the 512-frame budget is padding
-    # past y_lengths)
-    eff_seconds = float(np.asarray(out["y_lengths"], np.float64).sum()) * hop / sr
-    rtf_effective = round(eff_seconds / dt, 1)
+    # effective RTF, duration-aware bucketed decode (round-4): the cheap DP
+    # pass picks a 64-frame bucket, the decode runs at that length — the
+    # deployment accounting counts only DP-terminated frames as audio but
+    # now also pays only ~bucket frames of compute (synthesis() serves the
+    # same way, utils/synthesis.py)
+    y_pred = int(np.asarray(model.infer_durations(gen_params, x, xl, rng=rng)).max())
+    bucket = min(MAXF, ((y_pred + 63) // 64) * 64)
+    infer_bk = jax.jit(
+        lambda p, x, xl, r: model.inference(p, x, xl, max_frames=bucket, rng=r)
+    )
+    dt_bk, out_bk = timed(infer_bk, gen_params, x, xl, rng)
+    eff_seconds = float(np.asarray(out_bk["y_lengths"], np.float64).sum()) * hop / sr
+    rtf_effective = round(eff_seconds / dt_bk, 1)
 
     # VITS GAN training step at LJSpeech dims (BASELINE.json lists DP
     # training as a tracked config).  Runs FIRST among the optional stages:

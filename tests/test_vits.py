@@ -84,6 +84,45 @@ def test_vits_inference(vits_small):
     assert np.isfinite(np.asarray(out["model_outputs"])).all()
 
 
+def test_vits_bucketed_decode_matches_full(vits_small):
+    """Duration-aware bucketed decode (round-4 serving path): the DP pass
+    predicts the same frame counts as the full inference (same rng → same
+    SDP sample), and with sampling noise disabled the bucketed decode's
+    audio prefix equals the fixed-budget decode's."""
+    model, gen_params, _ = vits_small
+    batch = _batch()
+    rng = jax.random.PRNGKey(7)
+    x, xl = batch["text_input"], batch["text_lengths"]
+
+    y_pred = np.asarray(model.infer_durations(gen_params, x, xl, rng=rng))
+    assert y_pred.shape == (2,) and (y_pred >= 1).all()
+    full = model.inference(gen_params, x, xl, max_frames=64, rng=rng)
+    # durations from the dedicated pass match the full pass
+    np.testing.assert_array_equal(y_pred.clip(max=64), np.asarray(full["y_lengths"]))
+
+    # deterministic variant (posterior noise shape depends on max_frames, so
+    # prefix equality only holds with noise scales zeroed)
+    det = Vits(
+        VitsConfig(
+            model_args=_small_args(
+                inference_noise_scale=0.0, inference_noise_scale_dp=0.0
+            )
+        )
+    )
+    y_det = np.asarray(det.infer_durations(gen_params, x, xl, rng=rng))
+    full = det.inference(gen_params, x, xl, max_frames=64, rng=rng)
+    bucket = min(64, (int(y_det.max()) + 15) // 16 * 16)
+    out = det.inference(gen_params, x, xl, max_frames=bucket, rng=rng)
+    assert out["model_outputs"].shape == (2, bucket * 16, 1)
+    n = min(int(y_det.min()), bucket) * 16
+    np.testing.assert_allclose(
+        np.asarray(out["model_outputs"][:, :n]),
+        np.asarray(full["model_outputs"][:, :n]),
+        rtol=0,
+        atol=1e-5,
+    )
+
+
 def test_vits_losses(vits_small):
     model, gen_params, disc_params = vits_small
     batch = _batch()

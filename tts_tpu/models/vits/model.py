@@ -295,6 +295,34 @@ class VitsModule(nn.Module):
             "logs_p": logs_p_e,
         }
 
+    def infer_durations(self, x, x_lengths, aux_input: Optional[Dict] = None):
+        """Duration-predictor pass only: text → predicted frame counts.
+
+        Cheap relative to the flow+HiFiGAN decode, so serving runs this
+        first to pick a per-batch frame bucket instead of a fixed generous
+        budget (the reference avoids the problem only because torch decodes
+        dynamic shapes, ``vits.py:1161``).  Uses the same ``noise`` rng
+        stream as :meth:`inference`, so the SDP sample — and therefore the
+        durations — are identical to the full pass."""
+        a = self.args
+        g, lang = self._cond_vectors(aux_input)
+        x_hid, _, _, x_mask = self.text_encoder(x, x_lengths, lang_emb=lang, train=False)
+        if a.use_sdp:
+            logw = self.duration_predictor(
+                x_hid,
+                x_mask,
+                g=g if a.condition_dp_on_speaker else None,
+                lang_emb=lang,
+                reverse=True,
+                noise_scale=a.inference_noise_scale_dp,
+            )
+        else:
+            logw = self.duration_predictor(
+                x_hid, x_mask, g=g if a.condition_dp_on_speaker else None
+            )
+        w_ceil = jnp.ceil(jnp.exp(logw) * x_mask * a.length_scale) * x_mask
+        return jnp.maximum(jnp.sum(w_ceil, axis=(1, 2)), 1.0).astype(jnp.int32)
+
     def voice_conversion(self, y, y_lengths, speaker_cond_src, speaker_cond_tgt):
         """Spec → latent with source speaker → flow → reverse with target
         speaker → waveform (reference ``vits.py:1202``)."""
@@ -540,6 +568,21 @@ class Vits:
             },
             train=train,
             rngs=rngs,
+        )
+
+    def infer_durations(self, params, x, x_lengths, aux_input=None, rng=None):
+        """Predicted output frame counts ``[B]`` for bucketed decoding; must
+        receive the same ``rng`` as the subsequent :meth:`inference` call so
+        the stochastic-duration sample matches."""
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        return self.module.apply(
+            params,
+            x,
+            x_lengths,
+            aux_input=aux_input,
+            method=self.module.infer_durations,
+            rngs={"noise": rng},
         )
 
     def inference(self, params, x, x_lengths, aux_input=None, max_frames: int = 1000, rng=None):

@@ -17,6 +17,18 @@ def _frame_budget(n_tokens: int, frames_per_token: int = 12, multiple: int = 128
     return min(est, cap)
 
 
+def get_jitted_durations(model):
+    """Persistent jitted ``model.infer_durations`` (models that expose one),
+    used to pick a duration-aware frame bucket before the expensive decode."""
+    dur_fn = getattr(model, "_jitted_durations", None)
+    if dur_fn is None:
+        import jax
+
+        dur_fn = jax.jit(model.infer_durations)
+        model._jitted_durations = dur_fn
+    return dur_fn
+
+
 def get_jitted_inference(model):
     """One persistent jitted ``model.inference`` per host wrapper, with the
     frame/step budget as a static arg. Shared by the serial synthesis path
@@ -94,6 +106,14 @@ def synthesis(
 
     sig_params = inspect.signature(model.inference).parameters
     if "max_frames" in sig_params:
+        if max_frames is None and hasattr(model, "infer_durations") and "style_text" not in aux_input:
+            # duration-aware bucket: the DP pass is cheap, so decode at the
+            # predicted length rounded up to a 64-frame bucket instead of
+            # the generous per-token estimate (≈45% of the fixed budget was
+            # padding at real utterance lengths)
+            dur = get_jitted_durations(model)(params, x, x_lengths, aux_input=aux_input or None)
+            y_len = int(np.asarray(dur).max())
+            budget = min(budget, ((y_len + 63) // 64) * 64)
         budget_kw = {"max_frames": budget}
     else:
         r = int(getattr(getattr(model, "config", None), "r", 1) or 1)
