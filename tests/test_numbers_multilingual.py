@@ -151,5 +151,7 @@ def test_japanese():
     from tts_tpu.models.xtts.tokenizer import multilingual_cleaners
 
     # reference runs cutlet romaji for ja; without MeCab our pipeline
-    # romanizes kana (numbers via kana readings) and passes kanji through
-    assert multilingual_cleaners("私は42個", "ja") == "私hayonjuuni個"
+    # romanizes kana (numbers via kana readings) and common kanji via the
+    # bundled lexicon (text/ja_lexicon.py); unknown kanji pass through
+    out = multilingual_cleaners("私は42個", "ja")
+    assert out.startswith("watashiha") and "yonjuuni" in out, out
