@@ -144,7 +144,109 @@ def measure_ttfa(with_throughput: bool = False):
     return ttfa_ms, float(decode_tok_s), float(stream_rtf)
 
 
+def measure_serving(n_clients: int):
+    """Aggregate decode tokens/s for ``n_clients`` concurrent streaming
+    clients multiplexed through the server-side ``StreamBatcher`` (the
+    user-reachable path: /api/tts-stream with --stream_batch), at full XTTS
+    v2 dims. The batched-scan capacity (``BENCH_XTTS_BATCH=4``) is the
+    model-level ceiling; this measures how much of it the serving bridge
+    delivers, including per-chunk host transfers of the audio bytes (which
+    on the tunneled axon backend carry RPC overhead a local chip does not).
+    """
+    import threading
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from tts_tpu.models.xtts import Xtts, XttsConfig
+    from tts_tpu.server.stream_batching import StreamBatcher
+
+    T_TEXT = int(os.environ.get("BENCH_TEXT_TOKENS", "50"))
+    CHUNK = int(os.environ.get("BENCH_CHUNK", "20"))
+    N_CHUNKS = int(os.environ.get("BENCH_STREAM_CHUNKS", "25"))
+    DTYPE = os.environ.get("BENCH_XTTS_DTYPE", "bfloat16")
+
+    cfg = XttsConfig()
+    model = Xtts(cfg)
+    model.init_params(jax.random.PRNGKey(0))
+    if DTYPE in ("bfloat16", "bf16"):
+        model.gpt_params = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+            model.gpt_params,
+        )
+    token_ids = list(np.random.RandomState(0).randint(1, 6000, (T_TEXT,)))
+    model.tokenizer = type(
+        "T", (), {"encode": staticmethod(lambda t, l: token_ids)}
+    )()
+    cond_mel = jnp.asarray(np.random.RandomState(1).randn(1, 64, 80), jnp.float32)
+    lat = model.gpt.apply(model.gpt_params, cond_mel, method=type(model.gpt).get_style_emb)
+    spk = jnp.asarray(np.random.RandomState(2).randn(1, 512), jnp.float32) * 0.1
+    model.resolve_conditioning = (
+        lambda config, speaker_id=None, speaker_wav=None: (lat, spk)
+    )
+
+    batcher = StreamBatcher(model_synth := _ServeSynth(model, cfg), n_clients, 300.0)
+    kw = dict(max_new_tokens=N_CHUNKS * CHUNK, stream_chunk_size=CHUNK)
+    results = {}
+
+    def client(i):
+        samples = 0
+        for chunk in batcher.stream("bench", **kw):
+            samples += chunk.shape[0]
+        results[i] = samples
+
+    # warm-up round compiles prefill/chunk/vocode at batch n_clients
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(n_clients)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=3600)
+
+    t0 = time.time()
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(n_clients)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=3600)
+    dt = time.time() - t0
+    batcher.close()
+    total_samples = sum(results.values())
+    samples_per_token = 1024  # HiFi decoder: 1024 output samples per GPT token
+    tok_s = total_samples / samples_per_token / dt
+    agg_rtf = (total_samples / 24000.0) / dt
+    return float(tok_s), float(agg_rtf)
+
+
+class _ServeSynth:
+    """Minimal synthesizer facade for StreamBatcher benchmarking."""
+
+    vocoder_model = None
+    output_sample_rate = 24000
+
+    def __init__(self, model, cfg):
+        self.tts_model = model
+        self.tts_config = cfg
+
+
 def main():
+    serve = int(os.environ.get("BENCH_XTTS_SERVE", "0"))
+    if serve > 1:
+        tok_s, agg_rtf = measure_serving(serve)
+        print(
+            json.dumps(
+                {
+                    "metric": "xtts_v2_serving_tok_s",
+                    "value": round(tok_s, 1),
+                    "unit": f"tok/s aggregate over {serve} streaming clients",
+                    "vs_baseline": None,
+                    "xtts_serving_rtf": round(agg_rtf, 2),
+                }
+            )
+        )
+        return
     ttfa_ms, tok_s, stream_rtf = measure_ttfa(with_throughput=True)
     print(
         json.dumps(

@@ -344,6 +344,39 @@ class Xtts:
         wav = np.asarray(wav[0, : n_valid * samples_per_code, 0], np.float32)
         return {"wav": wav, "gpt_codes": np.asarray(codes), "code_lengths": np.asarray(code_len)}
 
+    def _stream_jits(self, chunk_size, n_chunks, temperature, top_k, top_p, repetition_penalty):
+        """Jitted (prefill, decode_chunk, vocode) triple shared by the
+        single-stream and batched streaming paths, cached per sampling
+        config so concurrent serving never re-traces per request (the
+        compiled executables are additionally shape-polymorphic across
+        batch sizes via jit's own shape cache)."""
+        key = (chunk_size, n_chunks, temperature, top_k, top_p, repetition_penalty)
+        cache = getattr(self, "_stream_jit_cache", None)
+        if cache is None:
+            cache = self._stream_jit_cache = {}
+        if key not in cache:
+            prefill = jax.jit(
+                lambda p, c, t, tl: self.gpt.apply(
+                    self._dq(p), c, t, tl,
+                    max_new_tokens=n_chunks * chunk_size,
+                    method=self.gpt.prefill,
+                )
+            )
+            chunk_fn = jax.jit(
+                lambda p, s, r: self.gpt.apply(
+                    self._dq(p), s, r, chunk_size=chunk_size,
+                    temperature=temperature, top_k=top_k, top_p=top_p,
+                    repetition_penalty=repetition_penalty,
+                    method=self.gpt.decode_chunk,
+                ),
+                # donate the decode state: the KV cache (tens of MB at full
+                # dims) is updated in place instead of copied every chunk
+                donate_argnums=(1,),
+            )
+            vocode = jax.jit(lambda p, lat, spk: self.hifigan_decoder.apply(p, lat, spk))
+            cache[key] = (prefill, chunk_fn, vocode)
+        return cache[key]
+
     def inference_stream(
         self,
         text: str,
@@ -370,29 +403,14 @@ class Xtts:
         max_new = max_new_tokens or self.gpt.max_mel_tokens - 3
         # round up to a whole number of chunks (static shapes per chunk)
         n_chunks = -(-max_new // stream_chunk_size)
-
-        prefill = jax.jit(
-            lambda p, c, t: self.gpt.apply(
-                self._dq(p), c, t, jnp.asarray([t.shape[1]]),
-                max_new_tokens=n_chunks * stream_chunk_size,
-                method=self.gpt.prefill,
-            ),
-            static_argnames=(),
+        prefill, chunk_fn, vocode = self._stream_jits(
+            stream_chunk_size, n_chunks, temperature, top_k, top_p, repetition_penalty
         )
-        chunk_fn = jax.jit(
-            lambda p, s, r: self.gpt.apply(
-                self._dq(p), s, r, chunk_size=stream_chunk_size,
-                temperature=temperature, top_k=top_k, top_p=top_p,
-                repetition_penalty=repetition_penalty,
-                method=self.gpt.decode_chunk,
-            ),
-            # donate the decode state: the KV cache (tens of MB at full
-            # dims) is updated in place instead of copied every chunk
-            donate_argnums=(1,),
-        )
-        vocode = jax.jit(lambda p, lat, spk: self.hifigan_decoder.apply(p, lat, spk))
 
-        state = prefill(self.gpt_params, gpt_cond_latent, text_tokens)
+        state = prefill(
+            self.gpt_params, gpt_cond_latent, text_tokens,
+            jnp.asarray([text_tokens.shape[1]], jnp.int32),
+        )
         last_tail: Optional[np.ndarray] = None
         for i in range(n_chunks):
             rng, sub = jax.random.split(rng)
@@ -455,24 +473,9 @@ class Xtts:
         )
         max_new = max_new_tokens or self.gpt.max_mel_tokens - 3
         n_chunks = -(-max_new // stream_chunk_size)
-
-        prefill = jax.jit(
-            lambda p, c, t, tl: self.gpt.apply(
-                self._dq(p), c, t, tl,
-                max_new_tokens=n_chunks * stream_chunk_size,
-                method=self.gpt.prefill,
-            )
+        prefill, chunk_fn, vocode = self._stream_jits(
+            stream_chunk_size, n_chunks, temperature, top_k, top_p, repetition_penalty
         )
-        chunk_fn = jax.jit(
-            lambda p, s, r: self.gpt.apply(
-                self._dq(p), s, r, chunk_size=stream_chunk_size,
-                temperature=temperature, top_k=top_k, top_p=top_p,
-                repetition_penalty=repetition_penalty,
-                method=self.gpt.decode_chunk,
-            ),
-            donate_argnums=(1,),
-        )
-        vocode = jax.jit(lambda p, lat, spk_: self.hifigan_decoder.apply(p, lat, spk_))
 
         state = prefill(self.gpt_params, cond, text_tokens, text_lengths)
         tails: List[Optional[np.ndarray]] = [None] * B
@@ -514,6 +517,32 @@ class Xtts:
             if all(finished):
                 break
 
+    def resolve_conditioning(self, config, speaker_id: Optional[str] = None, speaker_wav=None):
+        """Conditioning for synthesis: a known ``speaker_id`` resolves through
+        the bundled speaker bank, otherwise ``speaker_wav`` is encoded on the
+        fly (reference ``xtts.py:382`` inlines this in every synthesize
+        variant). Returns ``(gpt_cond_latent [1,L,D], speaker_embedding)``."""
+        if speaker_wav is None and speaker_id is not None:
+            if speaker_id not in self.speaker_manager:
+                raise ValueError(
+                    f" [!] Unknown XTTS speaker {speaker_id!r}; known: "
+                    f"{sorted(self.speaker_manager)[:16]}…"
+                )
+            entry = self.speaker_manager[speaker_id]
+            return entry["gpt_cond_latent"], entry["speaker_embedding"]
+        if speaker_wav is None:
+            raise ValueError(
+                " [!] XTTS needs a `speaker_wav` reference clip (or a known "
+                "`speaker_id` from speakers_xtts.pth) for voice cloning."
+            )
+        return self.get_conditioning_latents(
+            speaker_wav,
+            gpt_cond_len=config.gpt_cond_len,
+            gpt_cond_chunk_len=config.gpt_cond_chunk_len,
+            max_ref_length=config.max_ref_len,
+            sound_norm_refs=config.sound_norm_refs,
+        )
+
     def synthesize(
         self,
         text: str,
@@ -525,28 +554,9 @@ class Xtts:
         **kwargs,
     ):
         """(reference ``xtts.py:382``)"""
-        if speaker_wav is None and speaker_id is not None:
-            if speaker_id not in self.speaker_manager:
-                raise ValueError(
-                    f" [!] Unknown XTTS speaker {speaker_id!r}; known: "
-                    f"{sorted(self.speaker_manager)[:16]}…"
-                )
-            entry = self.speaker_manager[speaker_id]
-            gpt_cond_latent = entry["gpt_cond_latent"]
-            speaker_embedding = entry["speaker_embedding"]
-        elif speaker_wav is None:
-            raise ValueError(
-                " [!] XTTS needs a `speaker_wav` reference clip (or a known "
-                "`speaker_id` from speakers_xtts.pth) for voice cloning."
-            )
-        else:
-            gpt_cond_latent, speaker_embedding = self.get_conditioning_latents(
-                speaker_wav,
-                gpt_cond_len=config.gpt_cond_len,
-                gpt_cond_chunk_len=config.gpt_cond_chunk_len,
-                max_ref_length=config.max_ref_len,
-                sound_norm_refs=config.sound_norm_refs,
-            )
+        gpt_cond_latent, speaker_embedding = self.resolve_conditioning(
+            config, speaker_id=speaker_id, speaker_wav=speaker_wav
+        )
         return self.inference(
             text,
             language,
@@ -573,25 +583,9 @@ class Xtts:
         same way, then yield audio chunks from :meth:`inference_stream`
         (serving path; reference exposes streaming only at the model level,
         ``xtts.py:611``)."""
-        if speaker_wav is None and speaker_id is not None:
-            if speaker_id not in self.speaker_manager:
-                raise ValueError(f" [!] Unknown XTTS speaker {speaker_id!r}")
-            entry = self.speaker_manager[speaker_id]
-            gpt_cond_latent = entry["gpt_cond_latent"]
-            speaker_embedding = entry["speaker_embedding"]
-        elif speaker_wav is None:
-            raise ValueError(
-                " [!] XTTS needs a `speaker_wav` reference clip (or a known "
-                "`speaker_id`) for voice cloning."
-            )
-        else:
-            gpt_cond_latent, speaker_embedding = self.get_conditioning_latents(
-                speaker_wav,
-                gpt_cond_len=config.gpt_cond_len,
-                gpt_cond_chunk_len=config.gpt_cond_chunk_len,
-                max_ref_length=config.max_ref_len,
-                sound_norm_refs=config.sound_norm_refs,
-            )
+        gpt_cond_latent, speaker_embedding = self.resolve_conditioning(
+            config, speaker_id=speaker_id, speaker_wav=speaker_wav
+        )
         return self.inference_stream(
             text,
             language,

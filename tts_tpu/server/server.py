@@ -23,6 +23,17 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
 
+class _NullLock:
+    """Stand-in lock for paths whose serialization lives elsewhere (the
+    stream batcher's worker thread owns the device)."""
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        return False
+
+
 _INDEX_HTML = """<!DOCTYPE html>
 <html><head><title>tts_tpu server</title></head>
 <body style="font-family: sans-serif; max-width: 48em; margin: 2em auto;">
@@ -58,7 +69,7 @@ function speak() {
 </body></html>"""
 
 
-def create_handler(synthesizer, lock: threading.Lock, batcher=None):
+def create_handler(synthesizer, lock: threading.Lock, batcher=None, stream_batcher=None):
     class TTSHandler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):
             print(" > %s" % (fmt % args))
@@ -105,23 +116,30 @@ def create_handler(synthesizer, lock: threading.Lock, batcher=None):
             if not text.strip():
                 self._send(400, b"missing text")
                 return
-            if not hasattr(synthesizer, "tts_stream"):
+            if not hasattr(synthesizer, "tts_stream") and stream_batcher is None:
                 self._send(501, b"model has no streaming path")
                 return
             sr = synthesizer.output_sample_rate
             empty = object()
-            # pull the first chunk BEFORE sending headers so bad requests
-            # still get a clean error status; afterwards the lock is taken
-            # per decode chunk, never across client socket writes (a slow
-            # reader must not block other requests on the server)
-            gen = synthesizer.tts_stream(
-                text,
+            stream_kwargs = dict(
                 speaker_name=(qs.get("speaker_id") or [None])[0],
                 language_name=(qs.get("language_id") or [None])[0],
                 speaker_wav=(qs.get("speaker_wav") or [None])[0],
             )
+            # pull the first chunk BEFORE sending headers so bad requests
+            # still get a clean error status; afterwards the lock is taken
+            # per decode chunk, never across client socket writes (a slow
+            # reader must not block other requests on the server)
+            if stream_batcher is not None:
+                # capacity path: concurrent clients share one batched decode
+                # scan (no lock — the batch worker owns the device)
+                gen = stream_batcher.stream(text, **stream_kwargs)
+                chunk_lock = _NullLock()
+            else:
+                gen = synthesizer.tts_stream(text, **stream_kwargs)
+                chunk_lock = lock
             try:
-                with lock:
+                with chunk_lock:
                     first = next(gen, empty)
             except NotImplementedError as e:
                 self._send(501, str(e).encode())
@@ -148,7 +166,7 @@ def create_handler(synthesizer, lock: threading.Lock, batcher=None):
                     pcm = np.clip(np.asarray(chunk, np.float32), -1.0, 1.0)
                     self.wfile.write((pcm * 32767).astype("<i2").tobytes())
                     self.wfile.flush()
-                    with lock:
+                    with chunk_lock:
                         chunk = next(gen, empty)
             except (BrokenPipeError, ConnectionResetError):
                 pass  # client hung up mid-stream
@@ -215,7 +233,12 @@ def create_handler(synthesizer, lock: threading.Lock, batcher=None):
 
 
 def create_server(
-    synthesizer, port: int = 5002, max_batch: int = 1, batch_window_ms: float = 10.0
+    synthesizer,
+    port: int = 5002,
+    max_batch: int = 1,
+    batch_window_ms: float = 10.0,
+    stream_batch: int = 1,
+    stream_window_ms: float = 50.0,
 ) -> ThreadingHTTPServer:
     lock = threading.Lock()
     batcher = None
@@ -227,7 +250,20 @@ def create_server(
             print(f" > Dynamic batching on: up to {max_batch} requests per dispatch")
         except ValueError as e:
             print(f" [!] dynamic batching unavailable for this model ({e}); serving serially")
-    return ThreadingHTTPServer(("0.0.0.0", port), create_handler(synthesizer, lock, batcher))
+    stream_batcher = None
+    if stream_batch and stream_batch > 1:
+        from tts_tpu.server.stream_batching import StreamBatcher
+
+        try:
+            stream_batcher = StreamBatcher(
+                synthesizer, max_batch=stream_batch, window_ms=stream_window_ms
+            )
+            print(f" > Batched streaming on: up to {stream_batch} concurrent streams per scan")
+        except ValueError as e:
+            print(f" [!] batched streaming unavailable for this model ({e}); streaming serially")
+    return ThreadingHTTPServer(
+        ("0.0.0.0", port), create_handler(synthesizer, lock, batcher, stream_batcher)
+    )
 
 
 def main():
@@ -252,6 +288,11 @@ def main():
                         help="dynamic batching: max concurrent requests per device dispatch")
     parser.add_argument("--batch_window_ms", type=float, default=10.0,
                         help="how long the first queued request waits for batch mates")
+    parser.add_argument("--stream_batch", type=int, default=1,
+                        help="batched streaming: max concurrent /api/tts-stream clients "
+                             "decoded in one KV-cached scan (XTTS)")
+    parser.add_argument("--stream_window_ms", type=float, default=50.0,
+                        help="how long the first queued stream waits for batch mates")
     args = parser.parse_args()
 
     if args.list_models:
@@ -279,7 +320,8 @@ def main():
     )
     server = create_server(
         tts.synthesizer, args.port, max_batch=args.max_batch,
-        batch_window_ms=args.batch_window_ms,
+        batch_window_ms=args.batch_window_ms, stream_batch=args.stream_batch,
+        stream_window_ms=args.stream_window_ms,
     )
     print(f" > Serving on http://0.0.0.0:{args.port}")
     server.serve_forever()
