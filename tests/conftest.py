@@ -47,7 +47,7 @@ _cache_dir = os.path.join(
 )
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _cache_dir)  # subprocesses too
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
 
 # Tests measure correctness, not speed: skip XLA's expensive optimization

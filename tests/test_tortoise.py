@@ -203,3 +203,46 @@ def test_tortoise_speaker_errors():
     with pytest.raises(ValueError, match="batch size 1"):
         model.inference(text, cond, diffusion_cond_mels=dcond, num_samples=2,
                         max_mel_tokens=4)
+
+
+def test_tortoise_presets():
+    """Quality/speed presets (reference tortoise.py:556): preset values fill
+    inference kwargs, explicit kwargs win, unknown names fail loudly."""
+    import pytest
+
+    cfg = TortoiseConfig()
+    cfg.model_args = TortoiseArgs(
+        ar_layers=1, ar_model_dim=32, ar_heads=2,
+        ar_number_text_tokens=255, ar_number_mel_codes=20,
+        ar_start_mel_token=18, ar_stop_mel_token=19, ar_start_text_token=255,
+        diff_model_channels=32, diff_num_layers=3, diff_in_channels=20,
+        diff_in_latent_channels=32, diff_num_heads=2, diffusion_iterations=2,
+    )
+    model = Tortoise(cfg)
+    model.init_params(jax.random.PRNGKey(0))
+
+    seen = {}
+    real_inference = model.inference
+
+    def spy(text_tokens, **kw):
+        seen.update(kw)
+        kw["vocode"] = False  # tiny fixture carries no vocoder weights
+        out = real_inference(text_tokens, **kw)
+        out["wav"] = np.zeros((1, 16), np.float32)
+        return out
+
+    model.inference = spy
+    with pytest.raises(ValueError, match="unknown tortoise preset"):
+        model.synthesize("Hi.", cfg, speaker_id="random", preset="warp9")
+
+    out = model.synthesize("Hi.", cfg, speaker_id="random", preset="ultra_fast",
+                           max_mel_tokens=4)
+    assert seen["num_samples"] == 16 and seen["diffusion_iterations"] == 10
+    assert seen["sampler"] == "ddim"
+    assert "mel" in out or "wav" in out
+
+    # explicit kwarg overrides the preset value
+    seen.clear()
+    model.synthesize("Hi.", cfg, speaker_id="random", preset="ultra_fast",
+                     diffusion_iterations=3, max_mel_tokens=4)
+    assert seen["diffusion_iterations"] == 3 and seen["num_samples"] == 16

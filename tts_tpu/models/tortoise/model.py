@@ -221,7 +221,12 @@ class UnifiedVoice(nn.Module):
             emb = emb + jax.lax.dynamic_slice_in_dim(self.mel_pos_embedding, pos, 1, 0)[None]
             h, new_caches = self.gpt(emb, caches=caches, cache_index=cur, cache_len=cur + 1)
             h = self.final_norm(h)
-            return (new_caches, cur + 1, pos + 1, self.mel_head(h[:, -1]), h[:, -1],
+            # pin carry dtypes to the prefill's: a caller-supplied fp32
+            # conditioning latent with bf16 weights would otherwise make the
+            # prefill fp32 while the step runs bf16, breaking the scan carry
+            return (new_caches, cur + 1, pos + 1,
+                    self.mel_head(h[:, -1]).astype(last_logits.dtype),
+                    h[:, -1].astype(last_h.dtype),
                     rep, new_done, n), (tok, last_h)
 
         # generated code k takes mel position k (start token at 0) — pinned
@@ -487,7 +492,9 @@ class Tortoise:
                   auto_latent: Optional[jnp.ndarray] = None,
                   diffusion_latent: Optional[jnp.ndarray] = None,
                   diffusion_cond_mels: Optional[jnp.ndarray] = None,
-                  num_samples: int = 1, vocode: bool = True):
+                  num_samples: int = 1, vocode: bool = True,
+                  sampler: Optional[str] = None,
+                  cond_free: Optional[bool] = None):
         """text tokens + voice conditioning → mel (+ wav when the bundled
         vocoder weights are loaded) — reference ``tortoise.py:599``.
 
@@ -570,25 +577,26 @@ class Tortoise:
         # 22.05 kHz code frames → 24 kHz output frames (tortoise.py:132)
         T_mel = latents.shape[1] * 4 * 24000 // 22050
         T_true = n_true * 4 * 24000 // 22050
-        sampler_name = getattr(a, "sampler", "ddim")
+        sampler_name = sampler if sampler is not None else getattr(a, "sampler", "ddim")
         steps = diffusion_iterations or a.diffusion_iterations
-        sampler = SAMPLERS.get(sampler_name, ddim_sample)
+        use_cond_free = a.cond_free if cond_free is None else cond_free
+        sampler_fn = SAMPLERS.get(sampler_name, ddim_sample)
 
         def _make_diffuse():
             def fn(p, lat, dlat, rng_d):
                 emb = self.diffusion.apply(
                     p, lat, dlat, T_mel, method=self.diffusion.timestep_independent
                 )
-                mel = sampler(
+                mel = sampler_fn(
                     self.diffusion, p, emb, T_mel, rng_d, steps=steps,
                     in_channels=a.diff_in_channels,
                     temperature=a.diffusion_temperature,
-                    cond_free=a.cond_free, cond_free_k=a.cond_free_k,
+                    cond_free=use_cond_free, cond_free_k=a.cond_free_k,
                 )
                 return denormalize_tacotron_mel(mel)
             return fn
 
-        mel = self._jitted(("diffuse", sampler_name, steps, T_mel), _make_diffuse)(
+        mel = self._jitted(("diffuse", sampler_name, steps, T_mel, use_cond_free), _make_diffuse)(
             self.diff_params, latents, diffusion_latent, r2
         )
         out = {"mel": mel, "codes": jnp.asarray(codes), "code_lengths": lengths}
@@ -613,6 +621,24 @@ class Tortoise:
         wav = wav[:, : hop * T]
         return jnp.clip(wav, -1.0, 1.0)
 
+    # quality/speed presets (reference ``tortoise.py:556``): values override
+    # config defaults; explicit kwargs override the preset
+    PRESETS = {
+        "single_sample": {"num_autoregressive_samples": 8, "diffusion_iterations": 10,
+                          "sampler": "ddim"},
+        "ultra_fast": {"num_autoregressive_samples": 16, "diffusion_iterations": 10,
+                       "sampler": "ddim"},
+        "ultra_fast_old": {"num_autoregressive_samples": 16, "diffusion_iterations": 30,
+                           "cond_free": False},
+        "very_fast": {"num_autoregressive_samples": 32, "diffusion_iterations": 30,
+                      "sampler": "dpm++2m"},
+        "fast": {"num_autoregressive_samples": 5, "diffusion_iterations": 50,
+                 "sampler": "ddim"},
+        "fast_old": {"num_autoregressive_samples": 96, "diffusion_iterations": 80},
+        "standard": {"num_autoregressive_samples": 5, "diffusion_iterations": 200},
+        "high_quality": {"num_autoregressive_samples": 256, "diffusion_iterations": 400},
+    }
+
     def synthesize(self, text: str, config=None, speaker_id: Optional[str] = None,
                    speaker_wav=None, voice_dirs=None, language=None, rng=None,
                    **kwargs):
@@ -629,6 +655,16 @@ class Tortoise:
         rng = rng if rng is not None else jax.random.PRNGKey(
             int(kwargs.pop("seed", 0))
         )
+        preset = kwargs.pop("preset", None)
+        if preset is not None:
+            if preset not in self.PRESETS:
+                raise ValueError(
+                    f"unknown tortoise preset {preset!r}; known: "
+                    f"{sorted(self.PRESETS)}"
+                )
+            # preset fills defaults; explicit kwargs keep priority
+            for k, v in self.PRESETS[preset].items():
+                kwargs.setdefault(k, v)
         wav_paths = []
         if speaker_wav is not None:
             wav_paths = [speaker_wav] if isinstance(speaker_wav, str) else list(speaker_wav)
@@ -673,6 +709,8 @@ class Tortoise:
                 "diffusion_iterations", a.diffusion_iterations),
             num_samples=kwargs.pop(
                 "num_autoregressive_samples", a.num_autoregressive_samples),
+            sampler=kwargs.pop("sampler", None),
+            cond_free=kwargs.pop("cond_free", None),
         )
         if "wav" not in out:
             raise RuntimeError(
