@@ -19,6 +19,25 @@ def test_semantic_generation(bark_tiny):
     assert (sem <= bark_tiny.config.SEMANTIC_VOCAB_SIZE).all()
 
 
+def test_semantic_generation_bf16(bark_tiny):
+    """bf16 serving: prefill and decode logits must share a dtype or the
+    decode ``lax.scan`` carry fails to typecheck (round-4 bench_ar crash)."""
+    import jax.numpy as jnp
+
+    saved = bark_tiny.semantic_params
+    bark_tiny.semantic_params = jax.tree.map(
+        lambda v: v.astype(jnp.bfloat16) if v.dtype == jnp.float32 else v, saved
+    )
+    try:
+        sem = bark_tiny.generate_text_semantic(
+            np.arange(10), jax.random.PRNGKey(1), max_gen_duration_s=0.5
+        )
+        assert sem.ndim == 1
+        assert (sem <= bark_tiny.config.SEMANTIC_VOCAB_SIZE).all()
+    finally:
+        bark_tiny.semantic_params = saved
+
+
 def test_full_pipeline_codes(bark_tiny):
     out = bark_tiny.synthesize("hi", bark_tiny.config, rng=jax.random.PRNGKey(2),
                                max_gen_duration_s=0.3)

@@ -82,7 +82,9 @@ class BarkGPT(nn.Module):
         B = prompt.shape[0]
         L_pre = prompt.shape[1] - (256 if merge_context else 0)
         max_len = L_pre + max_new_tokens
-        caches = self.core.init_cache(B, max_len)
+        # cache in the embedding (compute) dtype so bf16 serving halves KV
+        # HBM traffic and prefill/decode logits agree for the scan carry
+        caches = self.core.init_cache(B, max_len, self.wte.embedding.dtype)
 
         pre_mask = jnp.pad(causal_mask(L_pre), ((0, 0), (0, 0), (0, 0), (0, max_len - L_pre)))
         logits, caches = self(

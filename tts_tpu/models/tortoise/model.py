@@ -202,7 +202,7 @@ class UnifiedVoice(nn.Module):
         prefix = jnp.concatenate([cond_latent, te, start], 1)
         L_pre = prefix.shape[1]
         max_len = L_pre + max_new_tokens
-        caches = self.gpt.init_cache(B, max_len)
+        caches = self.gpt.init_cache(B, max_len, prefix.dtype)
         pre_mask = jnp.pad(causal_mask(L_pre), ((0, 0),) * 3 + ((0, max_len - L_pre),))
         h, caches = self.gpt(prefix, attn_mask=pre_mask, caches=caches, cache_index=0)
         h = self.final_norm(h)

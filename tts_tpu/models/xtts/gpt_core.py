@@ -86,7 +86,10 @@ class GPT2Attention(nn.Module):
         if attn_mask is not None:
             scores = jnp.where(attn_mask, scores, -1e9)
         probs = nn.softmax(scores, axis=-1)
-        out = jnp.einsum("bhts,bshd->bthd", probs, v_all).reshape(B, T, D)
+        # cast back to the activation dtype: a float32 KV cache must not
+        # upcast the residual stream (prefill and decode outputs have to
+        # agree for the decode lax.scan carry)
+        out = jnp.einsum("bhts,bshd->bthd", probs, v_all).reshape(B, T, D).astype(x.dtype)
         return nn.Dense(D, use_bias=self.use_bias, name="c_proj")(out), new_cache
 
 
