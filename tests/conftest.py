@@ -69,10 +69,12 @@ def pytest_configure(config):
 
 def pytest_collection_modifyitems(config, items):
     # record the slow tier so it is visible in a run artifact even when
-    # deselected (round-3 verdict "What's weak" #7)
+    # deselected (round-3 verdict "What's weak" #7); partial collections
+    # (single-file runs) must not clobber the full-suite tier list
     config._tts_slow_items = sorted(
         item.nodeid for item in items if "slow" in item.keywords
     )
+    config._tts_full_collection = len(items) > 300
     if os.environ.get("TTS_RUN_SLOW"):
         return
     skip = pytest.mark.skip(reason="slow; set TTS_RUN_SLOW=1 to run")
@@ -100,12 +102,17 @@ def pytest_sessionfinish(session, exitstatus):
     except (OSError, ValueError):
         record = {}
     ran_slow = bool(os.environ.get("TTS_RUN_SLOW"))
+    full = getattr(session.config, "_tts_full_collection", False)
+    if not full and not (ran_slow and slow):
+        return  # partial run: keep the full-suite record intact
     now = datetime.datetime.now(datetime.timezone.utc).isoformat(timespec="seconds")
-    record["slow_tests"] = slow
+    if full:
+        record["slow_tests"] = slow
     record["last_run"] = {"timestamp": now, "ran_slow_tier": ran_slow,
                           "exitstatus": int(exitstatus)}
     if ran_slow and exitstatus == 0 and slow:
         record["slow_tier_last_green"] = now
+        record["slow_tier_green_tests"] = slow
     try:
         with open(path, "w") as f:
             json.dump(record, f, indent=1)
