@@ -1,4 +1,4 @@
-"""Offline Spanish/Italian/German G2P fallback (``tts_tpu.text.latin_g2p``).
+"""Offline Spanish/Italian/German/French G2P fallback (``tts_tpu.text.latin_g2p``).
 
 The reference phonemizes these languages only through the espeak binary
 (``TTS/tts/utils/text/phonemizers/espeak_wrapper.py:47-83``); with espeak
@@ -91,9 +91,76 @@ GOLD_DE = {
     "singen": "ˈzɪŋən",
 }
 
+# French: standard phonemic dictionary transcriptions with the uniform
+# final-syllable stress marked; nasal vowels use the combining tilde
+GOLD_FR = {
+    "bonjour": "bɔ̃ˈʒuʁ",
+    "merci": "mɛʁˈsi",
+    "maison": "mɛˈzɔ̃",
+    "oiseau": "waˈzo",
+    "français": "fʁɑ̃ˈsɛ",
+    "garçon": "ɡaʁˈsɔ̃",
+    "chien": "ʃjɛ̃",
+    "temps": "tɑ̃",
+    "vingt": "vɛ̃",
+    "beaucoup": "boˈku",
+    "toujours": "tuˈʒuʁ",
+    "petit": "pəˈti",
+    "cheval": "ʃəˈval",
+    "question": "kɛsˈtjɔ̃",
+    "nation": "naˈsjɔ̃",
+    "heureux": "øˈʁø",
+    "fleur": "flœʁ",
+    "deux": "dø",
+    "yeux": "jø",
+    "voiture": "vwaˈtyʁ",
+    "rue": "ʁy",
+    "loin": "lwɛ̃",
+    "monsieur": "məsjø",
+    "femme": "fam",
+    "ville": "vil",
+    "fille": "fij",
+    "soleil": "sɔˈlɛj",
+    "travail": "tʁaˈvaj",
+    "nuit": "nɥi",
+    "bien": "bjɛ̃",
+    "lundi": "lœ̃ˈdi",
+    "parfum": "paʁˈfœ̃",
+    "école": "eˈkɔl",
+    "musique": "myˈzik",
+    "baguette": "baˈɡɛt",
+    "chose": "ʃoz",
+    "homme": "ɔm",
+    "avec": "aˈvɛk",
+    "être": "ɛtʁ",
+    "hôtel": "oˈtɛl",
+    "garage": "ɡaˈʁaʒ",
+    "croissant": "kʁwaˈsɑ̃",
+    "restaurant": "ʁɛstoˈʁɑ̃",
+    "trois": "tʁwa",
+    "blanc": "blɑ̃",
+    "grand": "ɡʁɑ̃",
+    "monde": "mɔ̃d",
+    "gouvernement": "ɡuvɛʁnəˈmɑ̃",
+    "depuis": "dəˈpɥi",
+    "cinéma": "sineˈma",
+    "pourquoi": "puʁˈkwa",
+    "guerre": "ɡɛʁ",
+    "champagne": "ʃɑ̃ˈpaɲ",
+    "parler": "paʁˈle",
+    "poisson": "pwaˈsɔ̃",
+    "poison": "pwaˈzɔ̃",
+    "bouteille": "buˈtɛj",
+    "huit": "ɥit",
+    "aujourd'hui": "oʒuʁdɥi",
+    "vie": "vi",
+    "oui": "wi",
+}
+
 
 @pytest.mark.parametrize(
-    "lang,gold", [("es", GOLD_ES), ("it", GOLD_IT), ("de", GOLD_DE)]
+    "lang,gold",
+    [("es", GOLD_ES), ("it", GOLD_IT), ("de", GOLD_DE), ("fr", GOLD_FR)],
 )
 def test_gold_words(lang, gold):
     eng = get_latin_g2p(lang)
@@ -108,16 +175,20 @@ def test_gold_words(lang, gold):
 def test_region_variants_and_unknown():
     assert get_latin_g2p("es-ES") is get_latin_g2p("es")
     assert get_latin_g2p("de-DE") is get_latin_g2p("de")
-    assert get_latin_g2p("fr") is None
+    assert get_latin_g2p("fr-FR") is get_latin_g2p("fr")
+    assert get_latin_g2p("pt") is None
 
 
 @pytest.mark.parametrize(
-    "lang,gold", [("es", GOLD_ES), ("it", GOLD_IT), ("de", GOLD_DE)]
+    "lang,gold",
+    [("es", GOLD_ES), ("it", GOLD_IT), ("de", GOLD_DE), ("fr", GOLD_FR)],
 )
 def test_output_within_ipa_charset(lang, gold):
     """Every emitted symbol must be encodable by IPAPhonemes (otherwise the
     tokenizer drops it and the model never sees the phoneme)."""
-    charset = set(IPAPhonemes().characters) | set("ˈ ")
+    # the combining tilde (French nasal vowels) is standard espeak IPA; a
+    # default-charset config drops it (denasalizes) rather than failing
+    charset = set(IPAPhonemes().characters) | set("ˈ \u0303")
     eng = get_latin_g2p(lang)
     for word in gold:
         out = eng.phonemize_word(word)
@@ -151,6 +222,7 @@ def test_espeak_request_falls_back_when_absent():
     ("es", "Buenos días, señora.", "ˈdias"),
     ("it", "La vita è bella!", "ˈvita"),
     ("de", "Das Wetter ist schön.", "ʃøːn"),
+    ("fr", "Bonjour tout le monde.", "ʒuʁ"),
 ])
 def test_tokenizer_resolves_ipa_not_graphemes(lang, text, expect):
     """A ``use_phonemes: true`` config for es/it/de produces IPA ids (the

@@ -1,9 +1,9 @@
-"""Self-contained Spanish / Italian / German grapheme→phoneme fallback.
+"""Self-contained Spanish / Italian / German / French grapheme→phoneme fallback.
 
 The reference phonemizes these languages only through the espeak binary
 (``TTS/tts/utils/text/phonemizers/espeak_wrapper.py:47-83``); without it,
-``use_phonemes: true`` configs for es/it/de silently degrade to graphemes.
-These three orthographies are regular enough for a compact rule transducer:
+``use_phonemes: true`` configs for es/it/de/fr silently degrade to graphemes.
+These orthographies are regular enough for a compact rule transducer:
 
 * per-language ordered context rules ``(left, pattern, right) → IPA``
   (first match wins, consumes ``len(pattern)`` letters),
@@ -28,7 +28,7 @@ from typing import Dict, List, Optional, Tuple
 
 # IPA vowel characters (a nucleus is a maximal run of these, incl. ``ː``)
 _IPA_VOWELS = set("aeiouɛɔɪʊœøyʏəɐɑæʌ")
-_GLIDES = set("jw")
+_GLIDES = set("jwɥ")
 _LIQUIDS = set("lrɾʁʎ")
 # two-symbol units the onset scanner must not split
 _AFFRICATES = {"tʃ", "dʒ", "ts", "dz", "pf", "kv", "ks"}
@@ -521,13 +521,213 @@ class GermanG2P(RuleG2P):
         return self._place_stress(word, self._transduce(word))
 
 
+# ---------------------------------------------------------------------------
+# French
+# ---------------------------------------------------------------------------
+
+# vowel letters (nasalization blockers / glide contexts)
+_FR_VL = "aàâeéèêëiîïoôuùûüyœ"
+# nasal vowel context: the n/m nasalizes when followed by end-of-word or a
+# consonant other than n/m/h (année, immense keep the oral vowel; the silent
+# h in bonheur blocks nasalization: /bɔnœʁ/)
+_FR_NAS = "$|[^" + _FR_VL + "nmh]"
+_FR_C = "[bcçdfgjklmnpqrstvwxz]"  # h excluded: digraph second letters
+#: nasal vowels use the standard combining tilde (U+0303, espeak-compatible);
+#: configs whose vocabulary lacks it degrade to the oral vowel, still far
+#: better than graphemes
+_TILDE = "̃"
+
+
+class FrenchG2P(RuleG2P):
+    """French: nearly-deterministic in the reading direction — nasal vowel
+    contexts, silent final consonants, and uniform final-syllable stress.
+    Known fallback approximations: 3pl ``-ent`` verb endings read as nasal
+    nouns, ``-ien-`` before a consonant reads /jɛ̃/ (``science``), no liaison
+    across words."""
+
+    VOWEL_LETTERS = _FR_VL
+
+    RULES = [
+        # --- a ---
+        ("", "ain", _FR_NAS, "ɛ" + _TILDE),
+        ("", "aim", _FR_NAS, "ɛ" + _TILDE),
+        ("", "aill", "", "aj"),
+        ("", "ail", "$", "aj"),
+        ("", "an", _FR_NAS, "ɑ" + _TILDE),
+        ("", "am", _FR_NAS, "ɑ" + _TILDE),
+        ("", "au", "", "o"),
+        ("", "ay", "[" + _FR_VL + "]", "ɛj"),
+        ("", "aî", "", "ɛ"),
+        ("", "ai", "", "ɛ"),
+        ("", "à", "", "a"),
+        ("", "â", "", "ɑ"),
+        ("", "a", "", "a"),
+        # --- e ---
+        ("^", "ex", "[" + _FR_VL + "]", "ɛɡz"),
+        ("", "eau", "", "o"),
+        ("", "eill", "", "ɛj"),
+        ("", "eil", "$", "ɛj"),
+        ("", "euill", "", "œj"),
+        ("", "euil", "$", "œj"),
+        ("", "ein", _FR_NAS, "ɛ" + _TILDE),
+        ("", "eim", _FR_NAS, "ɛ" + _TILDE),
+        ("", "en", _FR_NAS, "ɑ" + _TILDE),
+        ("", "em", _FR_NAS, "ɑ" + _TILDE),
+        ("", "eu", "$", "ø"),
+        # /œ/ before a coda r/l (fleur, seul); /ø/ in open syllables
+        ("", "eu", "[rl](?:$|[^" + _FR_VL + "])", "œ"),
+        ("", "eu", "", "ø"),
+        (".*[" + _FR_VL + "].*", "er", "$", "e"),  # -er suffix; mer/cher via ɛ rule/exceptions
+        ("", "ez", "$", "e"),
+        ("", "et", "$", "ɛ"),
+        # closed syllable: geminate or a true 2-consonant cluster (not C+l/r
+        # onsets: secret /səkʁɛ/)
+        ("", "e", "ll|rr|" + _FR_C + "[bcçdfgjkmnpqstvwxz]", "ɛ"),
+        ("", "e", _FR_C + "$", "ɛ"),
+        ("", "e", "$", ""),  # silent final e
+        ("", "e", "", "ə"),
+        ("", "é", "", "e"),
+        ("", "è", "", "ɛ"),
+        ("", "ê", "", "ɛ"),
+        ("", "ë", "", "ɛ"),
+        # --- i ---
+        ("", "ill", "", "ij"),  # fille; ville/mille are exceptions
+        ("", "ien", _FR_NAS, "jɛ" + _TILDE),
+        ("", "in", _FR_NAS, "ɛ" + _TILDE),
+        ("", "im", _FR_NAS, "ɛ" + _TILDE),
+        # glide only before a *pronounced* vowel — not a silent final e (vie)
+        ("", "i", "[aàâéèêëoôuùûüyœ]|e.", "j"),
+        ("", "î", "", "i"),
+        ("", "ï", "", "i"),
+        ("", "i", "", "i"),
+        # --- o ---
+        ("", "oin", _FR_NAS, "wɛ" + _TILDE),
+        ("", "on", _FR_NAS, "ɔ" + _TILDE),
+        ("", "om", _FR_NAS, "ɔ" + _TILDE),
+        ("", "où", "", "u"),
+        ("", "oû", "", "u"),
+        ("", "ou", "[aàâéèêëiîïy]|e.", "w"),
+        ("", "ou", "", "u"),
+        ("", "oy", "[" + _FR_VL + "]", "waj"),
+        ("", "oî", "", "wa"),
+        ("", "oi", "", "wa"),
+        ("", "ô", "", "o"),
+        ("", "o", "$", "o"),
+        ("", "o", "[sz][" + _FR_VL + "]", "o"),  # chose, rose
+        ("", "o", "", "ɔ"),
+        # --- u ---
+        ("", "un", _FR_NAS, "œ" + _TILDE),
+        ("", "um", _FR_NAS, "œ" + _TILDE),
+        ("", "ue", "$", "y"),  # rue (u-glide otherwise: actuel)
+        ("", "u", "[aàâeéèêëiîïoôyœ]", "ɥ"),
+        ("", "ù", "", "y"),
+        ("", "û", "", "y"),
+        ("", "ü", "", "y"),
+        ("", "u", "", "y"),
+        # --- y ---
+        ("", "yn", _FR_NAS, "ɛ" + _TILDE),
+        ("", "ym", _FR_NAS, "ɛ" + _TILDE),
+        ("", "y", "[" + _FR_VL + "]", "j"),
+        ("", "y", "", "i"),
+        # --- œ ---
+        ("", "œu", "$", "ø"),
+        ("", "œu", "", "œ"),
+        ("", "œ", "", "e"),
+        # --- consonants ---
+        ("", "ch", "r", "k"),  # chrétien
+        ("", "ch", "", "ʃ"),
+        ("", "ck", "", "k"),
+        ("", "cc", "[eéèêëiîïy]", "ks"),
+        ("", "c", "[eéèêëiîïy]", "s"),
+        ("", "c", "", "k"),
+        ("", "ç", "", "s"),
+        ("", "gn", "", "ɲ"),
+        ("", "gu", "[eéèêëiîïy]", "ɡ"),
+        ("", "ge", "[aàoô]", "ʒ"),  # mangeons
+        ("", "gg", "", "ɡ"),
+        ("", "g", "[eéèêëiîïy]", "ʒ"),
+        ("", "g", "", "ɡ"),
+        ("", "h", "", ""),
+        ("", "j", "", "ʒ"),
+        ("", "ph", "", "f"),
+        ("", "pp", "", "p"),
+        ("", "qu", "", "k"),
+        ("", "q", "", "k"),
+        ("", "rr", "", "ʁ"),
+        ("", "r", "", "ʁ"),
+        ("", "ss", "", "s"),
+        ("[" + _FR_VL + "]", "s", "[" + _FR_VL + "]", "z"),
+        ("", "s", "", "s"),
+        ("[^s]|^", "ti", "on", "sj"),  # nation; question keeps /t/
+        ("", "tt", "", "t"),
+        ("", "th", "", "t"),
+        ("", "x", "", "ks"),
+        ("", "w", "", "w"),
+        ("", "ll", "", "l"),
+        ("", "mm", "", "m"),
+        ("", "nn", "", "n"),
+        ("", "dd", "", "d"),
+        ("", "bb", "", "b"),
+        ("", "ff", "", "f"),
+    ] + [("", c, "", c) for c in "bdfklmnptvz"]
+
+    EXCEPTIONS = {
+        # closed-class words the final-e / stripping rules would empty or wrong
+        "le": "lə", "de": "də", "ne": "nə", "me": "mə", "te": "tə", "se": "sə",
+        "ce": "sə", "je": "ʒə", "que": "kə",
+        "les": "le", "des": "de", "mes": "me", "tes": "te", "ses": "se",
+        "ces": "se", "et": "e", "est": "ɛ", "es": "ɛ", "aux": "o", "eux": "ø",
+        "un": "œ" + _TILDE, "en": "ɑ" + _TILDE, "on": "ɔ" + _TILDE,
+        "monsieur": "məsjø", "messieurs": "mesjø", "femme": "fam",
+        "ville": "vil", "mille": "mil", "tranquille": "tʁɑ" + _TILDE + "kil",
+        "village": "vilaʒ", "fils": "fis", "six": "sis", "dix": "dis",
+        "sept": "sɛt", "huit": "ɥit", "sud": "syd", "donc": "dɔ" + _TILDE + "k",
+        "gaz": "ɡaz", "ouest": "wɛst", "août": "ut", "pays": "pɛi",
+        "hiver": "ivɛʁ", "cher": "ʃɛʁ", "fier": "fjɛʁ", "hier": "jɛʁ",
+        "amer": "amɛʁ", "enfer": "ɑ" + _TILDE + "fɛʁ", "eu": "y",
+        "œil": "œj", "aujourd'hui": "oʒuʁdɥi", "plus": "ply", "tous": "tus",
+    }
+
+    #: silent final consonants stripped before transduction (repeatedly:
+    #: temps → tem); c is silent only after n (blanc, franc)
+    _SILENT_FINAL = "dtsxzpg"
+    #: elided single-letter clitics keep their consonant reading
+    _ELISION = {"c": "s", "qu": "k", "j": "ʒ", "l": "l", "d": "d", "n": "n",
+                "m": "m", "s": "s", "t": "t"}
+
+    def default_stress_index(self, word: str, n_nuclei: int) -> int:
+        return n_nuclei - 1  # French: uniform final-syllable stress
+
+    def phonemize_word(self, word: str) -> str:
+        word = word.lower()
+        hit = self.EXCEPTIONS.get(word)
+        if hit is not None:
+            return hit
+        if "'" in word or "-" in word:
+            parts = re.split(r"['-]", word)
+            return "".join(
+                self._ELISION.get(p, None) or self.phonemize_word(p)
+                for p in parts if p
+            )
+        core = word
+        while len(core) > 2 and core[-1] in self._SILENT_FINAL:
+            core = core[:-1]
+        if len(core) > 3 and core.endswith("nc"):
+            core = core[:-1]
+        phones = self._transduce(core)
+        if not any(c in _IPA_VOWELS for c in phones) and word.endswith("e"):
+            phones += "ə"  # final e is a real schwa when it is the only nucleus
+        return self._place_stress(core, phones)
+
+
 _ENGINES: Dict[str, RuleG2P] = {}
 
 
 def get_latin_g2p(language: str) -> Optional[RuleG2P]:
-    """Engine for a supported language code (es/it/de + region variants)."""
+    """Engine for a supported language code (es/it/de/fr + region variants)."""
     base = language.lower().split("-")[0]
-    cls = {"es": SpanishG2P, "it": ItalianG2P, "de": GermanG2P}.get(base)
+    cls = {"es": SpanishG2P, "it": ItalianG2P, "de": GermanG2P,
+           "fr": FrenchG2P}.get(base)
     if cls is None:
         return None
     if base not in _ENGINES:
