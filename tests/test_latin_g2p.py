@@ -1,4 +1,4 @@
-"""Offline Spanish/Italian/German/French G2P fallback (``tts_tpu.text.latin_g2p``).
+"""Offline Spanish/Italian/German/French/Portuguese G2P fallback (``tts_tpu.text.latin_g2p``).
 
 The reference phonemizes these languages only through the espeak binary
 (``TTS/tts/utils/text/phonemizers/espeak_wrapper.py:47-83``); with espeak
@@ -158,16 +158,69 @@ GOLD_FR = {
 }
 
 
+# Brazilian Portuguese (the zoo's YourTTS/CV variants are pt-br); golds are
+# NFD-normalized in the test: nasal vowels are emitted as base + combining
+# tilde (espeak-compatible; ɛ̃-style vowels have no precomposed form)
+GOLD_PT = {
+    "obrigado": "obɾiˈɡadu",
+    "casa": "ˈkazɐ",
+    "você": "voˈse",
+    "não": "nɐ̃w",
+    "coração": "koɾaˈsɐ̃w",
+    "trabalho": "tɾaˈbaʎu",
+    "português": "poʁtuˈɡes",
+    "brasil": "bɾaˈziw",
+    "cidade": "siˈdadʒi",
+    "gente": "ˈʒẽtʃi",
+    "tempo": "ˈtẽpu",
+    "falar": "faˈlaʁ",
+    "dinheiro": "dʒiˈɲejɾu",
+    "amigo": "aˈmiɡu",
+    "livro": "ˈlivɾu",
+    "chuva": "ˈʃuvɐ",
+    "queijo": "ˈkejʒu",
+    "peixe": "ˈpejʃi",
+    "junho": "ˈʒuɲu",
+    "filho": "ˈfiʎu",
+    "carro": "ˈkaʁu",
+    "caro": "ˈkaɾu",
+    "estação": "estaˈsɐ̃w",
+    "noite": "ˈnojtʃi",
+    "leite": "ˈlejtʃi",
+    "homem": "ˈomẽj",
+    "bem": "bẽj",
+    "também": "tɐ̃ˈbẽj",
+    "depois": "deˈpojs",
+    "muito": "ˈmũjtu",
+    "coisa": "ˈkojzɐ",
+    "branco": "ˈbɾɐ̃ku",
+    "longe": "ˈlõʒi",
+    "ontem": "ˈõtẽj",
+    "sempre": "ˈsẽpɾi",
+    "grande": "ˈɡɾɐ̃dʒi",
+    "verdade": "veʁˈdadʒi",
+    "universidade": "univeʁsiˈdadʒi",
+    "quando": "ˈkwɐ̃du",
+    "mãe": "mɐ̃j",
+    "feliz": "feˈlis",
+    "praia": "ˈpɾajɐ",
+}
+
+
 @pytest.mark.parametrize(
     "lang,gold",
-    [("es", GOLD_ES), ("it", GOLD_IT), ("de", GOLD_DE), ("fr", GOLD_FR)],
+    [("es", GOLD_ES), ("it", GOLD_IT), ("de", GOLD_DE), ("fr", GOLD_FR),
+     ("pt", GOLD_PT)],
 )
 def test_gold_words(lang, gold):
     eng = get_latin_g2p(lang)
+    import unicodedata
+
+    nfd = lambda s: unicodedata.normalize("NFD", s)  # noqa: E731
     misses = {
         w: (eng.phonemize_word(w), ipa)
         for w, ipa in gold.items()
-        if eng.phonemize_word(w) != ipa
+        if nfd(eng.phonemize_word(w)) != nfd(ipa)
     }
     assert not misses, f"{lang} G2P misses: {misses}"
 
@@ -176,12 +229,14 @@ def test_region_variants_and_unknown():
     assert get_latin_g2p("es-ES") is get_latin_g2p("es")
     assert get_latin_g2p("de-DE") is get_latin_g2p("de")
     assert get_latin_g2p("fr-FR") is get_latin_g2p("fr")
-    assert get_latin_g2p("pt") is None
+    assert get_latin_g2p("pt-br") is get_latin_g2p("pt")
+    assert get_latin_g2p("pl") is None
 
 
 @pytest.mark.parametrize(
     "lang,gold",
-    [("es", GOLD_ES), ("it", GOLD_IT), ("de", GOLD_DE), ("fr", GOLD_FR)],
+    [("es", GOLD_ES), ("it", GOLD_IT), ("de", GOLD_DE), ("fr", GOLD_FR),
+     ("pt", GOLD_PT)],
 )
 def test_output_within_ipa_charset(lang, gold):
     """Every emitted symbol must be encodable by IPAPhonemes (otherwise the
@@ -223,6 +278,7 @@ def test_espeak_request_falls_back_when_absent():
     ("it", "La vita è bella!", "ˈvita"),
     ("de", "Das Wetter ist schön.", "ʃøːn"),
     ("fr", "Bonjour tout le monde.", "ʒuʁ"),
+    ("pt-br", "Muito obrigado, até amanhã!", "ɡadu"),
 ])
 def test_tokenizer_resolves_ipa_not_graphemes(lang, text, expect):
     """A ``use_phonemes: true`` config for es/it/de produces IPA ids (the

@@ -720,14 +720,129 @@ class FrenchG2P(RuleG2P):
         return self._place_stress(core, phones)
 
 
+# ---------------------------------------------------------------------------
+# Portuguese (Brazilian — the zoo's YourTTS/CV variants are pt-br)
+# ---------------------------------------------------------------------------
+
+_PT_VL = "aáâãàeéêiíoóôõuú"
+_PT_NAS = "$|[^" + _PT_VL + "nmh]"
+_PT_FRONT = "[eéêií]"
+
+
+class PortugueseG2P(RuleG2P):
+    """Brazilian Portuguese: nasal vowels/diphthongs, final-vowel reduction
+    (a→ɐ, e→i, o→u), t/d palatalization before /i/, coda l→w and coda r→ʁ.
+    Stress: orthographic accents win; otherwise penult for words ending in
+    a/e/o(+s) or -am/-em, final elsewhere (r/l/z/i/u/nasal diphthongs)."""
+
+    VOWEL_LETTERS = _PT_VL
+
+    RULES = [
+        # --- a ---
+        ("", "ãe", "", "ɐ" + _TILDE + "j"),
+        ("", "ão", "", "ɐ" + _TILDE + "w"),
+        ("", "ã", "", "ɐ" + _TILDE),
+        ("", "am", "$", "ɐ" + _TILDE + "w"),  # 3pl verb ending: falam
+        ("", "am", _PT_NAS, "ɐ" + _TILDE),
+        ("", "an", _PT_NAS, "ɐ" + _TILDE),
+        ("", "ai", "", "aj"),
+        ("", "au", "", "aw"),
+        ("", "á", "", "ˈa"),
+        ("", "â", "", "ˈɐ"),
+        ("", "à", "", "a"),
+        ("", "a", "s?$", "ɐ"),
+        ("", "a", "", "a"),
+        # --- e ---
+        ("", "ém", "$", "ˈẽj".replace("ẽ", "e" + _TILDE)),
+        ("", "em", "$", "e" + _TILDE + "j"),
+        ("", "ens", "$", "e" + _TILDE + "js"),
+        ("", "em", _PT_NAS, "e" + _TILDE),
+        ("", "en", _PT_NAS, "e" + _TILDE),
+        ("", "ei", "", "ej"),
+        ("", "eu", "", "ew"),
+        ("", "é", "", "ˈɛ"),
+        ("", "ê", "", "ˈe"),
+        ("", "e", "s?$", "i"),  # pt-br final-vowel raising
+        ("", "e", "", "e"),
+        # --- i ---
+        ("", "im", "$", "i" + _TILDE),
+        ("", "im", _PT_NAS, "i" + _TILDE),
+        ("", "in", _PT_NAS, "i" + _TILDE),
+        ("", "í", "", "ˈi"),
+        ("", "i", "", "i"),
+        # --- o ---
+        ("", "õe", "", "o" + _TILDE + "j"),
+        ("", "õ", "", "o" + _TILDE),
+        ("", "om", _PT_NAS, "o" + _TILDE),
+        ("", "on", _PT_NAS, "o" + _TILDE),
+        ("", "ou", "", "o"),
+        ("", "oi", "", "oj"),
+        ("", "ó", "", "ˈɔ"),
+        ("", "ô", "", "ˈo"),
+        ("", "o", "s?$", "u"),
+        ("", "o", "", "o"),
+        # --- u ---
+        ("", "um", "$", "u" + _TILDE),
+        ("", "um", _PT_NAS, "u" + _TILDE),
+        ("", "un", _PT_NAS, "u" + _TILDE),
+        ("", "ú", "", "ˈu"),
+        ("", "u", "", "u"),
+        # --- consonants ---
+        ("", "ch", "", "ʃ"),
+        ("", "lh", "", "ʎ"),
+        ("", "nh", "", "ɲ"),
+        ("", "ss", "", "s"),
+        ("[" + _PT_VL + "]", "s", "[" + _PT_VL + "]", "z"),
+        ("", "s", "", "s"),
+        ("", "ç", "", "s"),
+        ("", "cc", _PT_FRONT, "ks"),
+        ("", "c", _PT_FRONT, "s"),
+        ("", "c", "", "k"),
+        ("", "qu", _PT_FRONT, "k"),
+        ("", "qu", "", "kw"),
+        ("", "q", "", "k"),
+        ("", "gu", _PT_FRONT, "ɡ"),
+        ("", "g", _PT_FRONT, "ʒ"),
+        ("", "g", "", "ɡ"),
+        ("", "j", "", "ʒ"),
+        ("", "h", "", ""),
+        ("", "rr", "", "ʁ"),
+        ("^", "r", "", "ʁ"),  # word-initial: strong rhotic
+        ("", "r", "[" + _PT_VL + "]", "ɾ"),  # onset tap
+        ("", "r", "", "ʁ"),  # coda
+        ("", "x", "", "ʃ"),
+        ("", "z", "$", "s"),
+        ("", "z", "", "z"),
+        ("", "l", "$|[bcçdfgjklmnpqrstvwxz]", "w"),  # coda l vocalizes
+        ("", "l", "", "l"),
+        ("", "d", "[ií]", "dʒ"),  # pt-br palatalization
+        ("", "d", "es?$", "dʒ"),
+        ("", "t", "[ií]", "tʃ"),
+        ("", "t", "es?$", "tʃ"),
+    ] + [("", c, "", c) for c in "bfkmnpvw"]
+
+    EXCEPTIONS = {
+        "e": "i", "o": "u", "os": "us", "a": "ɐ", "as": "ɐs",
+        "de": "dʒi", "que": "ki", "muito": "ˈmu" + _TILDE + "jtu",
+        "muita": "ˈmu" + _TILDE + "jtɐ", "mulher": "muˈʎɛʁ",
+        "mais": "majs", "mas": "majs", "eu": "ew", "ele": "ˈeli",
+        "ela": "ˈɛlɐ", "está": "isˈta", "você": "voˈse",
+    }
+
+    def default_stress_index(self, word: str, n_nuclei: int) -> int:
+        if re.search(r"(?<![ãõ])[aeo]s?$|[ae]m$|[ae]ns$", word):
+            return max(0, n_nuclei - 2)
+        return n_nuclei - 1
+
+
 _ENGINES: Dict[str, RuleG2P] = {}
 
 
 def get_latin_g2p(language: str) -> Optional[RuleG2P]:
-    """Engine for a supported language code (es/it/de/fr + region variants)."""
+    """Engine for a supported language code (es/it/de/fr/pt + region variants)."""
     base = language.lower().split("-")[0]
     cls = {"es": SpanishG2P, "it": ItalianG2P, "de": GermanG2P,
-           "fr": FrenchG2P}.get(base)
+           "fr": FrenchG2P, "pt": PortugueseG2P}.get(base)
     if cls is None:
         return None
     if base not in _ENGINES:
