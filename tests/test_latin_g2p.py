@@ -1,4 +1,4 @@
-"""Offline Spanish/Italian/German/French/Portuguese G2P fallback (``tts_tpu.text.latin_g2p``).
+"""Offline es/it/de/fr/pt/tr/pl/cs/hu G2P fallback (``tts_tpu.text.latin_g2p``).
 
 The reference phonemizes these languages only through the espeak binary
 (``TTS/tts/utils/text/phonemizers/espeak_wrapper.py:47-83``); with espeak
@@ -207,10 +207,57 @@ GOLD_PT = {
 }
 
 
+# Turkish / Polish / Czech / Hungarian: regular orthographies with fixed
+# stress (final / penult / initial / initial)
+GOLD_TR = {
+    "merhaba": "meɾhaˈba", "teşekkür": "teʃekˈkyɾ", "günaydın": "ɡynajˈdɯn",
+    "evet": "eˈvet", "hayır": "haˈjɯɾ", "çok": "tʃok", "güzel": "ɡyˈzel",
+    "kitap": "kiˈtap", "türkçe": "tyɾkˈtʃe", "bir": "biɾ", "ekmek": "ekˈmek",
+    "şehir": "ʃeˈhiɾ", "dağ": "daː", "yağmur": "jaːˈmuɾ",
+    "öğretmen": "øːɾetˈmen", "araba": "aɾaˈba", "deniz": "deˈniz",
+    "kedi": "keˈdi", "köpek": "køˈpek", "elma": "elˈma", "balık": "baˈlɯk",
+    "beyaz": "beˈjaz", "su": "su", "iyi": "iˈji",
+}
+
+GOLD_PL = {
+    "dziękuję": "dʑɛ̃ˈkujɛ", "proszę": "ˈprɔʂɛ", "tak": "tak", "nie": "ɲɛ",
+    "kot": "kɔt", "pies": "pjɛs", "miasto": "ˈmjastɔ", "szkoła": "ˈʂkɔwa",
+    "czas": "tʂas", "być": "bɨtɕ", "człowiek": "ˈtʂwɔvjɛk",
+    "dobrze": "ˈdɔbʐɛ", "przepraszam": "pʂɛˈpraʂam", "trzy": "tʂɨ",
+    "warszawa": "varˈʂava", "język": "ˈjɛ̃zɨk", "ziemia": "ˈʑɛmja",
+    "łódź": "wutɕ", "chleb": "xlɛp", "miód": "mjut", "śnieg": "ɕɲɛk",
+    "mąka": "ˈmɔ̃ka", "serce": "ˈsɛrtsɛ", "wszystko": "ˈfʂɨstkɔ",
+    "kocham": "ˈkɔxam", "jestem": "ˈjɛstɛm", "właśnie": "ˈvwaɕɲɛ",
+    "dzień": "dʑɛɲ", "dobry": "ˈdɔbrɨ",
+}
+
+GOLD_CS = {
+    "děkuji": "ˈɟɛkujɪ", "dobrý": "ˈdobriː", "ahoj": "ˈaɦoj",
+    "žena": "ˈʒɛna", "muž": "muʃ", "hrad": "ɦrat", "město": "ˈmɲɛsto",
+    "voda": "ˈvoda", "kniha": "ˈkɲɪɦa", "pivo": "ˈpɪvo",
+    "česky": "ˈtʃɛskɪ", "dnes": "dnɛs", "noc": "nots", "svět": "svjɛt",
+    "led": "lɛt", "sníh": "sɲiːx", "ryba": "ˈrɪba", "chléb": "xlɛːp",
+    # ř ≈ /rʒ/ (devoiced /rʃ/ after voiceless obstruents): the raised
+    # alveolar trill r̝ has no symbol inside the IPAPhonemes charset
+    "přítel": "ˈprʃiːtɛl", "škola": "ˈʃkola",
+}
+
+GOLD_HU = {
+    "köszönöm": "ˈkøsønøm", "magyar": "ˈmɒɟɒr", "szia": "ˈsiɒ",
+    "család": "ˈtʃɒlaːd", "ember": "ˈɛmbɛr", "szép": "seːp",
+    "könyv": "køɲv", "gyerek": "ˈɟɛrɛk", "iskola": "ˈiʃkolɒ",
+    "asztal": "ˈɒstɒl", "nyelv": "ɲɛlv", "olyan": "ˈojɒn", "ház": "haːz",
+    "víz": "viːz", "kutya": "ˈkucɒ", "macska": "ˈmɒtʃkɒ",
+    "kenyér": "ˈkɛɲeːr", "tanár": "ˈtɒnaːr", "hideg": "ˈhidɛɡ",
+    "meleg": "ˈmɛlɛɡ", "fiú": "ˈfiuː",
+}
+
+
 @pytest.mark.parametrize(
     "lang,gold",
     [("es", GOLD_ES), ("it", GOLD_IT), ("de", GOLD_DE), ("fr", GOLD_FR),
-     ("pt", GOLD_PT)],
+     ("pt", GOLD_PT), ("tr", GOLD_TR), ("pl", GOLD_PL), ("cs", GOLD_CS),
+     ("hu", GOLD_HU)],
 )
 def test_gold_words(lang, gold):
     eng = get_latin_g2p(lang)
@@ -230,13 +277,14 @@ def test_region_variants_and_unknown():
     assert get_latin_g2p("de-DE") is get_latin_g2p("de")
     assert get_latin_g2p("fr-FR") is get_latin_g2p("fr")
     assert get_latin_g2p("pt-br") is get_latin_g2p("pt")
-    assert get_latin_g2p("pl") is None
+    assert get_latin_g2p("ru") is None
 
 
 @pytest.mark.parametrize(
     "lang,gold",
     [("es", GOLD_ES), ("it", GOLD_IT), ("de", GOLD_DE), ("fr", GOLD_FR),
-     ("pt", GOLD_PT)],
+     ("pt", GOLD_PT), ("tr", GOLD_TR), ("pl", GOLD_PL), ("cs", GOLD_CS),
+     ("hu", GOLD_HU)],
 )
 def test_output_within_ipa_charset(lang, gold):
     """Every emitted symbol must be encodable by IPAPhonemes (otherwise the
@@ -279,6 +327,10 @@ def test_espeak_request_falls_back_when_absent():
     ("de", "Das Wetter ist schön.", "ʃøːn"),
     ("fr", "Bonjour tout le monde.", "ʒuʁ"),
     ("pt-br", "Muito obrigado, até amanhã!", "ɡadu"),
+    ("tr", "Çok teşekkür ederim.", "teʃekˈkyɾ"),
+    ("pl", "Dzień dobry wszystkim!", "ˈdɔbrɨ"),
+    ("cs", "Dobrý den, jak se máte?", "ˈdobriː"),
+    ("hu", "Jó napot kívánok!", "ˈnɒpot"),
 ])
 def test_tokenizer_resolves_ipa_not_graphemes(lang, text, expect):
     """A ``use_phonemes: true`` config for es/it/de produces IPA ids (the

@@ -1,8 +1,8 @@
-"""Self-contained Spanish / Italian / German / French grapheme→phoneme fallback.
+"""Self-contained grapheme→phoneme fallback for es/it/de/fr/pt/tr/pl/cs/hu.
 
 The reference phonemizes these languages only through the espeak binary
 (``TTS/tts/utils/text/phonemizers/espeak_wrapper.py:47-83``); without it,
-``use_phonemes: true`` configs for es/it/de/fr silently degrade to graphemes.
+their ``use_phonemes: true`` configs silently degrade to graphemes.
 These orthographies are regular enough for a compact rule transducer:
 
 * per-language ordered context rules ``(left, pattern, right) → IPA``
@@ -27,7 +27,7 @@ import re
 from typing import Dict, List, Optional, Tuple
 
 # IPA vowel characters (a nucleus is a maximal run of these, incl. ``ː``)
-_IPA_VOWELS = set("aeiouɛɔɪʊœøyʏəɐɑæʌ")
+_IPA_VOWELS = set("aeiouɛɔɪʊœøyʏəɐɑæʌɯɨɒ")
 _GLIDES = set("jwɥ")
 _LIQUIDS = set("lrɾʁʎ")
 # two-symbol units the onset scanner must not split
@@ -66,6 +66,9 @@ class RuleG2P:
     #: absorb a preceding s/ʃ into the stressed onset (German s-clusters;
     #: Spanish/Italian syllabify /s/+C heterosyllabically: es.tán)
     ONSET_S_CLUSTERS = False
+    #: languages without falling diphthongs (Hungarian, Czech): adjacent
+    #: vowels are hiatus — each vowel symbol is its own syllable nucleus
+    HIATUS = False
 
     def __init__(self):
         # bucket rules by first letter for O(1) candidate lookup
@@ -94,12 +97,13 @@ class RuleG2P:
                 i += 1
         return "".join(out)
 
-    @staticmethod
-    def _nuclei(phones: str) -> List[Tuple[int, int]]:
+    @classmethod
+    def _nuclei(cls, phones: str) -> List[Tuple[int, int]]:
         """(start, end) spans of vowel nuclei.  A run of vowel symbols forms
         one nucleus (diphthong), except that a long mark ``ː`` closes the
         nucleus and ``ə`` always starts its own (German hiatus: ``eːə`` in
-        *stehen* is two syllables, not one)."""
+        *stehen* is two syllables, not one).  With ``HIATUS`` every vowel
+        symbol is its own nucleus (+ its length mark)."""
         spans = []
         i = 0
         n = len(phones)
@@ -111,6 +115,10 @@ class RuleG2P:
                         break
                     j += 1
                     if phones[j - 1] == "ː":
+                        break
+                    if cls.HIATUS:
+                        if j < n and phones[j] == "ː":
+                            j += 1
                         break
                 spans.append((i, j))
                 i = j
@@ -163,8 +171,11 @@ class RuleG2P:
         else:
             idx = self.default_stress_index(word, len(nuclei))
         start, _ = nuclei[idx]
-        prev_end = nuclei[idx - 1][1] if idx > 0 else 0
-        at = self._onset_start(phones, start, prev_end)
+        if idx == 0:
+            # initial stress marks the word onset whole (ˈʃpʁɛçən, ˈprʒiːtɛl)
+            at = 0
+        else:
+            at = self._onset_start(phones, start, nuclei[idx - 1][1])
         return phones[:at] + _STRESS + phones[at:]
 
     def phonemize_word(self, word: str) -> str:
@@ -835,14 +846,217 @@ class PortugueseG2P(RuleG2P):
         return n_nuclei - 1
 
 
+# ---------------------------------------------------------------------------
+# Turkish — near-perfect letter↔phone mapping, fixed final stress
+# ---------------------------------------------------------------------------
+
+_TR_V = "aâeıioöuü"
+
+
+class TurkishG2P(RuleG2P):
+    VOWEL_LETTERS = _TR_V
+
+    RULES = (
+        # yumuşak ge: lengthens a preceding vowel before a consonant or at
+        # the word end; silent between vowels
+        [("", v + "ğ", "$|[^" + _TR_V + "]", ipa + "ː")
+         for v, ipa in [("a", "a"), ("e", "e"), ("ı", "ɯ"), ("i", "i"),
+                        ("o", "o"), ("ö", "ø"), ("u", "u"), ("ü", "y")]]
+        + [
+            ("", "ğ", "", ""),
+            ("", "ç", "", "tʃ"),
+            ("", "c", "", "dʒ"),
+            ("", "ş", "", "ʃ"),
+            ("", "j", "", "ʒ"),
+            ("", "y", "", "j"),
+            ("", "ı", "", "ɯ"),
+            ("", "â", "", "aː"),
+            ("", "ö", "", "ø"),
+            ("", "ü", "", "y"),
+            ("", "r", "", "ɾ"),
+            ("", "g", "", "ɡ"),
+        ]
+        + [("", c, "", c) for c in "abdefhiklmnopstuvz"]
+    )
+
+    def default_stress_index(self, word: str, n_nuclei: int) -> int:
+        return n_nuclei - 1  # Turkish: regular final-syllable stress
+
+
+# ---------------------------------------------------------------------------
+# Polish — regular digraph orthography, fixed penultimate stress
+# ---------------------------------------------------------------------------
+
+_PL_V = "[aąeęioóuy]"
+
+
+class PolishG2P(RuleG2P):
+    VOWEL_LETTERS = "aąeęioóuy"
+
+    RULES = [
+        ("", "ch", "", "x"),
+        ("", "ci", _PL_V, "tɕ"),
+        ("", "ci", "", "tɕi"),
+        ("", "cz", "", "tʂ"),
+        ("", "ć", "", "tɕ"),
+        ("", "c", "", "ts"),
+        ("", "dzi", _PL_V, "dʑ"),
+        ("", "dzi", "", "dʑi"),
+        ("", "dź", "$", "tɕ"),  # final devoicing
+        ("", "dź", "", "dʑ"),
+        ("", "dż", "", "dʐ"),
+        ("", "dz", "", "dz"),
+        ("", "d", "$", "t"),
+        ("", "si", _PL_V, "ɕ"),
+        ("", "si", "", "ɕi"),
+        ("", "sz", "", "ʂ"),
+        ("", "ś", "", "ɕ"),
+        ("", "zi", _PL_V, "ʑ"),
+        ("", "zi", "", "ʑi"),
+        ("", "ź", "", "ʑ"),
+        ("", "ż", "$", "ʂ"),
+        ("", "ż", "", "ʐ"),
+        ("", "z", "$", "s"),
+        ("", "ni", _PL_V, "ɲ"),
+        ("", "ni", "", "ɲi"),
+        ("", "ń", "", "ɲ"),
+        ("[ptkfsc]", "rz", "", "ʂ"),  # devoiced after a voiceless obstruent
+        ("", "rz", "$", "ʂ"),
+        ("", "rz", "", "ʐ"),
+        ("", "ą", "", "ɔ" + _TILDE),
+        ("", "ę", "$", "ɛ"),  # word-final ę denasalizes
+        ("", "ę", "", "ɛ" + _TILDE),
+        ("", "ł", "", "w"),
+        ("", "ó", "", "u"),
+        ("", "y", "", "ɨ"),
+        ("", "e", "", "ɛ"),
+        ("", "o", "", "ɔ"),
+        ("", "h", "", "x"),
+        ("", "i", _PL_V, "j"),
+        ("", "w", "$", "f"),
+        ("", "w", "[ptkfscśćh]", "f"),  # voicing assimilation
+        ("", "w", "", "v"),
+        ("", "b", "$", "p"),
+        ("", "g", "$", "k"),
+        ("", "g", "", "ɡ"),
+    ] + [("", c, "", c) for c in "afijklmnprstu"]
+
+    # default (penultimate) stress is the base-class default
+
+
+# ---------------------------------------------------------------------------
+# Czech — regular orthography with vowel length, fixed initial stress
+# ---------------------------------------------------------------------------
+
+
+class CzechG2P(RuleG2P):
+    VOWEL_LETTERS = "aáeéěiíoóuúůyý"
+
+    RULES = [
+        ("", "ch", "", "x"),
+        ("", "č", "", "tʃ"),
+        ("", "š", "", "ʃ"),
+        ("", "ž", "$", "ʃ"),  # final devoicing
+        ("", "ž", "", "ʒ"),
+        # ř has no charset-exact symbol (raised alveolar trill r̝);
+        # the standard approximation is the /rʒ/ cluster, devoiced /rʃ/
+        # finally and after voiceless obstruents
+        ("[ptksf]", "ř", "", "rʃ"),
+        ("", "ř", "$", "rʃ"),
+        ("", "ř", "", "rʒ"),
+        ("", "c", "", "ts"),
+        ("", "ď", "", "ɟ"),
+        ("", "ť", "", "c"),
+        ("", "ň", "", "ɲ"),
+        # ě palatalizes a preceding d/t/n (mě → mňe)
+        ("", "dě", "", "ɟɛ"),
+        ("", "tě", "", "cɛ"),
+        ("", "ně", "", "ɲɛ"),
+        ("", "mě", "", "mɲɛ"),
+        ("", "bě", "", "bjɛ"),
+        ("", "pě", "", "pjɛ"),
+        ("", "vě", "", "vjɛ"),
+        ("", "ě", "", "jɛ"),
+        ("", "di", "", "ɟɪ"),
+        ("", "ti", "", "cɪ"),
+        ("", "ni", "", "ɲɪ"),
+        ("", "dí", "", "ɟiː"),
+        ("", "tí", "", "ciː"),
+        ("", "ní", "", "ɲiː"),
+        ("", "á", "", "aː"),
+        ("", "é", "", "ɛː"),
+        ("", "í", "", "iː"),
+        ("", "ó", "", "oː"),
+        ("", "ú", "", "uː"),
+        ("", "ů", "", "uː"),
+        ("", "ý", "", "iː"),
+        ("", "y", "", "ɪ"),
+        ("", "i", "", "ɪ"),
+        ("", "e", "", "ɛ"),
+        ("", "h", "$", "x"),  # final devoicing (sníh)
+        ("", "h", "", "ɦ"),
+        ("", "g", "$", "k"),
+        ("", "g", "", "ɡ"),
+        ("", "b", "$", "p"),
+        ("", "d", "$", "t"),
+        ("", "v", "$", "f"),
+        ("", "z", "$", "s"),
+    ] + [("", c, "", c) for c in "abdfjklmnoprstuvz"]
+
+    def default_stress_index(self, word: str, n_nuclei: int) -> int:
+        return 0  # Czech: fixed initial stress
+
+
+# ---------------------------------------------------------------------------
+# Hungarian — regular digraph orthography, fixed initial stress
+# ---------------------------------------------------------------------------
+
+
+class HungarianG2P(RuleG2P):
+    VOWEL_LETTERS = "aáeéiíoóöőuúüű"
+
+    RULES = [
+        ("", "dzs", "", "dʒ"),
+        ("", "dz", "", "dz"),
+        ("", "cs", "", "tʃ"),
+        ("", "c", "", "ts"),
+        ("", "gy", "", "ɟ"),
+        ("", "g", "", "ɡ"),
+        ("", "ly", "", "j"),
+        ("", "ny", "", "ɲ"),
+        ("", "ty", "", "c"),
+        ("", "sz", "", "s"),  # sz = /s/, bare s = /ʃ/ (inverse of Polish)
+        ("", "zs", "", "ʒ"),
+        ("", "s", "", "ʃ"),
+        ("", "a", "", "ɒ"),
+        ("", "á", "", "aː"),
+        ("", "e", "", "ɛ"),
+        ("", "é", "", "eː"),
+        ("", "í", "", "iː"),
+        ("", "ó", "", "oː"),
+        ("", "ö", "", "ø"),
+        ("", "ő", "", "øː"),
+        ("", "ú", "", "uː"),
+        ("", "ü", "", "y"),
+        ("", "ű", "", "yː"),
+    ] + [("", c, "", c) for c in "bdfhijklmnoprtuvz"]
+
+    HIATUS = True  # no falling diphthongs: szia is two syllables
+
+    def default_stress_index(self, word: str, n_nuclei: int) -> int:
+        return 0  # Hungarian: fixed initial stress
+
+
 _ENGINES: Dict[str, RuleG2P] = {}
 
 
 def get_latin_g2p(language: str) -> Optional[RuleG2P]:
-    """Engine for a supported language code (es/it/de/fr/pt + region variants)."""
+    """Engine for a supported language code (es/it/de/fr/pt/tr/pl/cs/hu +
+    region variants)."""
     base = language.lower().split("-")[0]
     cls = {"es": SpanishG2P, "it": ItalianG2P, "de": GermanG2P,
-           "fr": FrenchG2P, "pt": PortugueseG2P}.get(base)
+           "fr": FrenchG2P, "pt": PortugueseG2P, "tr": TurkishG2P,
+           "pl": PolishG2P, "cs": CzechG2P, "hu": HungarianG2P}.get(base)
     if cls is None:
         return None
     if base not in _ENGINES:

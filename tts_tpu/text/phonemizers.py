@@ -487,7 +487,7 @@ class EN_Phonemizer(BasePhonemizer):
 class Latin_Phonemizer(BasePhonemizer):
     """Pure-Python Spanish/Italian/German/French G2P (``tts_tpu.text.latin_g2p``):
     ordered context rules + stress assignment → phonemic IPA.  The
-    dependency-free fallback for ``use_phonemes`` es/it/de/fr/pt configs when the
+    dependency-free fallback for ``use_phonemes`` es/it/de/fr/pt/tr/pl/cs/hu configs when the
     espeak binary is absent (reference phonemizes these languages only
     through espeak, ``espeak_wrapper.py:47-83``, and would otherwise
     silently degrade to graphemes)."""
@@ -506,7 +506,7 @@ class Latin_Phonemizer(BasePhonemizer):
         return "latin_g2p"
 
     def is_supported_language(self, language: str) -> bool:
-        return language.lower().split("-")[0] in ("es", "it", "de", "fr", "pt")
+        return language.lower().split("-")[0] in ("es", "it", "de", "fr", "pt", "tr", "pl", "cs", "hu")
 
     @classmethod
     def is_available(cls) -> bool:
@@ -525,6 +525,10 @@ class Latin_Phonemizer(BasePhonemizer):
             "fr": "French (fallback G2P)",
             "pt": "Portuguese (fallback G2P)",
             "pt-br": "Portuguese (fallback G2P)",
+            "tr": "Turkish (fallback G2P)",
+            "pl": "Polish (fallback G2P)",
+            "cs": "Czech (fallback G2P)",
+            "hu": "Hungarian (fallback G2P)",
         }
 
     def _phonemize(self, text: str, separator: str = "|") -> str:
@@ -561,7 +565,7 @@ if BEL_Phonemizer.is_available():
 for _en in ("en", "en-us", "en-gb"):
     DEF_LANG_TO_PHONEMIZER.setdefault(_en, EN_Phonemizer.name())
 # likewise es/it/de via the Latin rule transducer
-for _lt in ("es", "es-es", "it", "it-it", "de", "de-de", "fr", "fr-fr", "pt", "pt-br"):
+for _lt in ("es", "es-es", "it", "it-it", "de", "de-de", "fr", "fr-fr", "pt", "pt-br", "tr", "pl", "cs", "hu"):
     DEF_LANG_TO_PHONEMIZER.setdefault(_lt, Latin_Phonemizer.name())
 
 _WARNED_FALLBACK: set = set()
@@ -595,8 +599,8 @@ def get_phonemizer_by_name(name: str, **kwargs) -> BasePhonemizer:
             if lang.startswith("en"):
                 _warn_en_fallback("espeak")
                 return EN_Phonemizer(**kwargs)
-            if lang.lower().split("-")[0] in ("es", "it", "de", "fr", "pt"):
-                _warn_fallback("espeak", "latin_g2p", "es/it/de/fr/pt G2P")
+            if lang.lower().split("-")[0] in ("es", "it", "de", "fr", "pt", "tr", "pl", "cs", "hu"):
+                _warn_fallback("espeak", "latin_g2p", "offline rule G2P")
                 return Latin_Phonemizer(**kwargs)
         return ESpeak(**kwargs)
     if name == "en_g2p":
