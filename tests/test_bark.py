@@ -117,3 +117,23 @@ def test_bark_voice_prompt_paths(bark_tiny, tmp_path):
     # coarse respects the alternating codebook slices even without history
     coarse = out["coarse"]
     assert (coarse < c.CODEBOOK_SIZE).all()
+
+
+def test_fine_sliding_window_long_sequence(bark_tiny):
+    """Fine generation longer than the model's block_size: the reference
+    slides 1024-wide windows with a 512 hop (inference_funcs.py:561); our
+    scan version must handle history + frames > block_size (the pre-window
+    implementation indexed wpe out of range here)."""
+    c = bark_tiny.config
+    block = c.fine_config.block_size  # 640 → win 640, hop 320
+    rngnp = np.random.RandomState(3)
+    t_gen = block + 60  # forces ≥2 windows even without history
+    coarse = rngnp.randint(0, c.CODEBOOK_SIZE,
+                           (c.N_COARSE_CODEBOOKS, t_gen)).astype(np.int32)
+    hist = rngnp.randint(0, c.CODEBOOK_SIZE,
+                         (c.N_FINE_CODEBOOKS, 100)).astype(np.int32)
+    out = bark_tiny.generate_fine(coarse, jax.random.PRNGKey(7), history=hist)
+    assert out.shape == (c.N_FINE_CODEBOOKS, t_gen)
+    # coarse codebooks pass through untouched; fine rows are real codes
+    assert (out[: c.N_COARSE_CODEBOOKS] == coarse).all()
+    assert (out >= 0).all() and (out < c.CODEBOOK_SIZE).all()

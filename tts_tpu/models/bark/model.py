@@ -124,6 +124,87 @@ class BarkGPT(nn.Module):
         )
         return {"tokens": jnp.moveaxis(toks, 0, 1), "lengths": out_len}
 
+    def generate_coarse_windows(
+        self,
+        sem_padded: jnp.ndarray,    # [1, S] semantic ctx, right-padded ≥256
+        coarse_init: jnp.ndarray,   # [1, C] history in [0, n_hist), rest 0
+        sem_starts: jnp.ndarray,    # [W] per-window semantic slice starts
+        tail_starts: jnp.ndarray,   # [W] per-window coarse-tail slice starts
+        valid_tails: jnp.ndarray,   # [W] valid tokens in each 630-wide tail
+        write_starts: jnp.ndarray,  # [W] where each window's output lands
+        rng: jax.Array,
+        window_steps: int,          # tokens generated per window (60)
+        max_coarse_history: int,    # tail width (630)
+        infer_token: int,
+        temperature: float,
+        top_k: int,
+        top_p: float,
+        codebook_cycle: tuple,
+    ) -> jnp.ndarray:
+        """TPU-native coarse stage: the reference's sliding-window host loop
+        (``inference_funcs.py:330``) re-built as ONE ``lax.scan`` over
+        windows with fixed-shape buffers.  Every window slices its 256-token
+        semantic context and ≤630-token coarse tail out of on-device
+        buffers, prefills a fixed 887-token prompt (garbage tail masked via
+        ``valid_len``), decodes ``window_steps`` tokens KV-cached, and
+        writes them back — no host round-trips, one compile for the whole
+        stage (the host-loop version compiled 11 distinct prompt shapes and
+        paid a tunnel sync per window: 122 s steady-state for 8 s of audio).
+        """
+        W_PROMPT = 256 + 1 + max_coarse_history
+        max_len = W_PROMPT + window_steps
+        caches0 = self.core.init_cache(1, max_len, self.wte.embedding.dtype)
+        base, size, n_cb = codebook_cycle
+        rows = jnp.arange(W_PROMPT)
+        cols = jnp.arange(max_len)
+
+        def window_fn(carry, xs):
+            coarse_buf, caches, rng = carry
+            sem_start, tail_start, valid_tail, write_start = xs
+            valid_len = 257 + valid_tail
+            win = jax.lax.dynamic_slice(sem_padded, (0, sem_start), (1, 256))
+            tail = jax.lax.dynamic_slice(
+                coarse_buf, (0, tail_start), (1, max_coarse_history)
+            )
+            prompt = jnp.concatenate(
+                [win, jnp.full((1, 1), infer_token, jnp.int32), tail], axis=1
+            )
+            mask = ((cols[None, :] <= rows[:, None]) & (cols[None, :] < valid_len))[None, None]
+            logits, caches = self(prompt, caches=caches, cache_index=0, attn_mask=mask)
+            V = logits.shape[-1]
+            last = jax.lax.dynamic_slice(logits, (0, valid_len - 1, 0), (1, 1, V))[:, 0]
+            v = jnp.arange(V)
+
+            def step(c, xs2):
+                caches, cur, lg = c
+                r_t, s_idx = xs2
+                lo = base + (s_idx % n_cb) * size
+                lgm = jnp.where((v >= lo) & (v < lo + size), lg, -jnp.inf)
+                tok = sample_logits(r_t, lgm, temperature=temperature,
+                                    top_k=top_k, top_p=top_p)
+                lgs, new_caches = self(
+                    tok[:, None], caches=caches, cache_index=cur,
+                    position_offset=cur, cache_len=cur + 1,
+                )
+                return (new_caches, cur + 1, lgs[:, -1]), tok
+
+            rng, sub = jax.random.split(rng)
+            rngs = jax.random.split(sub, window_steps)
+            (caches, _, _), toks = jax.lax.scan(
+                step, (caches, valid_len, last), (rngs, jnp.arange(window_steps))
+            )
+            coarse_buf = jax.lax.dynamic_update_slice(
+                coarse_buf, jnp.moveaxis(toks, 0, 1).astype(coarse_buf.dtype),
+                (0, write_start),
+            )
+            return (coarse_buf, caches, rng), None
+
+        (coarse_buf, _, _), _ = jax.lax.scan(
+            window_fn, (coarse_init, caches0, rng),
+            (sem_starts, tail_starts, valid_tails, write_starts),
+        )
+        return coarse_buf
+
 
 class BarkFineGPT(nn.Module):
     """Non-causal GPT predicting codebook ``k`` from codebooks ``<k``
@@ -167,6 +248,50 @@ class BarkFineGPT(nn.Module):
         full_mask = jnp.ones((1, 1, T, T), bool)
         h, _ = self.core(h, attn_mask=full_mask)
         return self.lm_heads[pred_idx - self.args.n_codes_given](h)
+
+    def generate_fine_windows(
+        self,
+        buf: jnp.ndarray,      # [1, T, n_codes_total] int32 codes buffer
+        starts: jnp.ndarray,   # [W] per-window read offsets into ``buf``
+        rels: jnp.ndarray,     # [W] first position each window may overwrite
+        rng: jax.Array,
+        n_coarse: int,         # codebooks already fixed by the coarse stage
+        window: int,           # window width (reference: 1024)
+        temperature: Optional[float],
+        codebook_size: int,
+    ) -> jnp.ndarray:
+        """TPU-native fine stage: the reference's 512-hop sliding-window host
+        loop (``inference_funcs.py:561-588``) as ONE ``lax.scan`` over
+        windows.  Each window slices a fixed ``window``-wide view of the
+        codes buffer, runs the 6 per-codebook non-causal forwards (static
+        unroll), samples every frame at or past ``rel`` (earlier frames are
+        overlap from the previous window / in-context history and stay
+        fixed), and writes the window back.  One compile per (T, W) bucket
+        instead of six unjitted full-sequence forwards per utterance — and
+        sequences longer than ``block_size`` now work at all."""
+        n_fine = self.args.n_codes_total
+
+        def window_fn(carry, xs):
+            buf, rng = carry
+            start, rel = xs
+            win = jax.lax.dynamic_slice(buf, (0, start, 0), (1, window, n_fine))
+            pos = jnp.arange(window)
+            for nn in range(n_coarse, n_fine):
+                logits = self(nn, win)[:, :, :codebook_size]
+                if temperature is None:
+                    sampled = jnp.argmax(logits, axis=-1)
+                else:
+                    rng, sub = jax.random.split(rng)
+                    sampled = jax.random.categorical(
+                        sub, logits / temperature, axis=-1
+                    )
+                col = jnp.where(pos[None] < rel, win[:, :, nn], sampled.astype(win.dtype))
+                win = win.at[:, :, nn].set(col)
+            buf = jax.lax.dynamic_update_slice(buf, win, (0, start, 0))
+            return (buf, rng), None
+
+        (buf, _), _ = jax.lax.scan(window_fn, (buf, rng), (starts, rels))
+        return buf
 
 
 class Bark:
@@ -279,6 +404,11 @@ class Bark:
         prompts (reference history trimming incl. the off-by-two
         time-alignment hack)."""
         c = self.config
+        # fixed prompt layout: 256 semantic + INFER + tail + decode budget
+        # must fit the model's learned positions (tiny test configs shrink)
+        block = c.coarse_config.block_size
+        sliding_window_len = min(sliding_window_len, max(1, (block - 257) // 2))
+        max_coarse_history = min(max_coarse_history, block - 257 - sliding_window_len)
         ratio = c.COARSE_RATE_HZ / c.SEMANTIC_RATE_HZ * c.N_COARSE_CODEBOOKS
         max_sem_hist = int(np.floor(max_coarse_history / ratio))
         sem = np.asarray(semantic_tokens, np.int32)
@@ -301,37 +431,42 @@ class Bark:
                       * c.N_COARSE_CODEBOOKS)
         n_steps = max(n_steps, c.N_COARSE_CODEBOOKS)
         x_semantic = np.concatenate([sem_hist, sem]).astype(np.int32)
-        x_coarse = flat.astype(np.int32)
         base_idx = len(sem_hist)
         n_hist_coarse = len(flat)
 
-        n_step = 0
-        coarse_params = self._dq(self.coarse_params)  # once, not per window
-        while n_step < n_steps:
-            sem_idx = base_idx + int(round(n_step / ratio))
-            window = x_semantic[max(0, sem_idx - max_sem_hist):][:256]
-            window = np.pad(window, (0, 256 - len(window)),
+        # whole sliding-window stage on-device (generate_coarse_windows):
+        # the host only lays out the static per-window slice offsets
+        swl = int(sliding_window_len)
+        mch = int(max_coarse_history)
+        n_windows = -(-n_steps // swl)
+        buf_len = max(mch, n_hist_coarse + n_windows * swl)
+        coarse_init = np.zeros(buf_len, np.int32)
+        coarse_init[:n_hist_coarse] = flat
+        sem_padded = np.pad(x_semantic, (0, 256),
                             constant_values=c.COARSE_SEMANTIC_PAD_TOKEN)
-            tail = x_coarse[-max_coarse_history:]
-            prompt = np.concatenate(
-                [window, [c.COARSE_INFER_TOKEN], tail]).astype(np.int32)
-            steps = int(min(sliding_window_len, n_steps - n_step))
-            rng, sub = jax.random.split(rng)
-            out = self.coarse_model.apply(
-                coarse_params, jnp.asarray(prompt[None]), sub,
-                max_new_tokens=steps,
-                eos_token=c.coarse_config.output_vocab_size - 1,
-                temperature=temperature, top_k=top_k, top_p=top_p,
-                codebook_cycle=(c.SEMANTIC_VOCAB_SIZE, c.CODEBOOK_SIZE,
-                                c.N_COARSE_CODEBOOKS),
-                method=self.coarse_model.generate,
-            )
-            x_coarse = np.concatenate([x_coarse, np.asarray(out["tokens"][0])[:steps]])
-            n_step += steps
+        pos = n_hist_coarse + swl * np.arange(n_windows)
+        sem_idx = base_idx + np.round(swl * np.arange(n_windows) / ratio).astype(int)
+        sem_starts = np.maximum(0, sem_idx - max_sem_hist).astype(np.int32)
+        tail_starts = np.maximum(0, pos - mch).astype(np.int32)
+        valid_tails = np.minimum(mch, pos).astype(np.int32)
+        write_starts = pos.astype(np.int32)
 
-        toks = x_coarse[n_hist_coarse:][:n_steps]
+        coarse_params = self._dq(self.coarse_params)
+        buf = self.coarse_model.apply(
+            coarse_params,
+            jnp.asarray(sem_padded[None]), jnp.asarray(coarse_init[None]),
+            jnp.asarray(sem_starts), jnp.asarray(tail_starts),
+            jnp.asarray(valid_tails), jnp.asarray(write_starts), rng,
+            window_steps=swl, max_coarse_history=mch,
+            infer_token=c.COARSE_INFER_TOKEN,
+            temperature=temperature, top_k=top_k, top_p=top_p,
+            codebook_cycle=(c.SEMANTIC_VOCAB_SIZE, c.CODEBOOK_SIZE,
+                            c.N_COARSE_CODEBOOKS),
+            method=self.coarse_model.generate_coarse_windows,
+        )
+        toks = np.asarray(buf[0])[n_hist_coarse:][:n_steps]
         # de-interleave into [N_COARSE, T] and remove vocab offsets
-        toks = np.ascontiguousarray(toks.reshape(-1, c.N_COARSE_CODEBOOKS).T)
+        toks = np.array(toks.reshape(-1, c.N_COARSE_CODEBOOKS).T)  # writable copy
         for i in range(c.N_COARSE_CODEBOOKS):
             toks[i] = np.clip(toks[i] - c.SEMANTIC_VOCAB_SIZE - i * c.CODEBOOK_SIZE, 0, c.CODEBOOK_SIZE - 1)
         return toks
@@ -341,32 +476,44 @@ class Bark:
                       history=None):
         """``history``: fine voice prompt [N_FINE, T_hist] — the last ≤512
         columns are prepended as in-context audio (reference
-        inference_funcs.py:520 ``x_fine_history``) and stripped after."""
+        inference_funcs.py:520 ``x_fine_history``) and stripped after.
+
+        Windowing mirrors the reference exactly (1024-wide windows, 512
+        hop, overlap frames held fixed — ``inference_funcs.py:549-588``);
+        the host only lays out per-window offsets, the whole stage runs in
+        :meth:`BarkFineGPT.generate_fine_windows` on device."""
         c = self.config
         n_fine = c.N_FINE_CODEBOOKS
-        T = coarse_codes.shape[1]
-        codes = np.full((n_fine, T), c.CODEBOOK_SIZE, np.int32)
-        codes[: coarse_codes.shape[0]] = coarse_codes
+        win = min(1024, c.fine_config.block_size)  # tiny test configs shrink
+        hop = win // 2
+        n_coarse = coarse_codes.shape[0]
+        t_gen = coarse_codes.shape[1]
+        codes = np.full((n_fine, t_gen), c.CODEBOOK_SIZE, np.int32)
+        codes[:n_coarse] = coarse_codes
         n_hist = 0
         if history is not None:
-            hist = np.asarray(history, np.int32)[:, -512:]
+            hist = np.asarray(history, np.int32)[:, -hop:]
             n_hist = hist.shape[1]
             codes = np.concatenate([hist[:n_fine], codes], axis=1)
-            T = codes.shape[1]
-        idx = jnp.asarray(codes.T[None], jnp.int32)  # [1, T, n_fine]
-        fine_params = self._dq(self.fine_params)  # once per utterance, not per codebook
-        for k in range(coarse_codes.shape[0], n_fine):
-            logits = self.fine_model.apply(fine_params, k, idx)
-            rng, sub = jax.random.split(rng)
-            sampled = sample_logits(
-                sub, logits.reshape(-1, logits.shape[-1])[:, : c.CODEBOOK_SIZE],
-                temperature=temperature, top_k=0, top_p=1.0,
-            ).reshape(1, T)
-            if n_hist:  # keep the in-context prompt frames fixed
-                keep = jnp.asarray(codes.T[None, :, :], jnp.int32)[:, :, k]
-                sampled = jnp.where(jnp.arange(T)[None] < n_hist, keep, sampled)
-            idx = idx.at[:, :, k].set(sampled)
-        return np.asarray(idx[0]).T[:, n_hist:]  # [n_fine, T_gen]
+        # pad right to ≥ one window, then to a hop multiple (shape bucket)
+        T = max(win, codes.shape[1])
+        T = -(-T // hop) * hop
+        if T > codes.shape[1]:
+            pad = np.full((n_fine, T - codes.shape[1]), c.CODEBOOK_SIZE, np.int32)
+            codes = np.concatenate([codes, pad], axis=1)
+        n_loops = max(0, int(np.ceil((t_gen - (win - n_hist)) / hop))) + 1
+        starts = np.minimum(hop * np.arange(n_loops), T - win).astype(np.int32)
+        fills = np.minimum(n_hist + hop * np.arange(n_loops), T - hop)
+        rels = (fills - starts).astype(np.int32)
+        fine_params = self._dq(self.fine_params)  # once per utterance
+        buf = self.fine_model.apply(
+            fine_params, jnp.asarray(codes.T[None]),
+            jnp.asarray(starts), jnp.asarray(rels), rng,
+            n_coarse=n_coarse, window=win, temperature=temperature,
+            codebook_size=c.CODEBOOK_SIZE,
+            method=self.fine_model.generate_fine_windows,
+        )
+        return np.asarray(buf[0]).T[:, n_hist:n_hist + t_gen]  # [n_fine, T_gen]
 
     def codes_to_audio(self, fine_codes: np.ndarray) -> np.ndarray:
         """EnCodec decode via the flax decoder (``models/bark/encodec.py``;

@@ -220,13 +220,24 @@ def sample_logits(
 
     V = logits.shape[-1]
     if top_k and top_k > 0 and top_k < V:
-        kth = jnp.sort(logits, axis=-1)[:, V - top_k][:, None]
-        logits = jnp.where(logits < kth, -1e9, logits)
+        # one lax.top_k instead of full-vocab sorts: nucleus filtering and
+        # the categorical draw both happen inside the k candidates (the
+        # masked tail carries ~zero probability mass either way).  Per-step
+        # cost drops from O(V log V) to O(V log k) — V is 10k-130k for the
+        # Bark/Tortoise vocabularies and this runs every decode step.
+        vals, idx = jax.lax.top_k(logits, top_k)  # [B, k], descending
+        if top_p and top_p < 1.0:
+            probs = jax.nn.softmax(vals, axis=-1)
+            cum = jnp.cumsum(probs, axis=-1)
+            # keep tokens until cumulative prob exceeds top_p (always keep top-1)
+            keep = jnp.arange(top_k)[None] <= jnp.sum(cum < top_p, axis=-1)[:, None]
+            vals = jnp.where(keep, vals, -1e9)
+        choice = jax.random.categorical(rng, vals, axis=-1)
+        return jnp.take_along_axis(idx, choice[:, None], axis=-1)[:, 0]
     if top_p and top_p < 1.0:
         sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
         probs = jax.nn.softmax(sorted_logits, axis=-1)
         cum = jnp.cumsum(probs, axis=-1)
-        # keep tokens until cumulative prob exceeds top_p (always keep top-1)
         cutoff_idx = jnp.sum(cum < top_p, axis=-1)  # [B]
         cutoff_val = jnp.take_along_axis(sorted_logits, cutoff_idx[:, None], axis=-1)
         logits = jnp.where(logits < cutoff_val, -1e9, logits)
