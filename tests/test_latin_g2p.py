@@ -253,11 +253,49 @@ GOLD_HU = {
 }
 
 
+GOLD_FI = {
+    "kiitos": "ˈkiːtos", "hyvää": "ˈhyʋæː", "suomi": "ˈsuomi",
+    "kissa": "ˈkisːɑ", "talo": "ˈtɑlo", "järvi": "ˈjærʋi",
+    "kaunis": "ˈkɑunis", "minä": "ˈminæ", "sauna": "ˈsɑunɑ",
+    "helsinki": "ˈhelsiŋki", "rakkaus": "ˈrɑkːɑus", "ystävä": "ˈystæʋæ",
+    "päivää": "ˈpæiʋæː", "koulu": "ˈkoulu", "mustikka": "ˈmustikːɑ",
+    "tyttö": "ˈtytːø", "sininen": "ˈsininen", "kahvi": "ˈkɑhʋi",
+}
+
+GOLD_NL = {
+    "huis": "hœys", "maan": "maːn", "boek": "buk", "ijs": "ɛis",
+    "nacht": "nɑxt", "school": "sxoːl", "vrouw": "vrɑu",
+    "water": "ˈʋaːtər", "spreken": "ˈspreːkən", "fiets": "fits",
+    "tijd": "tɛit", "zeven": "ˈzeːvən", "dank": "dɑŋk",
+    "mooi": "moːj", "klein": "klɛin", "drinken": "ˈdrɪŋkən",
+    "appel": "ˈɑpəl", "lekker": "ˈlɛkər", "goed": "ɣut",
+    "nieuw": "niu", "vriend": "vrint", "straat": "straːt",
+}
+
+GOLD_RO = {
+    "bună": "ˈbunə", "mulțumesc": "multsuˈmesk", "română": "roˈmɨnə",
+    "școală": "ˈʃkoalə", "frate": "ˈfrate", "noapte": "ˈnoapte",
+    "limba": "ˈlimba", "seară": "ˈsearə", "copil": "koˈpil",
+    "bine": "ˈbine", "ghid": "ɡid", "oraș": "oˈraʃ",
+    "țară": "ˈtsarə", "apă": "ˈapə", "pâine": "ˈpɨjne",
+    "mâncare": "mɨnˈkare", "carte": "ˈkarte",
+}
+
+GOLD_CA = {
+    "gràcies": "ˈɡɾasiəs", "català": "kətəˈla", "dia": "ˈdiə",
+    "taula": "ˈtawlə", "carrer": "kəˈre", "menjar": "mənˈʒa",
+    "casa": "ˈkazə", "això": "əˈʃɔ", "barcelona": "bəɾsəˈlonə",
+    "feliç": "fəˈlis", "nit": "nit", "platja": "ˈpladʒə",
+    "vell": "beʎ", "família": "fəˈmiliə", "petit": "pəˈtit",
+}
+
+
 @pytest.mark.parametrize(
     "lang,gold",
     [("es", GOLD_ES), ("it", GOLD_IT), ("de", GOLD_DE), ("fr", GOLD_FR),
      ("pt", GOLD_PT), ("tr", GOLD_TR), ("pl", GOLD_PL), ("cs", GOLD_CS),
-     ("hu", GOLD_HU)],
+     ("hu", GOLD_HU), ("fi", GOLD_FI), ("nl", GOLD_NL), ("ro", GOLD_RO),
+     ("ca", GOLD_CA)],
 )
 def test_gold_words(lang, gold):
     eng = get_latin_g2p(lang)
@@ -284,7 +322,8 @@ def test_region_variants_and_unknown():
     "lang,gold",
     [("es", GOLD_ES), ("it", GOLD_IT), ("de", GOLD_DE), ("fr", GOLD_FR),
      ("pt", GOLD_PT), ("tr", GOLD_TR), ("pl", GOLD_PL), ("cs", GOLD_CS),
-     ("hu", GOLD_HU)],
+     ("hu", GOLD_HU), ("fi", GOLD_FI), ("nl", GOLD_NL), ("ro", GOLD_RO),
+     ("ca", GOLD_CA)],
 )
 def test_output_within_ipa_charset(lang, gold):
     """Every emitted symbol must be encodable by IPAPhonemes (otherwise the

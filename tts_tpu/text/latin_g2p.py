@@ -1,4 +1,5 @@
-"""Self-contained grapheme→phoneme fallback for es/it/de/fr/pt/tr/pl/cs/hu.
+"""Self-contained grapheme→phoneme fallback for
+es/it/de/fr/pt/tr/pl/cs/hu/fi/nl/ro/ca.
 
 The reference phonemizes these languages only through the espeak binary
 (``TTS/tts/utils/text/phonemizers/espeak_wrapper.py:47-83``); without it,
@@ -1047,16 +1048,281 @@ class HungarianG2P(RuleG2P):
         return 0  # Hungarian: fixed initial stress
 
 
+# ---------------------------------------------------------------------------
+# Finnish — near-perfectly phonemic: doubled letters are long/geminate,
+# fixed initial stress
+# ---------------------------------------------------------------------------
+
+
+class FinnishG2P(RuleG2P):
+    VOWEL_LETTERS = "aäeiouöy"
+
+    RULES = (
+        [("", v * 2, "", ipa + "ː")
+         for v, ipa in zip("aäeiouöy", "ɑæeiouøy")]
+        + [("", c * 2, "", c + "ː") for c in "bdfghjklmnprstv"]
+        + [
+            ("", "kk", "", "kː"),
+            ("", "pp", "", "pː"),
+            ("", "tt", "", "tː"),
+            ("", "ng", "", "ŋː"),   # sangen /sɑŋːen/
+            ("", "nk", "", "ŋk"),
+            ("", "a", "", "ɑ"),
+            ("", "ä", "", "æ"),
+            ("", "ö", "", "ø"),
+            ("", "v", "", "ʋ"),
+        ]
+        + [("", c, "", c) for c in "eiouybdfghjklmnprst"]
+    )
+
+    def default_stress_index(self, word: str, n_nuclei: int) -> int:
+        return 0  # Finnish: fixed initial stress
+
+
+# ---------------------------------------------------------------------------
+# Dutch — open-syllable vowel length approximated with a C+V right context;
+# final obstruent devoicing; Germanic initial stress with unstressed
+# ge-/be-/ver- prefixes
+# ---------------------------------------------------------------------------
+
+_NL_C = "[bcdfghjklmnpqrstvwxz]"
+_NL_V = "[aeiouy]"
+
+
+class DutchG2P(RuleG2P):
+    VOWEL_LETTERS = "aeiouy"
+    ONSET_S_CLUSTERS = True
+
+    RULES = [
+        # vowel digraphs / diphthongs (incl. the -uw/-ouw/-ooi glide forms)
+        ("", "aai", "", "aːj"),
+        ("", "ooi", "", "oːj"),
+        ("", "oei", "", "uj"),
+        ("", "eeuw", "", "eːu"),
+        ("", "ieuw", "", "iu"),
+        ("", "ouw", "", "ɑu"),
+        ("", "auw", "", "ɑu"),
+        ("", "uw", "", "yu"),
+        ("", "aa", "", "aː"),
+        ("", "ee", "", "eː"),
+        ("", "oo", "", "oː"),
+        ("", "uu", "", "yː"),
+        ("", "oe", "", "u"),
+        ("", "ie", "", "i"),
+        ("", "ij", "", "ɛi"),
+        ("", "ei", "", "ɛi"),
+        ("", "ui", "", "œy"),
+        ("", "ou", "", "ɑu"),
+        ("", "au", "", "ɑu"),
+        ("", "eu", "", "øː"),
+        # consonant digraphs
+        ("", "sch", "$", "s"),    # praktisch → -is
+        ("", "sch", "", "sx"),
+        ("", "ch", "", "x"),
+        ("", "ng", "", "ŋ"),
+        ("", "nk", "", "ŋk"),
+        ("", "sj", "", "ʃ"),
+        ("", "tj", "$", "tʃ"),
+        ("", "qu", "", "kw"),
+        # schwa: final -e / -en / -er / -el / -es (unstressed endings)
+        (".", "e", "n$", "ə"),
+        (".", "e", "r$", "ə"),
+        (".", "e", "l$", "ə"),
+        (".", "e", "s$", "ə"),
+        (".", "e", "$", "ə"),
+        # open syllable (V·CV) → long vowel; else short
+        ("", "a", _NL_C + _NL_V, "aː"),
+        ("", "e", _NL_C + _NL_V, "eː"),
+        ("", "o", _NL_C + _NL_V, "oː"),
+        ("", "u", _NL_C + _NL_V, "yː"),
+        ("", "a", "$", "aː"),
+        ("", "o", "$", "oː"),
+        ("", "u", "$", "y"),
+        ("", "a", "", "ɑ"),
+        ("", "e", "", "ɛ"),
+        ("", "i", "", "ɪ"),
+        ("", "o", "", "ɔ"),
+        ("", "u", "", "ʏ"),
+        ("", "y", "", "i"),
+        # doubled consonants are written double but spoken single
+        *[("", c * 2, "", c) for c in "bdfgklmnprst"],
+        ("", "ck", "", "k"),
+        # final devoicing (huid → /hœyt/)
+        ("", "b", "$", "p"),
+        ("", "d", "$", "t"),
+        ("", "g", "$", "x"),
+        ("", "g", "", "ɣ"),
+        ("", "w", "", "ʋ"),
+        ("", "c", "[eiy]", "s"),
+        ("", "c", "", "k"),
+        ("", "x", "", "ks"),
+    ] + [("", c, "", c) for c in "bdfhjklmnprstvz"]
+
+    def default_stress_index(self, word: str, n_nuclei: int) -> int:
+        # unstressed verbal/nominal prefixes (vergeten → verˈgeten)
+        for p in ("ge", "be", "ver", "ont", "her"):
+            if word.startswith(p) and len(word) > len(p) + 2 and n_nuclei >= 2:
+                return 1
+        return 0
+
+
+# ---------------------------------------------------------------------------
+# Romanian — shallow orthography: ă/â(î) central vowels, c/g palatalization
+# before e/i (with ch/gh blockers); stress heuristic: final syllable for
+# consonant-final words, penult otherwise
+# ---------------------------------------------------------------------------
+
+
+class RomanianG2P(RuleG2P):
+    VOWEL_LETTERS = "aăâeiîouy"
+
+    RULES = [
+        ("", "che", "", "ke"),
+        ("", "chi", "", "ki"),
+        ("", "ghe", "", "ɡe"),
+        ("", "ghi", "", "ɡi"),
+        ("", "ce", "", "tʃe"),
+        ("", "ci", "", "tʃi"),
+        ("", "ge", "", "dʒe"),
+        ("", "gi", "", "dʒi"),
+        ("", "âi", "", "ɨj"),   # pâine /ˈpɨjne/
+        ("", "ă", "", "ə"),
+        ("", "â", "", "ɨ"),
+        ("", "î", "", "ɨ"),
+        ("", "ș", "", "ʃ"),
+        ("", "ş", "", "ʃ"),   # legacy cedilla codepoints
+        ("", "ț", "", "ts"),
+        ("", "ţ", "", "ts"),
+        ("", "j", "", "ʒ"),
+        ("", "c", "", "k"),
+        ("", "g", "", "ɡ"),
+        ("", "x", "", "ks"),
+    ] + [("", c, "", c) for c in "aebdfhiklmnoprstuvz"]
+
+    def default_stress_index(self, word: str, n_nuclei: int) -> int:
+        if word and word[-1].lower() not in self.VOWEL_LETTERS:
+            return n_nuclei - 1
+        return max(0, n_nuclei - 2)
+
+
+# ---------------------------------------------------------------------------
+# Catalan (Central/Eastern) — Spanish-like consonants plus ʒ/ʃ and ʎ, with
+# the Eastern vowel reduction (unstressed a,e → ə; o → u) applied as a
+# post-pass once stress is placed; final -r of polysyllables is silent
+# ---------------------------------------------------------------------------
+
+_CA_VVL = "aeiouàèéíòóúï"
+
+
+class CatalanG2P(RuleG2P):
+    VOWEL_LETTERS = "aeiouàèéíòóú"
+    HIATUS = True  # dia is di-a; falling diphthongs are listed explicitly
+
+    RULES = [
+        # accented vowels carry the stress inline (à is always stressed)
+        ("", "à", "", _STRESS + "a"),
+        ("", "è", "", _STRESS + "ɛ"),
+        ("", "é", "", _STRESS + "e"),
+        ("", "í", "", _STRESS + "i"),
+        ("", "ò", "", _STRESS + "ɔ"),
+        ("", "ó", "", _STRESS + "o"),
+        ("", "ú", "", _STRESS + "u"),
+        ("", "ï", "", "i"),
+        # falling diphthongs (HIATUS splits everything else)
+        ("", "au", "", "aw"),
+        ("", "eu", "", "ew"),
+        ("", "iu", "", "iw"),
+        ("", "ou", "", "ow"),
+        ("", "ai", "(?!x)", "aj"),  # but aix → a + ʃ (caixa)
+        ("", "ei", "(?!x)", "ej"),
+        ("", "oi", "(?!x)", "oj"),
+        ("", "ui", "(?!x)", "uj"),
+        # consonant clusters/digraphs
+        ("", "l·l", "", "l"),
+        ("", "ny", "", "ɲ"),
+        ("", "ll", "", "ʎ"),
+        ("", "ss", "", "s"),
+        ("", "rr", "", "r"),
+        ("", "tx", "", "tʃ"),
+        ("", "tg", "[eiéíè]", "dʒ"),
+        ("", "tj", "", "dʒ"),
+        ("", "ç", "", "s"),
+        ("", "qu", "[eiéíè]", "k"),
+        ("", "qü", "", "kw"),
+        ("", "qu", "", "kw"),
+        ("", "gu", "[eiéíè]", "ɡ"),
+        ("", "gü", "", "ɡw"),
+        ("", "c", "[eiéíè]", "s"),
+        ("", "c", "$", "k"),
+        ("", "c", "", "k"),
+        ("", "g", "[eiéíè]", "ʒ"),
+        ("", "g", "$", "k"),
+        ("", "g", "", "ɡ"),
+        ("", "j", "", "ʒ"),
+        ("[" + _CA_VVL + "]", "ix", "", "ʃ"),  # caixa → ˈkaʃə
+        ("", "x", "", "ʃ"),
+        ("", "h", "", ""),
+        ("", "v", "", "b"),
+        ("[" + _CA_VVL + "]", "s", "[" + _CA_VVL + "]", "z"),
+        ("", "z", "", "z"),
+        # final -r silent after ≥2 vowels (parlar, carrer; monosyllabic
+        # cor/mar/per keep it)
+        ("[" + _CA_VVL + "].*[" + _CA_VVL + "].*", "r", "$", ""),
+        ("^", "r", "", "r"),
+        ("", "b", "$", "p"),
+        ("", "d", "$", "t"),
+        ("", "r", "", "ɾ"),
+    ] + [("", c, "", c) for c in "aeioubdfklmnpst"]
+
+    def default_stress_index(self, word: str, n_nuclei: int) -> int:
+        # like Spanish: vowel/-n/-s final → penult, else final
+        w = word.rstrip(".,;:!?")
+        if w and (w[-1] in "aeiou" or (w[-1] in "ns" and len(w) > 1 and w[-2] in "aeiou")):
+            return max(0, n_nuclei - 2)
+        return n_nuclei - 1
+
+    def phonemize_word(self, word: str) -> str:
+        word = word.lower()
+        hit = self.EXCEPTIONS.get(word)
+        if hit is not None:
+            return hit
+        phones = self._place_stress(word, self._transduce(word))
+        return self._reduce(phones)
+
+    @classmethod
+    def _reduce(cls, phones: str) -> str:
+        """Eastern vowel reduction outside the stressed nucleus."""
+        at = phones.find(_STRESS)
+        if at < 0:
+            return phones
+        bare = phones.replace(_STRESS, "")
+        spans = cls._nuclei(bare)
+        stressed = next((s for s in spans if s[0] >= at), spans[-1] if spans else None)
+        out = []
+        for i, ch in enumerate(bare):
+            if stressed and stressed[0] <= i < stressed[1]:
+                out.append(ch)
+            elif ch in "aɛe":
+                out.append("ə")
+            elif ch in "ɔo":
+                out.append("u")
+            else:
+                out.append(ch)
+        return "".join(out[:at]) + _STRESS + "".join(out[at:])
+
+
 _ENGINES: Dict[str, RuleG2P] = {}
 
 
 def get_latin_g2p(language: str) -> Optional[RuleG2P]:
-    """Engine for a supported language code (es/it/de/fr/pt/tr/pl/cs/hu +
-    region variants)."""
+    """Engine for a supported language code
+    (es/it/de/fr/pt/tr/pl/cs/hu/fi/nl/ro/ca + region variants)."""
     base = language.lower().split("-")[0]
     cls = {"es": SpanishG2P, "it": ItalianG2P, "de": GermanG2P,
            "fr": FrenchG2P, "pt": PortugueseG2P, "tr": TurkishG2P,
-           "pl": PolishG2P, "cs": CzechG2P, "hu": HungarianG2P}.get(base)
+           "pl": PolishG2P, "cs": CzechG2P, "hu": HungarianG2P,
+           "fi": FinnishG2P, "nl": DutchG2P, "ro": RomanianG2P,
+           "ca": CatalanG2P}.get(base)
     if cls is None:
         return None
     if base not in _ENGINES:

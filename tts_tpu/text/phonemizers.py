@@ -485,9 +485,9 @@ class EN_Phonemizer(BasePhonemizer):
 
 
 class Latin_Phonemizer(BasePhonemizer):
-    """Pure-Python Spanish/Italian/German/French G2P (``tts_tpu.text.latin_g2p``):
+    """Pure-Python rule G2P for 13 Latin-script languages (``tts_tpu.text.latin_g2p``):
     ordered context rules + stress assignment → phonemic IPA.  The
-    dependency-free fallback for ``use_phonemes`` es/it/de/fr/pt/tr/pl/cs/hu configs when the
+    dependency-free fallback for ``use_phonemes`` es/it/de/fr/pt/tr/pl/cs/hu/fi/nl/ro/ca configs when the
     espeak binary is absent (reference phonemizes these languages only
     through espeak, ``espeak_wrapper.py:47-83``, and would otherwise
     silently degrade to graphemes)."""
@@ -599,7 +599,9 @@ def get_phonemizer_by_name(name: str, **kwargs) -> BasePhonemizer:
             if lang.startswith("en"):
                 _warn_en_fallback("espeak")
                 return EN_Phonemizer(**kwargs)
-            if lang.lower().split("-")[0] in ("es", "it", "de", "fr", "pt", "tr", "pl", "cs", "hu"):
+            from .latin_g2p import get_latin_g2p
+
+            if get_latin_g2p(lang) is not None:
                 _warn_fallback("espeak", "latin_g2p", "offline rule G2P")
                 return Latin_Phonemizer(**kwargs)
         return ESpeak(**kwargs)
