@@ -116,13 +116,30 @@ class BarkGPT(nn.Module):
             )
             return (new_caches, cur + 1, logits[:, -1], new_done, out_len), tok
 
-        carry0 = (caches, jnp.asarray(L_pre, jnp.int32), last_logits,
-                  jnp.zeros((B,), bool), jnp.zeros((B,), jnp.int32))
         rngs = jax.random.split(rng, max_new_tokens)
-        (caches, _, _, done, out_len), toks = jax.lax.scan(
-            step, carry0, (rngs, jnp.arange(max_new_tokens))
-        )
-        return {"tokens": jnp.moveaxis(toks, 0, 1), "lengths": out_len}
+        toks0 = jnp.full((B, max_new_tokens), eos_token, jnp.int32)
+        carry0 = (caches, jnp.asarray(L_pre, jnp.int32), last_logits,
+                  jnp.zeros((B,), bool), jnp.zeros((B,), jnp.int32),
+                  toks0, jnp.asarray(0, jnp.int32))
+
+        # while_loop, not scan: decode stops as soon as every sequence has
+        # sampled EOS (the reference host loop breaks there too,
+        # inference_funcs.py:294) — a short utterance pays for its own
+        # length, not the max_gen_duration_s budget
+        def cond(carry):
+            done, s_idx = carry[3], carry[6]
+            return (s_idx < max_new_tokens) & ~jnp.all(done)
+
+        def body(carry):
+            caches, cur, lg, done, out_len, toks, s_idx = carry
+            (caches, cur, lg, done, out_len), tok = step(
+                (caches, cur, lg, done, out_len), (rngs[s_idx], s_idx)
+            )
+            toks = jax.lax.dynamic_update_slice(toks, tok[:, None], (0, s_idx))
+            return (caches, cur, lg, done, out_len, toks, s_idx + 1)
+
+        caches, _, _, done, out_len, toks, _ = jax.lax.while_loop(cond, body, carry0)
+        return {"tokens": toks, "lengths": out_len}
 
     def generate_coarse_windows(
         self,
