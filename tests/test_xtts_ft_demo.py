@@ -50,6 +50,60 @@ def test_formatter(tmp_path):
     assert items and all(os.path.isfile(it["audio_file"]) for it in items)
 
 
+def test_web_ui_preprocess_and_job_logs(tmp_path):
+    """The browser UI (reference gradio app) drives Step 1 over HTTP:
+    POST /api/preprocess starts a background job, /api/job streams its
+    captured logs and yields the train/eval CSV paths on completion."""
+    import json
+    import threading
+    import time
+    import urllib.request
+
+    from tts_tpu.demos.xtts_ft_demo.web_ui import create_server
+
+    server = create_server(port=0)  # ephemeral port
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    base = f"http://localhost:{server.server_address[1]}"
+    try:
+        page = urllib.request.urlopen(base + "/").read().decode()
+        assert "Data processing" in page and "Fine-tuning" in page and "Inference" in page
+
+        clips = _clips_with_transcripts(tmp_path)
+        req = urllib.request.Request(
+            base + "/api/preprocess",
+            data=json.dumps({"audio_dir": clips, "language": "en",
+                             "out_path": str(tmp_path / "ds")}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        assert json.load(urllib.request.urlopen(req))["started"]
+        for _ in range(300):
+            job = json.load(urllib.request.urlopen(base + "/api/job"))
+            if job["status"] != "running":
+                break
+            time.sleep(0.1)
+        assert job["status"] == "done", job["logs"]
+        assert os.path.isfile(job["result"]["train_csv"])
+        assert os.path.isfile(job["result"]["eval_csv"])
+        assert "dataset created" in job["logs"]
+
+        # errors are captured per-job, not 500s: bad dir → status error
+        req = urllib.request.Request(
+            base + "/api/preprocess",
+            data=json.dumps({"audio_dir": str(tmp_path / "nope")}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        assert json.load(urllib.request.urlopen(req))["started"]
+        for _ in range(100):
+            job = json.load(urllib.request.urlopen(base + "/api/job"))
+            if job["status"] != "running":
+                break
+            time.sleep(0.05)
+        assert job["status"] == "error"
+        assert "no audio files" in job["logs"]
+    finally:
+        server.shutdown()
+
+
 @pytest.mark.slow
 def test_ft_train_smoke(tmp_path):
     from tts_tpu.demos.xtts_ft_demo.utils.formatter import format_audio_list
