@@ -94,12 +94,12 @@ def main():
     wav = np.asarray(out["model_outputs"], np.float32)
     assert np.isfinite(wav).all(), "non-finite audio"
     # effective RTF, duration-aware bucketed decode (round-4): the cheap DP
-    # pass picks a 64-frame bucket, the decode runs at that length — the
+    # pass picks a 32-frame bucket, the decode runs at that length — the
     # deployment accounting counts only DP-terminated frames as audio but
     # now also pays only ~bucket frames of compute (synthesis() serves the
     # same way, utils/synthesis.py)
     y_pred = int(np.asarray(model.infer_durations(gen_params, x, xl, rng=rng)).max())
-    bucket = min(MAXF, ((y_pred + 63) // 64) * 64)
+    bucket = min(MAXF, ((y_pred + 31) // 32) * 32)
     infer_bk = jax.jit(
         lambda p, x, xl, r: model.inference(p, x, xl, max_frames=bucket, rng=r)
     )
@@ -117,6 +117,19 @@ def main():
             train_ms, train_mfu = measure_train_step(model, cfg)
         except Exception as e:  # pragma: no cover
             print(f"train-step measurement failed: {e}", file=sys.stderr)
+
+    # mixed-precision (bf16 compute, fp32 master weights) training step —
+    # the deployment policy for large-scale runs (trainer/precision.py)
+    train_bf16_ms = train_bf16_mfu = None
+    if not os.environ.get("BENCH_SKIP_TRAIN") and not _past_deadline("bf16 train step"):
+        try:
+            import copy
+
+            cfg16 = copy.deepcopy(cfg)
+            cfg16.mixed_precision = True
+            train_bf16_ms, train_bf16_mfu = measure_train_step(model, cfg16, bf16_peak=True)
+        except Exception as e:  # pragma: no cover
+            print(f"bf16 train-step measurement failed: {e}", file=sys.stderr)
 
     # bf16 weights/activations: the deployment-precision RTF (38% over fp32
     # on one v5e — fp32 stays the headline for series consistency)
@@ -176,13 +189,15 @@ def main():
                 "xtts_stream_rtf": xtts_stream_rtf,
                 "vits_train_step_ms": train_ms,
                 "vits_train_mfu": train_mfu,
+                "vits_train_step_bf16_ms": train_bf16_ms,
+                "vits_train_bf16_mfu": train_bf16_mfu,
                 "platform": jax.default_backend(),
             }
         )
     )
 
 
-def measure_train_step(model, cfg):
+def measure_train_step(model, cfg, bf16_peak=False):
     """One fused VITS GAN train step (D+G in one backward) at LJSpeech-like
     shapes on the chip → (ms/step, train MFU)."""
     import jax
@@ -223,8 +238,10 @@ def measure_train_step(model, cfg):
             cost = cost[0]
         flops = float(cost.get("flops", 0.0))
         if flops > 0:
-            # same estimated fp32 peak as the inference MFU above
-            mfu = round(flops / dt / (197e12 / 2), 4)
+            # same estimated fp32 peak as the inference MFU above; bf16
+            # steps are held to the full published 197 TFLOP/s
+            peak = 197e12 if bf16_peak else 197e12 / 2
+            mfu = round(flops / dt / peak, 4)
     except Exception:
         pass
     return round(dt * 1000.0, 1), mfu

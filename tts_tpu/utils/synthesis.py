@@ -108,12 +108,13 @@ def synthesis(
     if "max_frames" in sig_params:
         if max_frames is None and hasattr(model, "infer_durations") and "style_text" not in aux_input:
             # duration-aware bucket: the DP pass is cheap, so decode at the
-            # predicted length rounded up to a 64-frame bucket instead of
+            # predicted length rounded up to a 32-frame bucket instead of
             # the generous per-token estimate (≈45% of the fixed budget was
-            # padding at real utterance lengths)
+            # padding at real utterance lengths; at single-utterance lengths
+            # 64-frame rounding alone wasted up to 63 frames per call)
             dur = get_jitted_durations(model)(params, x, x_lengths, aux_input=aux_input or None)
             y_len = int(np.asarray(dur).max())
-            budget = min(budget, ((y_len + 63) // 64) * 64)
+            budget = min(budget, ((y_len + 31) // 32) * 32)
         budget_kw = {"max_frames": budget}
     else:
         r = int(getattr(getattr(model, "config", None), "r", 1) or 1)
