@@ -10,6 +10,38 @@ directory on sys.path, same mechanism as ``ref_stubs``.
 import json
 
 
+def fast_params(init_fn, *args, seed=0, scale=0.02):
+    """Pytree with the exact structure/shapes/dtypes of ``init_fn(*args)``
+    but filled host-side with small reproducible normals — skips compiling
+    and executing the (large) jitted init graph, the single biggest per-test
+    cost on the 1-core CI box (~20s each).  Use in tests that assert shapes,
+    structure, or finiteness; keep the real ``init_params`` in tests that
+    check initializer behavior (and the slow-tier train smokes cover it)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    shapes = jax.eval_shape(init_fn, *args)  # traces, never compiles/executes
+    rs = np.random.RandomState(seed)
+
+    def fill(leaf):
+        if jnp.issubdtype(leaf.dtype, jnp.floating):
+            return jnp.asarray(rs.standard_normal(leaf.shape) * scale, leaf.dtype)
+        return jnp.zeros(leaf.shape, leaf.dtype)
+
+    return jax.tree.map(fill, shapes)
+
+
+def fast_vits_train_state(model, config, rng, seed=0):
+    """`models.vits.train.create_train_state` minus the init-graph compile:
+    same TrainState structure, host-filled params (see :func:`fast_params`)."""
+    from tts_tpu.models.vits.train import TrainState, make_optimizers
+
+    gen_params, disc_params = fast_params(model.init_params, rng, seed=seed)
+    optimizers = make_optimizers(config)
+    return TrainState.create({"gen": gen_params, "disc": disc_params}, optimizers)
+
+
 def tiny_xtts_config():
     """A 2-layer 64-dim XTTS config small enough for CPU unit tests."""
     from tts_tpu.models.xtts import XttsArgs, XttsConfig

@@ -6,6 +6,7 @@ waveform decoder."""
 import jax
 import numpy as np
 import pytest
+from helpers import fast_params, fast_vits_train_state
 
 from tts_tpu.models.vits import Vits, VitsArgs, VitsConfig
 
@@ -45,7 +46,7 @@ def test_inference_upsamples_latent():
     cfg = _cfg(interpolate_z=True, factor=2)
     model = Vits(cfg)
     assert model.module.interpolate_factor == 2.0
-    gp, _ = model.init_params(jax.random.PRNGKey(0))
+    gp, _ = fast_params(model.init_params, jax.random.PRNGKey(0))
     out = model.inference(
         gp, np.zeros((1, 12), np.int32), np.asarray([12], np.int32), max_frames=24
     )
@@ -58,9 +59,7 @@ def test_inference_upsamples_latent():
 def test_train_step_slices_output_rate_waveform():
     cfg = _cfg(interpolate_z=True, factor=2)
     model = Vits(cfg)
-    state = __import__(
-        "tts_tpu.models.vits.train", fromlist=["create_train_state"]
-    ).create_train_state(model, cfg, jax.random.PRNGKey(1))
+    state = fast_vits_train_state(model, cfg, jax.random.PRNGKey(1))
     from tts_tpu.models.vits.train import make_train_step
 
     step, _, _ = make_train_step(model, cfg)
@@ -105,7 +104,7 @@ def test_decoder_rate_consistency_validated():
 def test_non_interpolating_variant_uses_decoder_rates():
     cfg = _cfg(interpolate_z=False, factor=2)
     model = Vits(cfg)  # prod(rates)=32 == hop*factor — accepted
-    gp, _ = model.init_params(jax.random.PRNGKey(0))
+    gp, _ = fast_params(model.init_params, jax.random.PRNGKey(0))
     out = model.inference(
         gp, np.zeros((1, 8), np.int32), np.asarray([8], np.int32), max_frames=16
     )
@@ -120,7 +119,7 @@ def test_voice_conversion_upsamples_latent():
     cfg.model_args.use_speaker_embedding = True
     cfg.model_args.num_speakers = 4
     model = Vits(cfg)
-    gp, _ = model.init_params(jax.random.PRNGKey(0))
+    gp, _ = fast_params(model.init_params, jax.random.PRNGKey(0))
     T = 12
     y = np.abs(np.random.RandomState(0).randn(1, T, 65)).astype(np.float32)
     # through the host wrapper the Synthesizer's transfer path dispatches to
@@ -136,7 +135,7 @@ def test_multispeaker_multilingual_train_step():
     """Init must create emb_g/emb_l and the g-projection layers so a
     multi-speaker multilingual VITS trains from scratch (reference
     test_vits_multilingual_speaker_emb_train.py analogue)."""
-    from tts_tpu.models.vits.train import create_train_state, make_train_step
+    from tts_tpu.models.vits.train import make_train_step
 
     cfg = _cfg(interpolate_z=True, factor=1)
     cfg.model_args.encoder_sample_rate = None
@@ -146,7 +145,7 @@ def test_multispeaker_multilingual_train_step():
     cfg.model_args.num_languages = 3
     cfg.model_args.embedded_language_dim = 4
     model = Vits(cfg)
-    state = create_train_state(model, cfg, jax.random.PRNGKey(0))
+    state = fast_vits_train_state(model, cfg, jax.random.PRNGKey(0))
     assert "emb_g" in state.params["gen"]["params"]
     assert "emb_l" in state.params["gen"]["params"]
     step, _, _ = make_train_step(model, cfg)
