@@ -10,6 +10,33 @@ directory on sys.path, same mechanism as ``ref_stubs``.
 import json
 
 
+def _fill_like(shapes, seed=0, scale=0.02):
+    """Host-side reproducible fill for an ``eval_shape`` pytree.  Leaf names
+    steer the fill so the result behaves like a freshly-initialized net:
+    norm scales/variances → 1, biases/means → 0, everything else small
+    normals."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    rs = np.random.RandomState(seed)
+
+    def fill(path, leaf):
+        name = getattr(path[-1], "key", "") if path else ""
+        name = name if isinstance(name, str) else ""
+        if not jnp.issubdtype(leaf.dtype, jnp.floating):
+            return jnp.zeros(leaf.shape, leaf.dtype)
+        if name.startswith("log"):  # log-scales: 0 ↔ scale 1
+            return jnp.zeros(leaf.shape, leaf.dtype)
+        if "scale" in name or "gamma" in name or name == "var":
+            return jnp.ones(leaf.shape, leaf.dtype)
+        if "bias" in name or "beta" in name or name == "mean":
+            return jnp.zeros(leaf.shape, leaf.dtype)
+        return jnp.asarray(rs.standard_normal(leaf.shape) * scale, leaf.dtype)
+
+    return jax.tree_util.tree_map_with_path(fill, shapes)
+
+
 def fast_params(init_fn, *args, seed=0, scale=0.02):
     """Pytree with the exact structure/shapes/dtypes of ``init_fn(*args)``
     but filled host-side with small reproducible normals — skips compiling
@@ -18,18 +45,25 @@ def fast_params(init_fn, *args, seed=0, scale=0.02):
     structure, or finiteness; keep the real ``init_params`` in tests that
     check initializer behavior (and the slow-tier train smokes cover it)."""
     import jax
-    import jax.numpy as jnp
-    import numpy as np
 
     shapes = jax.eval_shape(init_fn, *args)  # traces, never compiles/executes
-    rs = np.random.RandomState(seed)
+    return _fill_like(shapes, seed=seed, scale=scale)
 
-    def fill(leaf):
-        if jnp.issubdtype(leaf.dtype, jnp.floating):
-            return jnp.asarray(rs.standard_normal(leaf.shape) * scale, leaf.dtype)
-        return jnp.zeros(leaf.shape, leaf.dtype)
 
-    return jax.tree.map(fill, shapes)
+def fast_init_model(model, *args, attrs=(), seed=0, scale=0.02, **kwargs):
+    """:func:`fast_params` for ``init_params`` methods that *store* their
+    pytrees as model attributes (XTTS ``gpt_params``/``decoder_params``,
+    Tortoise ``ar_params``/``diff_params``, …).  ``eval_shape`` leaves those
+    attributes holding dead tracers, so re-set each named attribute with the
+    host-filled value (order matches the method's return tuple)."""
+    import jax
+
+    shapes = jax.eval_shape(lambda: model.init_params(*args, **kwargs))
+    filled = _fill_like(shapes, seed=seed, scale=scale)
+    values = filled if isinstance(filled, tuple) else (filled,)
+    for name, value in zip(attrs, values):
+        setattr(model, name, value)
+    return filled
 
 
 def fast_vits_train_state(model, config, rng, seed=0):

@@ -5,6 +5,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tts_tpu.models.align_tts import AlignTTS, AlignTTSArgs, AlignTTSConfig, align_tts_loss, mdn_loss
+from helpers import fast_params
 
 
 def _model():
@@ -17,7 +18,7 @@ def _model():
         decoder_params={"hidden_channels_ffn": 32, "num_heads": 2, "num_layers": 1, "dropout_p": 0.1},
     )
     model = AlignTTS(cfg)
-    params = model.init_params(jax.random.PRNGKey(0))
+    params = fast_params(model.init_params, jax.random.PRNGKey(0))
     return model, params, cfg
 
 

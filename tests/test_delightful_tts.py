@@ -7,6 +7,7 @@ import pytest
 
 from tts_tpu.models.delightful_tts import DelightfulTTS, DelightfulTTSConfig
 from tts_tpu.models.delightful_tts.config import DelightfulTtsArgs
+from helpers import fast_params
 
 
 @pytest.fixture(scope="module")
@@ -30,7 +31,7 @@ def dt_small():
     cfg.vocoder.periods_discriminator = [2, 3]
     cfg.vocoder.discriminator_width_mult = 0.125
     model = DelightfulTTS(cfg)
-    params = model.init_params(jax.random.PRNGKey(0))
+    params = fast_params(model.init_params, jax.random.PRNGKey(0))
     return model, params, cfg
 
 

@@ -7,6 +7,7 @@ import numpy as np
 from tts_tpu.encoder.losses import AngleProtoLoss, GE2ELoss, SoftmaxAngleProtoLoss
 from tts_tpu.encoder.model import LSTMSpeakerEncoder, ResNetSpeakerEncoder, SpeakerEncoder
 from tts_tpu.encoder.configs import SpeakerEncoderConfig
+from helpers import fast_init_model
 
 
 def test_lstm_encoder_shapes():
@@ -57,7 +58,7 @@ def test_sliding_window_embedding():
     cfg = SpeakerEncoderConfig()
     cfg.model_params = {"model_name": "lstm", "input_dim": 80, "proj_dim": 32, "lstm_dim": 32, "num_lstm_layers": 1}
     enc = SpeakerEncoder(cfg)
-    enc.init_params(jax.random.PRNGKey(0))
+    fast_init_model(enc, jax.random.PRNGKey(0), attrs=('params',))
     wav = np.random.RandomState(0).randn(22050 * 4).astype(np.float32)  # 4s -> windows
     emb = enc.compute_embedding_from_wav(wav, num_frames=100)
     assert emb.shape == (32,)

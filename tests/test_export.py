@@ -7,6 +7,7 @@ import numpy as np
 import pytest
 
 from tts_tpu.utils.export import export_inference, export_vits_inference, load_exported
+from helpers import fast_params
 
 
 def test_roundtrip_simple_fn(tmp_path):
@@ -42,7 +43,7 @@ def test_vits_export_roundtrip(tmp_path):
     cfg.audio.hop_length = 16
     cfg.audio.num_mels = 20
     model = Vits(cfg)
-    gen_params, _ = model.init_params(jax.random.PRNGKey(0))
+    gen_params, _ = fast_params(model.init_params, jax.random.PRNGKey(0))
 
     path = str(tmp_path / "vits.tpuexport")
     export_vits_inference(model, gen_params, path, max_frames=32, max_text_len=16)

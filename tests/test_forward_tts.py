@@ -14,6 +14,7 @@ from tts_tpu.models.forward_tts import (
     SpeedySpeechConfig,
     forward_tts_loss,
 )
+from helpers import fast_params
 
 
 def _small_args(**kw):
@@ -57,7 +58,7 @@ def test_forward_and_loss(cfg_cls, use_pitch, use_energy):
     cfg = cfg_cls()
     cfg.model_args = _small_args(use_pitch=use_pitch, use_energy=use_energy)
     model = ForwardTTS(cfg)
-    params = model.init_params(jax.random.PRNGKey(0))
+    params = fast_params(model.init_params, jax.random.PRNGKey(0))
     batch = _batch(use_pitch=use_pitch, use_energy=use_energy)
     out = model.forward(params, batch, train=True, rngs={"dropout": jax.random.PRNGKey(1)})
     assert out["model_outputs"].shape == (2, 40, 80)
@@ -72,7 +73,7 @@ def test_speedy_speech_variant():
     cfg.model_args.num_chars = 32
     cfg.model_args.hidden_channels = 64
     model = ForwardTTS(cfg)
-    params = model.init_params(jax.random.PRNGKey(0))
+    params = fast_params(model.init_params, jax.random.PRNGKey(0))
     batch = _batch(use_pitch=False)
     out = model.forward(params, batch, train=False)
     assert out["model_outputs"].shape == (2, 40, 80)
@@ -84,7 +85,7 @@ def test_inference():
     cfg = ForwardTTSConfig()
     cfg.model_args = _small_args()
     model = ForwardTTS(cfg)
-    params = model.init_params(jax.random.PRNGKey(0))
+    params = fast_params(model.init_params, jax.random.PRNGKey(0))
     x = jnp.asarray(np.random.RandomState(0).randint(0, 32, (1, 12)))
     out = model.inference(params, x, jnp.asarray([12]), max_frames=64)
     assert out["model_outputs"].shape == (1, 64, 80)

@@ -8,6 +8,7 @@ import os
 import numpy as np
 import pytest
 import scipy.io.wavfile
+from helpers import fast_params
 
 
 def _write_wav(path, seconds=0.5, sr=16000, seed=0):
@@ -41,7 +42,7 @@ def test_freevc_voice_conversion_end_to_end(tmp_path):
     a.resblock_dilation_sizes = [[1, 3]]
 
     model = FreeVC(cfg)
-    params = model.init_params(jax.random.PRNGKey(0))
+    params = fast_params(model.init_params, jax.random.PRNGKey(0))
     model.set_params(params)
 
     # tiny WavLM as the content front-end (the real path uses WavLM-Large)

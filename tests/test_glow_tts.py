@@ -7,6 +7,7 @@ import optax
 import pytest
 
 from tts_tpu.models.glow_tts import GlowTTS, GlowTTSConfig, glow_tts_loss
+from helpers import fast_params
 
 
 def _small_config(**kw):
@@ -33,7 +34,7 @@ def _small_config(**kw):
 @pytest.fixture(scope="module")
 def model_and_params():
     model = GlowTTS(_small_config())
-    params = model.init_params(jax.random.PRNGKey(0))
+    params = fast_params(model.init_params, jax.random.PRNGKey(0))
     return model, params
 
 

@@ -5,6 +5,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+from helpers import fast_params
 
 
 def test_istft_overlap_add_roundtrip():
@@ -79,7 +80,7 @@ def test_vits_istft_decoder_forward_and_inference():
     a.spec_segment_size = 8
 
     model = Vits(cfg)
-    params, _ = model.init_params(jax.random.PRNGKey(0))
+    params, _ = fast_params(model.init_params, jax.random.PRNGKey(0))
 
     x = jnp.asarray(np.random.RandomState(0).randint(0, 50, (2, 16)))
     xl = jnp.asarray([16, 12])

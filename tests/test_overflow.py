@@ -6,6 +6,7 @@ import numpy as np
 import pytest
 
 from tts_tpu.models.overflow import NeuralhmmTTS, NeuralhmmTTSConfig, Overflow, OverflowConfig
+from helpers import fast_params
 
 
 def _small(cfg):
@@ -36,7 +37,7 @@ def _batch(B=2, T_en=5, T_de=14, C=20):
 def test_forward_loss(model_cls, cfg_cls):
     cfg = _small(cfg_cls())
     model = model_cls(cfg)
-    params = model.init_params(jax.random.PRNGKey(0))
+    params = fast_params(model.init_params, jax.random.PRNGKey(0))
     batch = _batch()
     loss, aux = model.train_step(params, batch, rngs={"dropout": jax.random.PRNGKey(1)})
     assert np.isfinite(float(loss)), model_cls.__name__
@@ -79,7 +80,7 @@ def test_nll_decreases_with_matching_emissions():
 def test_inference(model_cls, cfg_cls):
     cfg = _small(cfg_cls())
     model = model_cls(cfg)
-    params = model.init_params(jax.random.PRNGKey(0))
+    params = fast_params(model.init_params, jax.random.PRNGKey(0))
     batch = _batch()
     out = model.inference(params, batch["text_input"], batch["text_lengths"], max_frames=20)
     assert out["model_outputs"].shape[0] == 2

@@ -43,12 +43,12 @@ def test_bytes_halved():
 def test_xtts_int8_decode_close_to_fp32():
     """End to end: quantized GPT decode matches fp32 latents closely and
     still streams."""
-    from helpers import tiny_xtts_config
+    from helpers import fast_init_model, tiny_xtts_config
 
     from tts_tpu.models.xtts import Xtts
 
     model = Xtts(tiny_xtts_config())
-    model.init_params(jax.random.PRNGKey(0))
+    fast_init_model(model, jax.random.PRNGKey(0), attrs=("gpt_params", "decoder_params"))
     cond = jnp.asarray(np.random.RandomState(2).randn(1, 8, 64), jnp.float32)
     text = jnp.asarray([[5, 9, 11, 3]], jnp.int32)
 
@@ -85,6 +85,8 @@ def test_bark_int8_semantic_generation():
 def test_tortoise_int8_decode():
     """Tortoise AR decode runs with int8 weights; codes stay in-vocab."""
     from tts_tpu.models.tortoise import Tortoise, TortoiseConfig
+    from helpers import fast_init_model
+
     from tts_tpu.models.tortoise.config import TortoiseArgs
 
     cfg = TortoiseConfig()
@@ -97,7 +99,7 @@ def test_tortoise_int8_decode():
         diff_in_latent_channels=32, diff_num_heads=2, diffusion_iterations=2,
     )
     model = Tortoise(cfg)
-    model.init_params(jax.random.PRNGKey(0))
+    fast_init_model(model, jax.random.PRNGKey(0), attrs=("ar_params", "diff_params"))
     model.quantize_weights_int8(compute_dtype=jnp.float32)
     assert is_quantized(model.ar_params)
     text = jnp.asarray(np.random.RandomState(0).randint(1, 29, (1, 8)))

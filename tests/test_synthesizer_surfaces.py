@@ -9,6 +9,7 @@ import sys
 
 import numpy as np
 import pytest
+from helpers import fast_init_model
 
 sys.path.insert(0, "/root/repo")
 
@@ -55,7 +56,7 @@ def xtts_dir(tmp_path_factory):
     d = tmp_path_factory.mktemp("xtts_dir")
     config = _tiny_xtts_config()
     model = Xtts(config)
-    gpt_params, decoder_params = model.init_params(jax.random.PRNGKey(0))
+    gpt_params, decoder_params = fast_init_model(model, jax.random.PRNGKey(0), attrs=("gpt_params", "decoder_params"))
     payload = {"gpt": gpt_params, "decoder": decoder_params, "mel_stats": np.zeros((0,))}
     save_checkpoint(str(d / "model_flax.msgpack"), payload, config=config)
     with open(d / "config.json", "w") as f:

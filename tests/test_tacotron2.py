@@ -6,6 +6,7 @@ import numpy as np
 import pytest
 
 from tts_tpu.models.tacotron2 import Tacotron2, Tacotron2Config, tacotron_loss
+from helpers import fast_params
 
 
 def _small_config(**kw):
@@ -28,7 +29,7 @@ def _small_config(**kw):
 @pytest.fixture(scope="module")
 def t2():
     model = Tacotron2(_small_config())
-    params = model.init_params(jax.random.PRNGKey(0))
+    params = fast_params(model.init_params, jax.random.PRNGKey(0))
     return model, params
 
 
@@ -82,7 +83,7 @@ def test_ddc(t2):
     """Double decoder consistency: coarse decoder + DDC losses
     (reference base_tacotron.py:199-215, losses.py:463-472)."""
     model = Tacotron2(_small_config(double_decoder_consistency=True, ddc_r=3))
-    params = model.init_params(jax.random.PRNGKey(0))
+    params = fast_params(model.init_params, jax.random.PRNGKey(0))
     batch = _batch()
     out = model.forward(params, batch, train=True, rngs={"dropout": jax.random.PRNGKey(1)})
     assert out["decoder_outputs_backward"].shape == (2, 12, 80)
@@ -105,7 +106,7 @@ def test_gradual_training_set_r():
     """set_r changes the reduction factor without changing param shapes
     (reference Decoder.set_r tacotron2.py:211, base_tacotron.py:293)."""
     model = Tacotron2(_small_config(r=3))
-    params = model.init_params(jax.random.PRNGKey(0))
+    params = fast_params(model.init_params, jax.random.PRNGKey(0))
     model.set_r(1)
     assert model.module.r == 1 and model.module.r_init == 3
     batch = _batch(T_de=12)
@@ -141,7 +142,7 @@ def test_gst_and_capacitron():
         use_capacitron_vae=True, capacitron_vae={"capacitron_VAE_embedding_dim": 8,
                                                  "capacitron_capacity": 5.0},
     ))
-    params = model.init_params(jax.random.PRNGKey(0), t_de=16)
+    params = fast_params(lambda r: model.init_params(r, t_de=16), jax.random.PRNGKey(0))
     batch = _batch(T_de=16)
     loss, aux = model.train_step(params, batch, rngs={"dropout": jax.random.PRNGKey(1)})
     assert np.isfinite(float(loss))

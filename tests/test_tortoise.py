@@ -6,6 +6,7 @@ import numpy as np
 
 from tts_tpu.models.tortoise import Tortoise, TortoiseConfig
 from tts_tpu.models.tortoise.config import TortoiseArgs
+from helpers import fast_init_model
 
 
 def test_tortoise_pipeline():
@@ -19,7 +20,7 @@ def test_tortoise_pipeline():
         diff_in_latent_channels=32, diff_num_heads=2, diffusion_iterations=4,
     )
     model = Tortoise(cfg)
-    model.init_params(jax.random.PRNGKey(0))
+    fast_init_model(model, jax.random.PRNGKey(0), attrs=("ar_params", "diff_params"))
     text = jnp.asarray(np.random.RandomState(0).randint(1, 29, (1, 8)))
     cond = jnp.asarray(np.random.RandomState(1).randn(1, 32, 80).astype(np.float32))
     dcond = jnp.asarray(np.random.RandomState(2).randn(1, 24, 20).astype(np.float32))
@@ -196,7 +197,7 @@ def test_tortoise_speaker_errors():
     with pytest.raises(ValueError, match="voice_dirs"):
         model.synthesize("Hi.", cfg, speaker_id="emma")
 
-    model.init_params(jax.random.PRNGKey(0))
+    fast_init_model(model, jax.random.PRNGKey(0), attrs=("ar_params", "diff_params"))
     text = jnp.asarray(np.random.RandomState(0).randint(1, 250, (2, 5)))
     cond = jnp.asarray(np.random.RandomState(1).randn(2, 16, 80).astype(np.float32))
     dcond = jnp.asarray(np.random.RandomState(2).randn(2, 12, 20).astype(np.float32))
@@ -219,7 +220,7 @@ def test_tortoise_presets():
         diff_in_latent_channels=32, diff_num_heads=2, diffusion_iterations=2,
     )
     model = Tortoise(cfg)
-    model.init_params(jax.random.PRNGKey(0))
+    fast_init_model(model, jax.random.PRNGKey(0), attrs=("ar_params", "diff_params"))
 
     seen = {}
     real_inference = model.inference

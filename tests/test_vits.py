@@ -14,6 +14,7 @@ from tts_tpu.models.vits import (
     generator_adv_loss,
     kl_loss,
 )
+from helpers import fast_params
 
 
 def _small_args(**kw):
@@ -41,7 +42,7 @@ def _small_args(**kw):
 def vits_small():
     cfg = VitsConfig(model_args=_small_args())
     model = Vits(cfg)
-    gen_params, disc_params = model.init_params(jax.random.PRNGKey(0))
+    gen_params, disc_params = fast_params(model.init_params, jax.random.PRNGKey(0))
     return model, gen_params, disc_params
 
 
@@ -168,7 +169,7 @@ def test_vits_sdp_vs_dp():
     """Deterministic duration predictor variant also works."""
     cfg = VitsConfig(model_args=_small_args(use_sdp=False))
     model = Vits(cfg)
-    gen_params, _ = model.init_params(jax.random.PRNGKey(0))
+    gen_params, _ = fast_params(model.init_params, jax.random.PRNGKey(0))
     batch = _batch()
     rngs = {
         "noise": jax.random.PRNGKey(1),

@@ -10,6 +10,7 @@ from tts_tpu.encoder.configs import SpeakerEncoderConfig
 from tts_tpu.encoder.model import SpeakerEncoder
 from tts_tpu.models.vits import Vits, VitsArgs, VitsConfig
 from tts_tpu.models.vits.train import create_train_state, make_train_step
+from helpers import fast_init_model, fast_vits_train_state
 
 
 def _tiny_scl_vits():
@@ -45,7 +46,7 @@ def _tiny_scl_vits():
     enc_cfg.audio.hop_length = 16
     enc_cfg.audio.num_mels = 20
     enc = SpeakerEncoder(enc_cfg)
-    enc.init_params(jax.random.PRNGKey(7), t=8)
+    fast_init_model(enc, jax.random.PRNGKey(7), t=8, attrs=('params',))
     holder = type("_SM", (), {})()
     holder.encoder = enc
     model.speaker_manager = holder
@@ -54,7 +55,7 @@ def _tiny_scl_vits():
 
 def test_scl_in_train_step_metrics():
     model, cfg = _tiny_scl_vits()
-    state = create_train_state(model, cfg, jax.random.PRNGKey(0))
+    state = fast_vits_train_state(model, cfg, jax.random.PRNGKey(0))
     step, _, _ = make_train_step(model, cfg)
     B, T_de = 2, 16
     rng = np.random.RandomState(0)

@@ -10,6 +10,7 @@ from tts_tpu.audio.numpy_transforms import save_wav
 from tts_tpu.models.vits import Vits, VitsArgs, VitsConfig
 from tts_tpu.utils.io import save_checkpoint
 from tts_tpu.utils.synthesizer import Synthesizer
+from helpers import fast_params
 
 
 def test_voice_transfer_through_synthesizer(tmp_path):
@@ -42,7 +43,7 @@ def test_voice_transfer_through_synthesizer(tmp_path):
     cfg.speakers_file = str(spk_file)
 
     model = Vits(cfg)
-    gen_params, _ = model.init_params(jax.random.PRNGKey(0))
+    gen_params, _ = fast_params(model.init_params, jax.random.PRNGKey(0))
     ckpt = tmp_path / "model.msgpack"
     save_checkpoint(str(ckpt), {"model": gen_params}, config=cfg)
 

@@ -17,6 +17,7 @@ from tts_tpu.vocoder.models.wavegrad import (
     wavegrad_train_loss,
 )
 from tts_tpu.vocoder.models.wavernn import Wavernn, mixture_of_logistics_loss
+from helpers import fast_params
 
 
 def test_parallel_wavegan():
@@ -172,7 +173,7 @@ def test_wavegrad_trainer_contract():
     cfg = _tiny_wavegrad_config()
     model = setup_model(cfg)
     assert isinstance(model, WavegradVocoder)
-    params = model.init_params(jax.random.PRNGKey(0))
+    params = fast_params(model.init_params, jax.random.PRNGKey(0))
     hop = 32
     mel = jnp.asarray(np.random.RandomState(0).randn(2, cfg.seq_len // hop, 80).astype(np.float32))
     wav = jnp.asarray(np.random.RandomState(1).randn(2, cfg.seq_len, 1).astype(np.float32))
@@ -199,7 +200,7 @@ def test_wavernn_trainer_contract():
         cfg = WavernnConfig(seq_len=128, mode=mode, model_args=dict(margs))
         model = setup_model(cfg)
         assert isinstance(model, WavernnVocoder)
-        params = model.init_params(jax.random.PRNGKey(0))
+        params = fast_params(model.init_params, jax.random.PRNGKey(0))
         mel = jnp.asarray(np.random.RandomState(0).randn(1, 128 // 8, 80).astype(np.float32))
         wav = jnp.asarray(np.random.RandomState(1).rand(1, 128, 1).astype(np.float32) * 2 - 1)
         loss, aux = model.train_step(params, {"waveform": wav, "mel": mel}, {})

@@ -10,13 +10,13 @@ from tts_tpu.models.xtts.gpt import XttsGPT
 from tts_tpu.models.xtts.gpt_core import sample_logits
 
 
-from helpers import tiny_xtts_config as _tiny_config  # noqa: E402
+from helpers import fast_init_model, tiny_xtts_config as _tiny_config  # noqa: E402
 
 
 @pytest.fixture(scope="module")
 def xtts_tiny():
     model = Xtts(_tiny_config())
-    model.init_params(jax.random.PRNGKey(0))
+    fast_init_model(model, jax.random.PRNGKey(0), attrs=("gpt_params", "decoder_params"))
     return model
 
 
@@ -118,7 +118,7 @@ def test_v1_layout_cond_latents_keep_frames():
     cfg = _tiny_config()
     cfg.model_args.gpt_use_perceiver_resampler = False
     model = Xtts(cfg)
-    model.init_params(jax.random.PRNGKey(1))
+    fast_init_model(model, jax.random.PRNGKey(1), attrs=("gpt_params", "decoder_params"))
     audio = 0.1 * np.random.RandomState(0).randn(22050 * 2).astype(np.float32)
     lat = np.asarray(model.get_gpt_cond_latents(audio, 22050))
     # 2 s at hop 1024 (centered stft) → ~44 frames, one latent per frame

@@ -16,6 +16,7 @@ torch = pytest.importorskip("torch")
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from ref_stubs import import_reference, install_reference_stubs  # noqa: E402
+from helpers import fast_init_model
 
 SR = 22050
 
@@ -215,7 +216,7 @@ def test_xtts_dir_through_manager(zoo_home, monkeypatch, tmp_path):
     os.makedirs(d, exist_ok=True)
     config = _tiny_xtts_config()
     model = Xtts(config)
-    gpt_params, decoder_params = model.init_params(jax.random.PRNGKey(0))
+    gpt_params, decoder_params = fast_init_model(model, jax.random.PRNGKey(0), attrs=("gpt_params", "decoder_params"))
     save_checkpoint(
         os.path.join(d, "model_flax.msgpack"),
         {"gpt": gpt_params, "decoder": decoder_params, "mel_stats": np.zeros((0,))},
