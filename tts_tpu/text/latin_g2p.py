@@ -28,11 +28,11 @@ import re
 from typing import Dict, List, Optional, Tuple
 
 # IPA vowel characters (a nucleus is a maximal run of these, incl. ``ː``)
-_IPA_VOWELS = set("aeiouɛɔɪʊœøyʏəɐɑæʌɯɨɒ")
+_IPA_VOWELS = set("aeiouɛɔɪʊœøyʏəɐɑæʌɯɨɒɤ")
 _GLIDES = set("jwɥ")
 _LIQUIDS = set("lrɾʁʎ")
 # two-symbol units the onset scanner must not split
-_AFFRICATES = {"tʃ", "dʒ", "ts", "dz", "pf", "kv", "ks"}
+_AFFRICATES = {"tʃ", "dʒ", "ts", "dz", "pf", "kv", "ks", "tɕ", "dʑ"}
 
 _STRESS = "ˈ"
 
@@ -1316,13 +1316,19 @@ _ENGINES: Dict[str, RuleG2P] = {}
 
 def get_latin_g2p(language: str) -> Optional[RuleG2P]:
     """Engine for a supported language code
-    (es/it/de/fr/pt/tr/pl/cs/hu/fi/nl/ro/ca + region variants)."""
+    (es/it/de/fr/pt/tr/pl/cs/hu/fi/nl/ro/ca here, plus the
+    sk/hr/sl/lt/lv/et/bg/uk/el extension set in ``rule_g2p_ext``;
+    region variants accepted)."""
     base = language.lower().split("-")[0]
     cls = {"es": SpanishG2P, "it": ItalianG2P, "de": GermanG2P,
            "fr": FrenchG2P, "pt": PortugueseG2P, "tr": TurkishG2P,
            "pl": PolishG2P, "cs": CzechG2P, "hu": HungarianG2P,
            "fi": FinnishG2P, "nl": DutchG2P, "ro": RomanianG2P,
            "ca": CatalanG2P}.get(base)
+    if cls is None:
+        from .rule_g2p_ext import EXT_ENGINES
+
+        cls = EXT_ENGINES.get(base)
     if cls is None:
         return None
     if base not in _ENGINES:

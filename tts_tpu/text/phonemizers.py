@@ -485,12 +485,14 @@ class EN_Phonemizer(BasePhonemizer):
 
 
 class Latin_Phonemizer(BasePhonemizer):
-    """Pure-Python rule G2P for 13 Latin-script languages (``tts_tpu.text.latin_g2p``):
-    ordered context rules + stress assignment → phonemic IPA.  The
-    dependency-free fallback for ``use_phonemes`` es/it/de/fr/pt/tr/pl/cs/hu/fi/nl/ro/ca configs when the
-    espeak binary is absent (reference phonemizes these languages only
-    through espeak, ``espeak_wrapper.py:47-83``, and would otherwise
-    silently degrade to graphemes)."""
+    """Pure-Python rule G2P for 22 languages (``tts_tpu.text.latin_g2p`` +
+    the ``rule_g2p_ext`` extension set): ordered context rules + stress
+    assignment → phonemic IPA.  The dependency-free fallback for
+    ``use_phonemes`` es/it/de/fr/pt/tr/pl/cs/hu/fi/nl/ro/ca/sk/hr/sl/lt/lv/
+    et/bg/uk/el configs when the espeak binary is absent (reference
+    phonemizes these languages only through espeak,
+    ``espeak_wrapper.py:47-83``, and would otherwise silently degrade to
+    graphemes)."""
 
     def __init__(self, language: str = "es", punctuations=Punctuation.default_puncs(),
                  keep_puncs=True, **kwargs):
@@ -506,7 +508,9 @@ class Latin_Phonemizer(BasePhonemizer):
         return "latin_g2p"
 
     def is_supported_language(self, language: str) -> bool:
-        return language.lower().split("-")[0] in ("es", "it", "de", "fr", "pt", "tr", "pl", "cs", "hu")
+        from .latin_g2p import get_latin_g2p
+
+        return get_latin_g2p(language) is not None
 
     @classmethod
     def is_available(cls) -> bool:
@@ -564,8 +568,10 @@ if BEL_Phonemizer.is_available():
 # English always has a G2P: pure-Python fallback when espeak/gruut are absent
 for _en in ("en", "en-us", "en-gb"):
     DEF_LANG_TO_PHONEMIZER.setdefault(_en, EN_Phonemizer.name())
-# likewise es/it/de via the Latin rule transducer
-for _lt in ("es", "es-es", "it", "it-it", "de", "de-de", "fr", "fr-fr", "pt", "pt-br", "tr", "pl", "cs", "hu"):
+# likewise the 22 rule-G2P languages (latin_g2p + rule_g2p_ext)
+for _lt in ("es", "es-es", "it", "it-it", "de", "de-de", "fr", "fr-fr",
+            "pt", "pt-br", "tr", "pl", "cs", "hu", "fi", "nl", "ro", "ca",
+            "sk", "hr", "sl", "lt", "lv", "et", "bg", "uk", "el"):
     DEF_LANG_TO_PHONEMIZER.setdefault(_lt, Latin_Phonemizer.name())
 
 _WARNED_FALLBACK: set = set()
