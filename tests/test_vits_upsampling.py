@@ -18,17 +18,17 @@ def _cfg(interpolate_z=True, factor=2):
         num_chars=40,
         out_channels=65,
         spec_segment_size=8,
-        hidden_channels=32,
-        hidden_channels_ffn_text_encoder=64,
-        num_layers_text_encoder=2,
-        num_layers_posterior_encoder=2,
-        num_layers_flow=2,
+        hidden_channels=16,
+        hidden_channels_ffn_text_encoder=32,
+        num_layers_text_encoder=1,
+        num_layers_posterior_encoder=1,
+        num_layers_flow=1,
         upsample_rates_decoder=rates,
         upsample_kernel_sizes_decoder=ksz,
-        upsample_initial_channel_decoder=64,
+        upsample_initial_channel_decoder=32,
         resblock_kernel_sizes_decoder=[3],
         resblock_dilation_sizes_decoder=[[1, 3]],
-        periods_multi_period_discriminator=[2, 3],
+        periods_multi_period_discriminator=[2],
         encoder_sample_rate=None,
         interpolate_z=interpolate_z,
     )
