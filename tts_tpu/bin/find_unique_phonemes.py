@@ -16,10 +16,9 @@ def main():
     from tts_tpu.text.phonemizers import get_phonemizer_by_name
 
     config = load_config(args.config_path)
-    train, eval_ = load_tts_samples(
-        [d.to_dict() for d in config.datasets], eval_split=True, eval_split_size=0.01
-    )
-    items = train + (eval_ or [])
+    # no split: the tool scans every transcript, and a 1% eval split
+    # asserts on datasets under 100 clips
+    items, _ = load_tts_samples([d.to_dict() for d in config.datasets], eval_split=False)
     phonemizer = get_phonemizer_by_name(
         config.phonemizer or "espeak", language=config.phoneme_language or "en-us"
     )
