@@ -220,6 +220,11 @@ def test_english_g2p_fallback():
 
     # requesting espeak for English on an espeak-less machine falls back
     if not ESpeak.is_available():
+        # the fallback warning is emitted once per process; reset the
+        # module-level guard so this test is order-independent
+        from tts_tpu.text import phonemizers as _ph_mod
+
+        _ph_mod._WARNED_FALLBACK.discard("en_g2p")
         with pytest.warns(UserWarning, match="rule-based English G2P"):
             ph = get_phonemizer_by_name("espeak", language="en")
         assert ph.name() == "en_g2p"

@@ -73,8 +73,9 @@ def main():
             params, {k: v for k, v in batch.items() if not isinstance(v, list)}
         )
         aligns = np.asarray(outputs["alignments"])  # [B, T_de/r, T_en]
-        for i, idx in enumerate(batch["item_idxs"]):
-            wav_path = ds.samples[idx]["audio_file"]
+        # batch["item_idxs"] carries the audio file path per item (dataset.py:372
+        # collates "item_idx", which is the wav path), not a dataset row index.
+        for i, wav_path in enumerate(batch["item_idxs"]):
             T_de = int(batch["mel_lengths"][i]) // r
             T_en = int(batch["text_lengths"][i])
             align = aligns[i, :T_de, :T_en]

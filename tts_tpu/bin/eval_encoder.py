@@ -73,7 +73,9 @@ def main():
 
     c_dataset = load_config(args.config_dataset_path)
     meta_train, meta_eval = load_tts_samples(c_dataset.datasets, eval_split=args.eval)
-    items = meta_train + meta_eval
+    # eval_split=False returns meta_eval=None (reference TTS/bin/eval_encoder.py:85-88
+    # concatenates both splits only when the eval split exists).
+    items = meta_train + (meta_eval or [])
 
     manager = SpeakerManager(encoder_model_path=args.model_path, encoder_config_path=args.config_path)
     compute_encoder_accuracy(items, manager)

@@ -39,7 +39,11 @@ def main():
         mels = np.asarray(outputs["model_outputs"])
         for i, name in enumerate(batch["audio_unique_names"]):
             T = int(batch["mel_lengths"][i])
-            mel_path = os.path.join(args.output_path, name.replace("#", "_") + ".npy")
+            # audio_unique_name can embed path separators (dataset#rel/path);
+            # flatten so every .npy lands directly in output_path (the reference
+            # writes flat files, TTS/bin/extract_tts_spectrograms.py:216-222).
+            flat = name.replace("#", "_").replace(os.sep, "_").replace("/", "_")
+            mel_path = os.path.join(args.output_path, flat + ".npy")
             np.save(mel_path, mels[i, :T])
             metadata.append(f"{batch['item_idxs'][i]}|{mel_path}")
     with open(os.path.join(args.output_path, "metadata.txt"), "w") as f:
