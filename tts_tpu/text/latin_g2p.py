@@ -1317,8 +1317,8 @@ _ENGINES: Dict[str, RuleG2P] = {}
 def get_latin_g2p(language: str) -> Optional[RuleG2P]:
     """Engine for a supported language code
     (es/it/de/fr/pt/tr/pl/cs/hu/fi/nl/ro/ca here, plus the
-    sk/hr/sl/lt/lv/et/bg/uk/el extension set in ``rule_g2p_ext``;
-    region variants accepted)."""
+    sk/hr/sl/lt/lv/et/bg/uk/el extension set in ``rule_g2p_ext`` and the
+    da/sv/ga/mt/fa set in ``rule_g2p_ext3``; region variants accepted)."""
     base = language.lower().split("-")[0]
     cls = {"es": SpanishG2P, "it": ItalianG2P, "de": GermanG2P,
            "fr": FrenchG2P, "pt": PortugueseG2P, "tr": TurkishG2P,
@@ -1329,6 +1329,10 @@ def get_latin_g2p(language: str) -> Optional[RuleG2P]:
         from .rule_g2p_ext import EXT_ENGINES
 
         cls = EXT_ENGINES.get(base)
+    if cls is None:
+        from .rule_g2p_ext3 import EXT_ENGINES3
+
+        cls = EXT_ENGINES3.get(base)
     if cls is None:
         return None
     if base not in _ENGINES:

@@ -522,18 +522,17 @@ class Latin_Phonemizer(BasePhonemizer):
 
     @staticmethod
     def supported_languages() -> Dict:
-        return {
-            "es": "Spanish (fallback G2P)",
-            "it": "Italian (fallback G2P)",
-            "de": "German (fallback G2P)",
-            "fr": "French (fallback G2P)",
-            "pt": "Portuguese (fallback G2P)",
-            "pt-br": "Portuguese (fallback G2P)",
-            "tr": "Turkish (fallback G2P)",
-            "pl": "Polish (fallback G2P)",
-            "cs": "Czech (fallback G2P)",
-            "hu": "Hungarian (fallback G2P)",
+        langs = {
+            "es": "Spanish", "it": "Italian", "de": "German", "fr": "French",
+            "pt": "Portuguese", "pt-br": "Portuguese", "tr": "Turkish",
+            "pl": "Polish", "cs": "Czech", "hu": "Hungarian", "fi": "Finnish",
+            "nl": "Dutch", "ro": "Romanian", "ca": "Catalan", "sk": "Slovak",
+            "hr": "Croatian", "sl": "Slovenian", "lt": "Lithuanian",
+            "lv": "Latvian", "et": "Estonian", "bg": "Bulgarian",
+            "uk": "Ukrainian", "el": "Greek", "da": "Danish", "sv": "Swedish",
+            "ga": "Irish", "mt": "Maltese", "fa": "Persian",
         }
+        return {code: f"{name} (fallback G2P)" for code, name in langs.items()}
 
     def _phonemize(self, text: str, separator: str = "|") -> str:
         return self._g2p.phonemize(text, separator="")
@@ -568,10 +567,11 @@ if BEL_Phonemizer.is_available():
 # English always has a G2P: pure-Python fallback when espeak/gruut are absent
 for _en in ("en", "en-us", "en-gb"):
     DEF_LANG_TO_PHONEMIZER.setdefault(_en, EN_Phonemizer.name())
-# likewise the 22 rule-G2P languages (latin_g2p + rule_g2p_ext)
+# likewise the 27 rule-G2P languages (latin_g2p + rule_g2p_ext + ext3)
 for _lt in ("es", "es-es", "it", "it-it", "de", "de-de", "fr", "fr-fr",
             "pt", "pt-br", "tr", "pl", "cs", "hu", "fi", "nl", "ro", "ca",
-            "sk", "hr", "sl", "lt", "lv", "et", "bg", "uk", "el"):
+            "sk", "hr", "sl", "lt", "lv", "et", "bg", "uk", "el",
+            "da", "sv", "ga", "mt", "fa", "fa-ir"):
     DEF_LANG_TO_PHONEMIZER.setdefault(_lt, Latin_Phonemizer.name())
 
 _WARNED_FALLBACK: set = set()
