@@ -84,6 +84,13 @@ def audio_length_samples(path: str, target_sr: Optional[int] = None) -> float:
 _FORKED_DATASET = None
 
 
+def _init_worker(dataset):
+    """Pool initializer for the ``spawn`` start method: the pickled dataset
+    arrives once per worker instead of being inherited by fork."""
+    global _FORKED_DATASET
+    _FORKED_DATASET = dataset
+
+
 def _build_batch_forked(batch_idxs):
     ds = _FORKED_DATASET
     return ds.collate([ds[int(i)] for i in batch_idxs])
@@ -314,20 +321,44 @@ class TTSDataset:
                     next_submit += 1
                 yield fut.result()
 
-    def _prefetched_processes(self, batches, num_workers: int, prefetch: int) -> Iterator[dict]:
-        """Assemble batches in forked worker PROCESSES (GIL-free; the
-        thread-pool path only overlaps inside BLAS/np releases, so heavy
-        text/F0 pipelines still starve the device — reference uses torch
-        DataLoader worker processes).  Fork start method: children inherit
-        the dataset without pickling; only the finished numpy batches cross
-        the pipe."""
+    def _prefetched_processes(
+        self, batches, num_workers: int, prefetch: int, start_method: Optional[str] = None
+    ) -> Iterator[dict]:
+        """Assemble batches in worker PROCESSES (GIL-free; the thread-pool
+        path only overlaps inside BLAS/np releases, so heavy text/F0
+        pipelines still starve the device — reference uses torch DataLoader
+        worker processes).
+
+        Start method: ``spawn`` whenever JAX is already initialized in this
+        process — forking a process with live JAX threads can deadlock the
+        child (JAX is multithreaded; fork only clones the calling thread) —
+        else ``fork``, whose children inherit the dataset without pickling.
+        Spawned workers receive the dataset once via the pool initializer.
+        """
         import multiprocessing as mp
 
+        if start_method is None:
+            import sys
+
+            jax_live = False
+            jax_mod = sys.modules.get("jax")
+            if jax_mod is not None:
+                try:
+                    jax_live = bool(jax_mod._src.xla_bridge._backends)
+                except Exception:
+                    jax_live = True  # jax imported but unprobeable: play safe
+            start_method = "spawn" if jax_live else "fork"
+
         global _FORKED_DATASET
-        ctx = mp.get_context("fork")
+        ctx = mp.get_context(start_method)
         _FORKED_DATASET = self
+        pool_kwargs = (
+            {"initializer": _init_worker, "initargs": (self,)}
+            if start_method != "fork"
+            else {}
+        )
         try:
-            with ctx.Pool(processes=num_workers) as pool:
+            with ctx.Pool(processes=num_workers, **pool_kwargs) as pool:
                 depth = max(1, prefetch)
                 idx_lists = [[int(i) for i in b] for b in batches]
                 pending = [
