@@ -176,3 +176,91 @@ def test_api_tts_stream_passthrough():
     t.synthesizer = _S()
     chunks = list(t.tts_stream("hi", language="en"))
     assert len(chunks) == 1 and len(chunks[0]) == 10
+
+
+# ---------------------------------------------------------------------------
+# duration-aware decode grouping (round 5): mixed batches split into per-
+# bucket groups so short requests stop paying the longest request's padding
+# ---------------------------------------------------------------------------
+
+
+def test_plan_decode_groups_single_group_when_uniform():
+    from tts_tpu.utils.synthesis import plan_decode_groups
+
+    groups = plan_decode_groups([500, 480, 505, 490], multiple=32, cap=4096)
+    assert len(groups) == 1
+    idx, bucket = groups[0]
+    assert sorted(idx) == [0, 1, 2, 3]
+    assert bucket == 512
+
+
+def test_plan_decode_groups_splits_bimodal():
+    from tts_tpu.utils.synthesis import plan_decode_groups
+
+    y = [100, 900, 110, 920, 95, 910]  # indices 0,2,4 short; 1,3,5 long
+    groups = plan_decode_groups(y, multiple=32, cap=4096)
+    assert len(groups) == 2
+    (i_short, b_short), (i_long, b_long) = groups
+    assert sorted(i_short) == [0, 2, 4] and b_short == 128
+    assert sorted(i_long) == [1, 3, 5] and b_long == 928
+
+    # splitting must beat the one-bucket cost by more than the overhead
+    single = 928 * 6
+    split = 128 * 3 + 928 * 3 + 512
+    assert split < single
+
+
+def test_plan_decode_groups_respects_cap_and_max_groups():
+    from tts_tpu.utils.synthesis import plan_decode_groups
+
+    groups = plan_decode_groups([10, 5000, 10_000, 20], multiple=32, cap=512, max_groups=2)
+    assert len(groups) <= 2
+    assert all(b <= 512 for _, b in groups)
+    covered = sorted(i for idx, _ in groups for i in idx)
+    assert covered == [0, 1, 2, 3]
+
+
+class _FakeDurModel(_FakeModel):
+    """Fake with a duration predictor: short texts predict 32 frames, long
+    texts 3000 (capped to the frame budget), forcing a two-group plan."""
+
+    def infer_durations(self, params, x, x_lengths, aux_input=None, rng=None):
+        return jnp.where(x_lengths > 15, 3000, 32)
+
+
+def test_grouped_dispatch_unmixes_and_buckets():
+    from tts_tpu.server.batching import DynamicBatcher
+
+    synth = _FakeSynthesizer()
+    synth.tts_model = _FakeDurModel()
+    b = DynamicBatcher(synth, max_batch=8, window_ms=150)
+    frames_seen = []
+    model = synth.tts_model
+    orig_infer = model.inference
+
+    def spy(params, x, xl, aux_input=None, max_frames=128, rng=None):
+        frames_seen.append(max_frames)
+        return orig_infer(params, x, xl, aux_input=aux_input, max_frames=max_frames, rng=rng)
+
+    model.inference = spy
+    texts = ["short", "tiny", "eh", "a very long sentence here ok",
+             "another quite long sentence x", "third long sentence goes here"]
+    results = {}
+
+    def call(i, t):
+        results[i] = np.asarray(b.tts(t))
+
+    threads = [threading.Thread(target=call, args=(i, t)) for i, t in enumerate(texts)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+    b.close()
+
+    assert len(results) == len(texts)
+    for i, t in enumerate(texts):
+        val, length = _expected(t)
+        assert len(results[i]) == length, (i, t)
+        assert np.allclose(results[i][:-10000], val), (i, t)
+    # the batch was actually decoded at two different frame buckets
+    assert len(set(frames_seen)) >= 2, frames_seen

@@ -58,6 +58,7 @@ def test_forward_losses(dt_small):
     assert aux["outputs"]["model_outputs"].shape == (2, 24, 20)
 
 
+@pytest.mark.slow
 def test_joint_gan_train_step(dt_small):
     """Joint acoustic+vocoder fused GAN step (reference trains both via two
     optimizer passes, delightful_tts.py:919; here one backward)."""

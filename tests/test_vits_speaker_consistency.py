@@ -53,6 +53,7 @@ def _tiny_scl_vits():
     return model, cfg
 
 
+@pytest.mark.slow
 def test_scl_in_train_step_metrics():
     model, cfg = _tiny_scl_vits()
     state = fast_vits_train_state(model, cfg, jax.random.PRNGKey(0))

@@ -56,6 +56,7 @@ def test_inference_upsamples_latent():
     assert np.isfinite(wav).all()
 
 
+@pytest.mark.slow
 def test_train_step_slices_output_rate_waveform():
     cfg = _cfg(interpolate_z=True, factor=2)
     model = Vits(cfg)

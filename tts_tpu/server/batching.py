@@ -147,44 +147,76 @@ class DynamicBatcher:
     def _dispatch(self, batch: List[_Pending]):
         import jax.numpy as jnp
 
+        from tts_tpu.utils.synthesis import (
+            get_jitted_durations,
+            get_jitted_inference,
+            plan_decode_groups,
+        )
+
         model, cfg = self.model, getattr(self.model, "config", None)
+        budget = _frame_budget(max(len(it.ids) for it in batch))
+
+        # duration-aware grouping: the cheap DP pass predicts per-request
+        # frame counts; mixed batches split into (at most two) groups each
+        # decoded at its own 32-frame bucket, so short requests stop paying
+        # the longest request's padding (the planner keeps one group when
+        # splitting wouldn't pay for its extra dispatch)
+        groups = [(list(range(len(batch))), budget)]
+        if hasattr(model, "infer_durations") and len(batch) > 1:
+            try:
+                x, xl, aux = self._pad(batch, list(range(len(batch))))
+                dur = get_jitted_durations(model)(
+                    self.synthesizer.tts_params, x, xl, aux_input=aux or None
+                )
+                y_pred = np.asarray(dur)[: len(batch)]
+                groups = plan_decode_groups(y_pred, multiple=32, cap=budget, max_groups=2)
+            except Exception:  # pragma: no cover - planner is best-effort
+                groups = [(list(range(len(batch))), budget)]
+
+        infer = get_jitted_inference(model)  # shared with the serial path
+        for idx, frames in groups:
+            x, xl, aux = self._pad(batch, idx)
+            out = infer(
+                self.synthesizer.tts_params,
+                x,
+                xl,
+                aux_input=aux or None,
+                max_frames=frames,
+            )
+            wav = np.asarray(out["model_outputs"], np.float32)  # [B, T_wav, 1]
+            if wav.ndim != 3 or wav.shape[-1] != 1:
+                raise RuntimeError("batched serving needs an end-to-end waveform model")
+            lengths = np.asarray(out.get("y_lengths", np.full((wav.shape[0],), frames)), np.int64)
+            upsample = wav.shape[1] // frames
+            for row, i in enumerate(idx):
+                it = batch[i]
+                it.wav = wav[row, : int(lengths[row]) * upsample, 0]
+                it.done.set()
+
+    def _pad(self, batch: List[_Pending], idx: List[int]):
+        """Pad the selected requests into static buckets (batch → next
+        power of two, text → ``pad_to_multiple_text``) → (x, xl, aux)."""
+        import jax.numpy as jnp
+
+        cfg = getattr(self.model, "config", None)
         bucket = int(getattr(cfg, "pad_to_multiple_text", 16) or 16)
-        longest = max(len(it.ids) for it in batch)
+        longest = max(len(batch[i].ids) for i in idx)
         T = ((longest + bucket - 1) // bucket) * bucket
-        B = _next_pow2(len(batch))
+        B = _next_pow2(len(idx))
 
         x = np.zeros((B, T), np.int32)
         xl = np.ones((B,), np.int32)
-        for i, it in enumerate(batch):
-            x[i, : len(it.ids)] = it.ids
-            xl[i] = len(it.ids)
+        for row, i in enumerate(idx):
+            x[row, : len(batch[i].ids)] = batch[i].ids
+            xl[row] = len(batch[i].ids)
 
         aux = {}
         if any(it.speaker_id is not None for it in batch):
             aux["speaker_ids"] = jnp.asarray(
-                [it.speaker_id or 0 for it in batch] + [0] * (B - len(batch)), jnp.int32
+                [batch[i].speaker_id or 0 for i in idx] + [0] * (B - len(idx)), jnp.int32
             )
         if any(it.language_id is not None for it in batch):
             aux["language_ids"] = jnp.asarray(
-                [it.language_id or 0 for it in batch] + [0] * (B - len(batch)), jnp.int32
+                [batch[i].language_id or 0 for i in idx] + [0] * (B - len(idx)), jnp.int32
             )
-
-        budget = _frame_budget(longest)
-        from tts_tpu.utils.synthesis import get_jitted_inference
-
-        infer = get_jitted_inference(model)  # shared with the serial path
-        out = infer(
-            self.synthesizer.tts_params,
-            jnp.asarray(x),
-            jnp.asarray(xl),
-            aux_input=aux or None,
-            max_frames=budget,
-        )
-        wav = np.asarray(out["model_outputs"], np.float32)  # [B, T_wav, 1]
-        if wav.ndim != 3 or wav.shape[-1] != 1:
-            raise RuntimeError("batched serving needs an end-to-end waveform model")
-        lengths = np.asarray(out.get("y_lengths", np.full((B,), budget)), np.int64)
-        upsample = wav.shape[1] // budget
-        for i, it in enumerate(batch):
-            it.wav = wav[i, : int(lengths[i]) * upsample, 0]
-            it.done.set()
+        return jnp.asarray(x), jnp.asarray(xl), aux

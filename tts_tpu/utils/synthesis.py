@@ -17,6 +17,55 @@ def _frame_budget(n_tokens: int, frames_per_token: int = 12, multiple: int = 128
     return min(est, cap)
 
 
+def plan_decode_groups(y_preds, multiple: int = 32, cap: int = 4096, overhead: int = 512, max_groups: int = 3):
+    """Partition a batch by predicted decode length into at most
+    ``max_groups`` groups, each decoded at its own frame bucket.
+
+    One shared max-over-batch budget taxes short utterances in mixed
+    batches — everyone pays the longest item's frames.  Sorting by the
+    (cheap) duration-predictor output and splitting cuts that padding, but
+    every extra group pays a fixed dispatch overhead, so the partition is
+    chosen by a small DP over contiguous splits of the sorted lengths with
+
+        cost = sum_g bucket(max y in g) * |g| + overhead * (n_groups - 1)
+
+    where ``overhead`` is the dispatch cost expressed in frame·batch units
+    (~512 ≈ a few ms on one v5e at VITS dims).  Returns ``[(indices,
+    bucket), ...]`` shortest-group first, ``indices`` into the ORIGINAL
+    order.  Never splits when padding waste is small — the DP then keeps
+    one group, so well-matched batches keep full batching efficiency.
+    """
+    n = len(y_preds)
+    order = sorted(range(n), key=lambda i: int(y_preds[i]))
+    ys = [max(1, int(y_preds[i])) for i in order]
+
+    def _bucket(v: int) -> int:
+        return min(((v + multiple - 1) // multiple) * multiple, cap)
+
+    # best[i][k]: (cost, split points) covering the first i sorted items
+    # with k groups; sorted order makes each group's max its last element
+    best = [[None] * (max_groups + 1) for _ in range(n + 1)]
+    best[0][0] = (0.0, ())
+    for i in range(1, n + 1):
+        for k in range(1, max_groups + 1):
+            cand = None
+            for j in range(i):
+                prev = best[j][k - 1]
+                if prev is None:
+                    continue
+                c = prev[0] + _bucket(ys[i - 1]) * (i - j) + (overhead if k > 1 else 0)
+                if cand is None or c < cand[0]:
+                    cand = (c, prev[1] + (j,))
+            best[i][k] = cand
+    win = min((b for b in best[n][1:] if b is not None), key=lambda t: t[0])
+    splits = list(win[1]) + [n]
+    groups = []
+    for a, b in zip(splits[:-1], splits[1:]):
+        idx = order[a:b]
+        groups.append((idx, _bucket(ys[b - 1])))
+    return groups
+
+
 def get_jitted_durations(model):
     """Persistent jitted ``model.infer_durations`` (models that expose one),
     used to pick a duration-aware frame bucket before the expensive decode."""
