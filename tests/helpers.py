@@ -182,3 +182,30 @@ def write_glow_smoke_config(tmp_path):
     config_path = tmp_path / "config.json"
     config_path.write_text(json.dumps(config))
     return str(config_path)
+
+
+def synth_state_from_manifest(manifest, seed):
+    """Deterministically rebuild a reference-layout state dict from a
+    ``{name: [shape, dtype]}`` manifest — the big fidelity-corpus families
+    (tacotron2, speaker encoder) commit only this manifest + golden outputs
+    instead of tens of MB of weights (scripts/gen_fidelity_corpus.py writes
+    the manifest; tests/test_fidelity_corpus.py replays it torch-free).
+
+    Weight values are pure numpy: scaled gaussians, with BN running stats
+    kept positive so folded-BN inference stays finite.
+    """
+    import numpy as np
+
+    rs = np.random.RandomState(seed)
+    state = {}
+    for name, (shape, dtype) in manifest.items():
+        shape = tuple(shape)
+        if name.endswith("num_batches_tracked"):
+            state[name] = np.zeros(shape, np.int64)
+        elif name.endswith("running_var"):
+            state[name] = (0.5 + np.abs(rs.randn(*shape))).astype(np.float32)
+        elif name.endswith("running_mean"):
+            state[name] = (0.1 * rs.randn(*shape)).astype(np.float32)
+        else:
+            state[name] = (0.1 * rs.randn(*shape)).astype(dtype)
+    return state

@@ -168,3 +168,34 @@ def test_batched_streaming_ragged_lengths(xtts_tiny):
         for item in c:
             if item is not None:
                 assert np.isfinite(item).all()
+
+
+def test_batched_streaming_bf16_params(xtts_tiny):
+    """bf16 serving params + fp32 conditioning latents: the prefill must
+    cast conditioning to the params' compute dtype or the decode_chunk
+    scan carry (last_logits/last_h, fp32 from prefill) disagrees with the
+    bf16 step outputs and jit rejects the scan (regression: TPU serve
+    stage yielded xtts_served_tok_s=0.0)."""
+    model = xtts_tiny
+    model.gpt_params = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+        model.gpt_params,
+    )
+    model.decoder_params = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+        model.decoder_params,
+    )
+    cond = jnp.asarray(np.random.RandomState(8).randn(1, 8, 64), jnp.float32)
+    spk = jnp.asarray(np.random.RandomState(9).randn(1, 512), jnp.float32)
+    model.tokenizer = type(
+        "_Tok", (), {"encode": staticmethod(lambda t, l: [5, 9, 11, 3])}
+    )()
+    chunks = list(model.inference_stream_batched(
+        ["x", "x"], "en", cond, spk,
+        stream_chunk_size=4, max_new_tokens=8, rng=jax.random.PRNGKey(2),
+    ))
+    assert chunks, "no audio yielded"
+    for c in chunks:
+        for item in c:
+            if item is not None:
+                assert np.isfinite(np.asarray(item, np.float32)).all()

@@ -355,13 +355,25 @@ class Xtts:
         if cache is None:
             cache = self._stream_jit_cache = {}
         if key not in cache:
-            prefill = jax.jit(
-                lambda p, c, t, tl: self.gpt.apply(
-                    self._dq(p), c, t, tl,
+
+            def _prefill(p, c, t, tl):
+                p = self._dq(p)
+                # conditioning latents arrive in whatever dtype the caller
+                # holds (resolve_conditioning returns fp32); cast to the
+                # params' compute dtype or the decode_chunk scan carry
+                # (last_logits/last_h) disagrees with the step outputs
+                dt = next(
+                    leaf.dtype
+                    for leaf in jax.tree_util.tree_leaves(p)
+                    if jnp.issubdtype(leaf.dtype, jnp.floating)
+                )
+                return self.gpt.apply(
+                    p, c.astype(dt), t, tl,
                     max_new_tokens=n_chunks * chunk_size,
                     method=self.gpt.prefill,
                 )
-            )
+
+            prefill = jax.jit(_prefill)
             chunk_fn = jax.jit(
                 lambda p, s, r: self.gpt.apply(
                     self._dq(p), s, r, chunk_size=chunk_size,
