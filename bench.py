@@ -31,7 +31,7 @@ _DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", "420"))
 # their slice even when an earlier stage overruns its own
 _STAGE_GATE = {
     "xtts ttfa": 0.40,
-    "bucketed decode": 0.52,
+    "packed decode": 0.52,
     "train step": 0.64,
     "bf16 train step": 0.76,
     "bf16 RTF": 0.86,
@@ -150,47 +150,47 @@ def main():
         except Exception as e:  # pragma: no cover
             print(f"xtts ttfa measurement failed: {e}", file=sys.stderr)
 
-    # duration-aware grouped decode: the cheap DP pass predicts per-sample
-    # frame counts, plan_decode_groups sorts and splits the batch into a
-    # few groups each decoded at its own 32-frame bucket (one max-over-batch
-    # bucket taxed short utterances ~21% in round 4); synthesis()/the server
-    # DynamicBatcher serve the same way (utils/synthesis.py)
-    if not os.environ.get("BENCH_SKIP_BUCKETS") and _stage_ok("bucketed decode"):
+    # sequence-packed decode (utils/packing.py): the cheap DP pass predicts
+    # per-sample frame counts, the host packs all utterances back-to-back
+    # into a few dense rows separated by 16-frame masked gaps, and ONE
+    # dispatch decodes the grid at ~full utilization — replacing both the
+    # pad-to-budget decode (~45% waste in round 3) and the grouped-bucket
+    # decode (round 4: ~21% waste, and per-group dispatches pay the ~40 ms
+    # tunnel launch floor).  The server DynamicBatcher serves the same way
+    # (server/batching.py _dispatch_packed).  The plan's host-side slicing
+    # is O(B) numpy; the timed loop re-dispatches the packed graph, which
+    # internally re-runs the text encoder + DP exactly as serving does.
+    if not os.environ.get("BENCH_SKIP_BUCKETS") and _stage_ok("packed decode"):
         try:
-            from tts_tpu.utils.synthesis import plan_decode_groups
+            from tts_tpu.utils.packing import plan_pack_layout
 
             dur_fn = jax.jit(lambda p, x, xl, r: model.infer_durations(p, x, xl, rng=r))
             y_pred = np.asarray(dur_fn(gen_params, x, xl, rng))
-            groups = plan_decode_groups(y_pred, multiple=32, cap=MAXF)
-            xs = [np.asarray(x)[idx] for idx, _ in groups]
-            xls = [np.asarray(xl)[idx] for idx, _ in groups]
-            infer_g = jax.jit(
-                lambda p, x, xl, r, mf: model.inference(p, x, xl, max_frames=mf, rng=r),
-                static_argnames=("mf",),
+            plan = plan_pack_layout(np.minimum(y_pred, MAXF), gap=16, len_multiple=128)
+            packed_fn = jax.jit(
+                lambda p, x, xl, ss, sp, r: model.inference_packed(
+                    p, x, xl, ss, sp, noise_frames=MAXF, rng=r
+                )
             )
-
-            def run_groups():
-                return [
-                    infer_g(gen_params, jnp.asarray(gx), jnp.asarray(gxl), rng, bk)
-                    for (gx, gxl, (_, bk)) in zip(xs, xls, groups)
-                ]
-
-            outs = run_groups()  # compile all group shapes
-            for o in outs:
-                _ = np.asarray(o["model_outputs"][0, 0])
+            ss, sp = jnp.asarray(plan.seg_sample), jnp.asarray(plan.seg_pos)
+            out_p = packed_fn(gen_params, x, xl, ss, sp, rng)  # compile
+            wav_p = np.asarray(out_p["model_outputs"], np.float32)
+            assert np.isfinite(wav_p).all(), "non-finite packed audio"
             n_iter = 20
             t0 = time.time()
             for _ in range(n_iter):
-                outs = run_groups()
-            for o in outs:
-                _ = np.asarray(o["model_outputs"][0, 0])
-            dt_bk = (time.time() - t0) / n_iter
-            eff_seconds = sum(
-                float(np.asarray(o["y_lengths"], np.float64).sum()) for o in outs
-            ) * hop / sr
-            rtf_effective = round(eff_seconds / dt_bk, 1)
+                out_p = packed_fn(gen_params, x, xl, ss, sp, rng)
+            _ = np.asarray(out_p["model_outputs"][0, 0])
+            dt_pk = (time.time() - t0) / n_iter
+            eff_seconds = plan.total_frames * hop / sr
+            rtf_effective = round(eff_seconds / dt_pk, 1)
+            print(
+                f"packed decode: {plan.n_rows}x{plan.row_len} grid, "
+                f"utilization {plan.utilization:.2f}, rtf_eff {rtf_effective}",
+                file=sys.stderr,
+            )
         except Exception as e:  # pragma: no cover
-            print(f"grouped-bucket decode measurement failed: {e}", file=sys.stderr)
+            print(f"packed decode measurement failed: {e}", file=sys.stderr)
 
     # VITS GAN training step at LJSpeech dims (BASELINE.json lists DP
     # training as a tracked config)

@@ -103,8 +103,20 @@ def bench_tortoise(dtype):
     t_diff, mel = _timeit(jax.jit(diffuse), model.diff_params, latents, diff_latent, rng)
     diff_steps_s = steps / t_diff
 
+    # stage 4: UnivNet vocoder mel → wav (the reference bundles the same
+    # variant, tortoise/vocoder.py:277); conv throughput is weight-value-
+    # independent, so random init gives the honest end-to-end time
+    model.vocoder_params = model.vocoder.init(
+        jax.random.PRNGKey(5),
+        jnp.zeros((1, 24, 100)),
+        jnp.zeros((1, 24, a.voc_noise_dim)),
+    )
+    voc_mel = jax.random.normal(rng, (1, T_mel, 100)).astype(jnp.float32)
+    t_voc, wav = _timeit(lambda m: model.vocode(m, rng), voc_mel)
+    assert np.isfinite(np.asarray(wav)).all()
+
     audio_s = T_mel * 256 / 24000  # univnet hop 256 @ 24 kHz
-    total = t_ar + t_tf + t_diff
+    total = t_ar + t_tf + t_diff + t_voc
     return {
         "ar_tok_s": round(ar_tok_s, 1),
         "ar_ms_per_token": round(1000 * t_ar / N_CODES, 3),
@@ -112,12 +124,13 @@ def bench_tortoise(dtype):
         "diffusion_steps_s": round(diff_steps_s, 2),
         "diffusion_sampler": a.sampler,
         "diffusion_iterations": steps,
+        "vocoder_ms": round(1000 * t_voc, 1),
         "mel_frames": T_mel,
         "audio_seconds": round(audio_s, 2),
         "e2e_seconds": round(total, 3),
         "rtf": round(audio_s / total, 2),
         "notes": f"{N_CODES} mel codes, dims {a.ar_layers}L/{a.ar_model_dim}d AR + "
-                 f"{a.diff_num_layers}L diffusion; vocoder excluded (conv, minor)",
+                 f"{a.diff_num_layers}L diffusion + UnivNet vocoder (end-to-end)",
     }
 
 
@@ -173,8 +186,26 @@ def bench_bark(dtype):
     _ = np.asarray(fine)
     t_fine = time.time() - t0
 
+    # stage 4: EnCodec decode (fine codes → 24 kHz wav) via the flax SEANet
+    # decoder (models/bark/encodec.py); random weights — conv/LSTM
+    # throughput is weight-value-independent
+    from tts_tpu.models.bark.encodec import EncodecDecoder, EncodecVocoder
+
+    dec = EncodecDecoder()
+    dec_params = dec.init(jax.random.PRNGKey(6), jnp.zeros((1, 64, 128)))
+    codebooks = jax.random.normal(jax.random.PRNGKey(7), (8, 1024, 128)) * 0.02
+    model.encodec_vocoder = EncodecVocoder(dec_params, codebooks, dec)
+    fine_np = np.asarray(fine)
+    t0 = time.time()
+    wav = model.codes_to_audio(fine_np)
+    t_enc_first = time.time() - t0
+    t0 = time.time()
+    wav = model.codes_to_audio(fine_np)
+    t_enc = time.time() - t0
+    assert np.isfinite(wav).all()
+
     audio_s = coarse.shape[1] / cfg.COARSE_RATE_HZ
-    total = t_sem + t_coarse + t_fine
+    total = t_sem + t_coarse + t_fine + t_enc
     return {
         "semantic_tok_s": round(sem_tok_s, 1),
         "coarse_tok_s": round(coarse_tok_s, 1),
@@ -183,18 +214,20 @@ def bench_bark(dtype):
             "semantic": round(t_sem, 3),
             "coarse": round(t_coarse, 3),
             "fine": round(t_fine, 3),
+            "encodec": round(t_enc, 3),
         },
         "first_call_seconds": {
             "semantic": round(t_sem_first, 1),
             "coarse": round(t_coarse_first, 1),
             "fine": round(t_fine_first, 1),
+            "encodec": round(t_enc_first, 1),
         },
         "audio_seconds": round(audio_s, 2),
         "e2e_seconds": round(total, 3),
         "rtf": round(audio_s / total, 2),
         "notes": f"{n_sem} semantic + {n_coarse} coarse tokens, "
-                 f"dims {cfg.semantic_config.n_layer}L/{cfg.semantic_config.n_embd}d x3; "
-                 "EnCodec decode excluded (conv, needs weights)",
+                 f"dims {cfg.semantic_config.n_layer}L/{cfg.semantic_config.n_embd}d x3 "
+                 "+ EnCodec SEANet decode (end-to-end)",
     }
 
 

@@ -8,6 +8,7 @@ record in the committed artifact.  Use before any end-of-round snapshot:
 
     python scripts/snapshot_gate.py            # default tier only
     python scripts/snapshot_gate.py --slow     # also run the slow tier
+    python scripts/snapshot_gate.py --bench-ar # refresh BENCH_AR_MODELS.json first
     python scripts/snapshot_gate.py --commit -m "msg"   # gate, then commit
 
 With ``--commit`` the script stages everything and commits ONLY if the suite
@@ -38,10 +39,20 @@ def run_suite(slow: bool) -> int:
 def main() -> int:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--slow", action="store_true", help="also run the slow tier")
+    parser.add_argument("--bench-ar", action="store_true",
+                        help="regenerate BENCH_AR_MODELS.json (end-to-end Tortoise/"
+                             "Bark RTF on the live backend) before gating")
     parser.add_argument("--commit", action="store_true",
                         help="git add -A && git commit -m MSG if (and only if) green")
     parser.add_argument("-m", "--message", default="snapshot: gated green suite")
     args = parser.parse_args()
+
+    if args.bench_ar:
+        print(" > gate: refreshing BENCH_AR_MODELS.json", flush=True)
+        r = subprocess.run([sys.executable, "bench_ar.py"], cwd=REPO)
+        if r.returncode != 0:
+            print(" > gate: bench_ar FAILED — refusing to snapshot", flush=True)
+            return r.returncode
 
     rc = run_suite(slow=args.slow)
     if rc != 0:

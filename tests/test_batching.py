@@ -243,8 +243,74 @@ def test_grouped_dispatch_unmixes_and_buckets():
         return orig_infer(params, x, xl, aux_input=aux_input, max_frames=max_frames, rng=rng)
 
     model.inference = spy
+    # this test checks the server WIRING (per-group pad/decode/unmix), not
+    # the planner's economics: the fake tokenizer caps texts at 30 ids so
+    # the padded waste here never clears the real ~2048-unit dispatch
+    # overhead — drop it so the planner chooses to split
+    import tts_tpu.utils.synthesis as _syn
+
+    orig_plan = _syn.plan_decode_groups
+    _syn.plan_decode_groups = lambda y, **kw: orig_plan(y, overhead=64, **kw)
     texts = ["short", "tiny", "eh", "a very long sentence here ok",
              "another quite long sentence x", "third long sentence goes here"]
+    results = {}
+
+    def call(i, t):
+        results[i] = np.asarray(b.tts(t))
+
+    try:
+        threads = [threading.Thread(target=call, args=(i, t)) for i, t in enumerate(texts)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=60)
+        b.close()
+    finally:
+        _syn.plan_decode_groups = orig_plan
+
+    assert len(results) == len(texts)
+    for i, t in enumerate(texts):
+        val, length = _expected(t)
+        assert len(results[i]) == length, (i, t)
+        assert np.allclose(results[i][:-10000], val), (i, t)
+    # the batch was actually decoded at two different frame buckets
+    assert len(set(frames_seen)) >= 2, frames_seen
+
+
+class _FakePackedModel(_FakeDurModel):
+    """Fake with a sequence-packed decode: every slot of a packed row emits
+    its owner's true text length, so slicing mixups are visible."""
+
+    def inference_packed(
+        self, params, x, x_lengths, seg_sample, seg_pos, aux_input=None, noise_frames=128
+    ):
+        s = jnp.maximum(seg_sample, 0)
+        vals = jnp.where(seg_sample >= 0, x_lengths[s], 0).astype(jnp.float32)
+        wav = jnp.repeat(vals, UP, axis=1)[..., None]  # [R, L*UP, 1]
+        return {"model_outputs": wav}
+
+
+def test_packed_dispatch_unmixes():
+    """A model exposing inference_packed is served through ONE packed
+    dispatch: the plain batched inference must not run at all, and every
+    request gets its own correctly sliced waveform back."""
+    from tts_tpu.server.batching import DynamicBatcher
+
+    synth = _FakeSynthesizer()
+    synth.tts_model = _FakePackedModel()
+    model = synth.tts_model
+    b = DynamicBatcher(synth, max_batch=8, window_ms=150)
+
+    unpacked_calls = []
+    orig_infer = model.inference
+
+    def spy(*a, **kw):
+        unpacked_calls.append(1)
+        return orig_infer(*a, **kw)
+
+    model.inference = spy
+    texts = ["short", "tiny", "a very long sentence here ok",
+             "another quite long sentence x"]
     results = {}
 
     def call(i, t):
@@ -258,9 +324,12 @@ def test_grouped_dispatch_unmixes_and_buckets():
     b.close()
 
     assert len(results) == len(texts)
+    budget = 384  # _frame_budget(30-id cap): 30*12 → 384
     for i, t in enumerate(texts):
-        val, length = _expected(t)
-        assert len(results[i]) == length, (i, t)
-        assert np.allclose(results[i][:-10000], val), (i, t)
-    # the batch was actually decoded at two different frame buckets
-    assert len(set(frames_seen)) >= 2, frames_seen
+        n = len(_FakeTokenizer().text_to_ids(t))
+        # packed serving slices by predicted duration (capped at the budget)
+        pred = 3000 if n > 15 else 32
+        expect_len = min(pred, budget) * UP + 10000
+        assert len(results[i]) == expect_len, (i, t, len(results[i]))
+        assert np.allclose(results[i][:-10000], n), (i, t)
+    assert not unpacked_calls, "packed batch must not fall back to plain decode"

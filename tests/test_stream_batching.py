@@ -193,3 +193,81 @@ def test_server_streams_concurrently_through_batcher():
         assert len(pcm) == n, t
         assert np.allclose(pcm, val, atol=2e-4), t
     assert max(model.batch_sizes) > 1, f"never batched: {model.batch_sizes}"
+
+
+@pytest.mark.slow
+def test_served_concurrent_streams_real_xtts():
+    """End-to-end capacity path on the REAL model: 4 concurrent
+    /api/tts-stream clients against a tiny-dims XTTS must share batched
+    decode scans through the StreamBatcher and each receive finite audio
+    (the fake-model tests above pin the multiplexing contract; this pins
+    the wiring into the actual inference_stream_batched)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tts_tpu.server.server import create_server
+
+    import sys as _sys, os as _os
+    _sys.path.insert(0, _os.path.dirname(__file__))
+    from helpers import fast_init_model, tiny_xtts_config
+
+    from tts_tpu.models.xtts import Xtts
+
+    model = Xtts(tiny_xtts_config())
+    fast_init_model(model, jax.random.PRNGKey(0), attrs=("gpt_params", "decoder_params"))
+    # tiny vocab: stub tokenizer keeps ids < gpt_number_text_tokens
+    model.tokenizer = type(
+        "_Tok", (), {"encode": staticmethod(
+            lambda t, l: [1 + (ord(c) % 40) for c in t.strip()[:12]]
+        )}
+    )()
+    rs = np.random.RandomState(3)
+    model.speaker_manager["s1"] = {
+        "gpt_cond_latent": jnp.asarray(rs.randn(1, 8, 64), jnp.float32),
+        "speaker_embedding": jnp.asarray(rs.randn(1, 512), jnp.float32),
+    }
+
+    batch_sizes = []
+    orig = model.inference_stream_batched
+
+    def spy(texts, *a, **kw):
+        batch_sizes.append(len(texts))
+        return orig(texts, *a, **kw)
+
+    model.inference_stream_batched = spy
+
+    synth = SimpleNamespace(
+        tts_model=model,
+        tts_config=model.config,
+        vocoder_model=None,
+        output_sample_rate=24000,
+        tts_params={},
+    )
+    srv = create_server(synth, port=0, max_batch=1, stream_batch=4, stream_window_ms=150)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+
+    texts = ["hello there", "a second stream", "third one", "last request"]
+    bodies = {}
+
+    def fetch(text):
+        q = urllib.parse.quote(text)
+        url = f"{base}/api/tts-stream?text={q}&speaker_id=s1&language_id=en"
+        with urllib.request.urlopen(url, timeout=180) as r:
+            bodies[text] = r.read()
+
+    threads = [threading.Thread(target=fetch, args=(t,)) for t in texts]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=300)
+    srv.shutdown()
+
+    assert len(bodies) == len(texts), f"missing responses: {set(texts) - set(bodies)}"
+    for t in texts:
+        body = bodies[t]
+        assert body[:4] == b"RIFF", t
+        pcm = np.frombuffer(body[44:], dtype="<i2").astype(np.float32) / 32767.0
+        assert len(pcm) > 0, t
+        assert np.isfinite(pcm).all(), t
+    assert max(batch_sizes) > 1, f"never batched: {batch_sizes}"

@@ -295,6 +295,96 @@ class VitsModule(nn.Module):
             "logs_p": logs_p_e,
         }
 
+    def inference_packed(
+        self,
+        x,
+        x_lengths,
+        seg_sample,
+        seg_pos,
+        aux_input: Optional[Dict] = None,
+        noise_frames: int = 1000,
+    ) -> Dict[str, Any]:
+        """Sequence-packed batch decode: many utterances in a few dense rows.
+
+        TPU-native replacement for the per-utterance dynamic-shape decode the
+        torch reference uses (``vits.py:1161``): instead of padding every
+        utterance to a shared frame budget (XLA needs static shapes), the
+        host packs all utterances back-to-back into ``[R, L]`` rows separated
+        by masked gaps (``utils/packing.plan_pack_layout``), this method
+        decodes the packed grid in ONE dispatch, and the host slices segments
+        back out.  The flow masks per layer and the decoder re-applies the
+        mask after every conv, so each segment is bit-identical to its own
+        zero-padded decode.
+
+        ``seg_sample``/``seg_pos`` ``[R, L]`` int32 map packed slots to
+        (batch row, frame index); ``-1`` marks gaps.  ``noise_frames`` sets
+        the per-sample noise buffer length — pass the same value as a
+        matching :meth:`inference` ``max_frames`` to reproduce its exact
+        noise stream.  The packing must be planned from :meth:`infer_durations`
+        run with the SAME rng so host layout and in-graph durations agree.
+        """
+        a = self.args
+        g, lang = self._cond_vectors(aux_input)
+        x_hid, m_p, logs_p, x_mask = self.text_encoder(x, x_lengths, lang_emb=lang, train=False)
+        if a.use_sdp:
+            logw = self.duration_predictor(
+                x_hid,
+                x_mask,
+                g=g if a.condition_dp_on_speaker else None,
+                lang_emb=lang,
+                reverse=True,
+                noise_scale=a.inference_noise_scale_dp,
+            )
+        else:
+            logw = self.duration_predictor(
+                x_hid, x_mask, g=g if a.condition_dp_on_speaker else None
+            )
+        w_ceil = jnp.ceil(jnp.exp(logw) * x_mask * a.length_scale) * x_mask
+        y_lengths = jnp.maximum(jnp.sum(w_ceil, axis=(1, 2)), 1.0).astype(jnp.int32)
+
+        valid = seg_sample >= 0
+        s = jnp.maximum(seg_sample, 0)
+        # frame→token map via cumulative durations: token t covers frames
+        # [cum[t-1], cum[t]) — the same alignment generate_path expands to a
+        # [T_en, T_de] matmul in inference(); a gather is O(F·C) instead
+        cum = jnp.cumsum(w_ceil[:, :, 0], axis=1)  # [B, T_en]
+        tok = jnp.sum(cum[s] <= seg_pos[..., None].astype(cum.dtype), axis=-1)
+        tok = jnp.clip(tok, 0, m_p.shape[1] - 1)
+        m_pk = m_p[s, tok]
+        logs_pk = logs_p[s, tok]
+        # per-sample noise in [B, noise_frames, C] layout gathered into the
+        # packed grid: the values (and therefore the audio) match a plain
+        # inference(max_frames=noise_frames) call frame for frame
+        noise = jax.random.normal(
+            self.make_rng("noise"), (x.shape[0], noise_frames, m_p.shape[-1])
+        )
+        nz = noise[s, jnp.minimum(seg_pos, noise_frames - 1)]
+        mask = valid[..., None].astype(m_pk.dtype)
+        z_p = (m_pk + nz * jnp.exp(logs_pk) * a.inference_noise_scale) * mask
+
+        g_pk = None
+        if g is not None:
+            g_b = g[:, 0, :] if g.ndim == 3 else g  # [B, C_g]
+            g_pk = g_b[s]  # per-slot conditioning [R, L, C_g]
+        z = self.flow(z_p, mask, g=g_pk, reverse=True)
+        z = self._upsample_z(z * mask)
+        dec_mask = mask
+        f = int(round(self.interpolate_factor))
+        if f != 1 and self.args.interpolate_z:
+            dec_mask = jnp.repeat(mask, f, axis=1)
+        if getattr(a, "decoder_type", "hifigan") == "istft":
+            # iSTFT overlap-add crosses the (masked) gap by < n_fft samples;
+            # gaps are sized so segment interiors stay untouched
+            o = self.waveform_decoder(z, g=g_pk)
+        else:
+            o = self.waveform_decoder(z, g=g_pk, x_mask=dec_mask)
+        return {
+            "model_outputs": o,
+            "y_lengths": y_lengths,
+            "packed_mask": valid,
+            "durations": w_ceil,
+        }
+
     def infer_durations(self, x, x_lengths, aux_input: Optional[Dict] = None):
         """Duration-predictor pass only: text → predicted frame counts.
 
@@ -582,6 +672,37 @@ class Vits:
             x_lengths,
             aux_input=aux_input,
             method=self.module.infer_durations,
+            rngs={"noise": rng},
+        )
+
+    def inference_packed(
+        self,
+        params,
+        x,
+        x_lengths,
+        seg_sample,
+        seg_pos,
+        aux_input=None,
+        noise_frames: int = 1000,
+        rng=None,
+    ):
+        """Sequence-packed decode (see :meth:`VitsModule.inference_packed`).
+
+        ``seg_sample``/``seg_pos`` come from
+        ``utils.packing.plan_pack_layout`` over :meth:`infer_durations`
+        output — run with the SAME ``rng`` so the plan matches the in-graph
+        durations."""
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        return self.module.apply(
+            params,
+            x,
+            x_lengths,
+            jnp.asarray(seg_sample),
+            jnp.asarray(seg_pos),
+            aux_input=aux_input,
+            noise_frames=noise_frames,
+            method=self.module.inference_packed,
             rngs={"noise": rng},
         )
 

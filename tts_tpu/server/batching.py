@@ -156,12 +156,10 @@ class DynamicBatcher:
         model, cfg = self.model, getattr(self.model, "config", None)
         budget = _frame_budget(max(len(it.ids) for it in batch))
 
-        # duration-aware grouping: the cheap DP pass predicts per-request
-        # frame counts; mixed batches split into (at most two) groups each
-        # decoded at its own 32-frame bucket, so short requests stop paying
-        # the longest request's padding (the planner keeps one group when
-        # splitting wouldn't pay for its extra dispatch)
-        groups = [(list(range(len(batch))), budget)]
+        # sequence-packed decode (utils/packing.py): all requests back to
+        # back in a few dense rows, one dispatch, ~full MXU utilization —
+        # preferred whenever the model implements inference_packed
+        y_pred = None
         if hasattr(model, "infer_durations") and len(batch) > 1:
             try:
                 x, xl, aux = self._pad(batch, list(range(len(batch))))
@@ -169,9 +167,22 @@ class DynamicBatcher:
                     self.synthesizer.tts_params, x, xl, aux_input=aux or None
                 )
                 y_pred = np.asarray(dur)[: len(batch)]
-                groups = plan_decode_groups(y_pred, multiple=32, cap=budget, max_groups=2)
             except Exception:  # pragma: no cover - planner is best-effort
-                groups = [(list(range(len(batch))), budget)]
+                y_pred = None
+        if y_pred is not None and hasattr(model, "inference_packed"):
+            try:
+                self._dispatch_packed(batch, x, xl, aux, y_pred, budget)
+                return
+            except Exception:  # pragma: no cover - fall back to grouped
+                pass
+
+        # duration-aware grouping (fallback): mixed batches split into (at
+        # most two) groups each decoded at its own 32-frame bucket, so short
+        # requests stop paying the longest request's padding (the planner
+        # keeps one group when splitting wouldn't pay for its extra dispatch)
+        groups = [(list(range(len(batch))), budget)]
+        if y_pred is not None:
+            groups = plan_decode_groups(y_pred, multiple=32, cap=budget, max_groups=2)
 
         infer = get_jitted_inference(model)  # shared with the serial path
         for idx, frames in groups:
@@ -192,6 +203,31 @@ class DynamicBatcher:
                 it = batch[i]
                 it.wav = wav[row, : int(lengths[row]) * upsample, 0]
                 it.done.set()
+
+    def _dispatch_packed(self, batch: List[_Pending], x, xl, aux, y_pred, budget: int):
+        """Decode the whole batch as one sequence-packed grid and slice the
+        per-request waveforms back out (``utils/packing.py``)."""
+        import jax.numpy as jnp
+
+        from tts_tpu.utils.packing import plan_pack_layout, unpack_outputs
+        from tts_tpu.utils.synthesis import get_jitted_packed
+
+        lens = np.minimum(y_pred, budget)  # budget caps like max_frames would
+        plan = plan_pack_layout(lens, gap=16, len_multiple=128)
+        out = get_jitted_packed(self.model)(
+            self.synthesizer.tts_params,
+            x,
+            xl,
+            jnp.asarray(plan.seg_sample),
+            jnp.asarray(plan.seg_pos),
+            aux_input=aux or None,
+            noise_frames=budget,
+        )
+        wav = np.asarray(out["model_outputs"], np.float32)  # [R, L*hop, 1]
+        upsample = wav.shape[1] // plan.row_len
+        for i, piece in enumerate(unpack_outputs(wav, plan, upsample=upsample)):
+            batch[i].wav = piece[:, 0]
+            batch[i].done.set()
 
     def _pad(self, batch: List[_Pending], idx: List[int]):
         """Pad the selected requests into static buckets (batch → next

@@ -17,7 +17,7 @@ def _frame_budget(n_tokens: int, frames_per_token: int = 12, multiple: int = 128
     return min(est, cap)
 
 
-def plan_decode_groups(y_preds, multiple: int = 32, cap: int = 4096, overhead: int = 512, max_groups: int = 3):
+def plan_decode_groups(y_preds, multiple: int = 32, cap: int = 4096, overhead: int = 2048, max_groups: int = 3):
     """Partition a batch by predicted decode length into at most
     ``max_groups`` groups, each decoded at its own frame bucket.
 
@@ -29,11 +29,17 @@ def plan_decode_groups(y_preds, multiple: int = 32, cap: int = 4096, overhead: i
 
         cost = sum_g bucket(max y in g) * |g| + overhead * (n_groups - 1)
 
-    where ``overhead`` is the dispatch cost expressed in frame·batch units
-    (~512 ≈ a few ms on one v5e at VITS dims).  Returns ``[(indices,
-    bucket), ...]`` shortest-group first, ``indices`` into the ORIGINAL
-    order.  Never splits when padding waste is small — the DP then keeps
-    one group, so well-matched batches keep full batching efficiency.
+    where ``overhead`` is the fixed per-dispatch cost expressed in
+    frame·batch units.  Measured on one v5e at VITS dims the marginal cost
+    is ~12 µs per frame·batch and each dispatch carries a ~25-45 ms floor
+    (launch + host round-trip), i.e. ~2000-4000 units — the 512 default
+    this shipped with split far too eagerly and LOST throughput on mixed
+    batches.  Returns ``[(indices, bucket), ...]`` shortest-group first,
+    ``indices`` into the ORIGINAL order.  Never splits when padding waste
+    is small — the DP then keeps one group, so well-matched batches keep
+    full batching efficiency.  (Sequence packing — ``utils/packing.py`` —
+    beats grouping wherever the model supports it; this planner remains the
+    fallback for models without a packed decode path.)
     """
     n = len(y_preds)
     order = sorted(range(n), key=lambda i: int(y_preds[i]))
@@ -93,6 +99,19 @@ def get_jitted_inference(model):
         infer_fn = jax.jit(model.inference, static_argnames=static)
         model._jitted_inference = infer_fn
     return infer_fn
+
+
+def get_jitted_packed(model):
+    """Persistent jitted ``model.inference_packed`` (sequence-packed decode,
+    ``utils/packing.py``); the noise-buffer length is static so calls with
+    the same (plan shape, budget) reuse one compiled graph."""
+    fn = getattr(model, "_jitted_packed", None)
+    if fn is None:
+        import jax
+
+        fn = jax.jit(model.inference_packed, static_argnames=("noise_frames",))
+        model._jitted_packed = fn
+    return fn
 
 
 def synthesis(

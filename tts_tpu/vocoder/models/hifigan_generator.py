@@ -18,20 +18,30 @@ from tts_tpu.vocoder.layers import TorchConvTranspose1d, leaky_relu
 
 
 class ResBlock1(nn.Module):
-    """3×(dilated conv + plain conv) residual block (reference ``:11``)."""
+    """3×(dilated conv + plain conv) residual block (reference ``:11``).
+
+    ``x_mask`` (optional ``[B, T, 1]``) is re-applied after every conv so a
+    masked-out region stays exactly zero — with it, a packed row of several
+    utterances separated by masked gaps convolves identically to per-segment
+    zero-padded decodes (sequence-packed inference, models/vits).
+    """
 
     channels: int
     kernel_size: int = 3
     dilations: Sequence[int] = (1, 3, 5)
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, x_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         for i, d in enumerate(self.dilations):
             xt = leaky_relu(x)
             xt = Conv1d(self.channels, self.kernel_size, dilation=d, name=f"convs1_{i}")(xt)
+            if x_mask is not None:
+                xt = xt * x_mask
             xt = leaky_relu(xt)
             xt = Conv1d(self.channels, self.kernel_size, dilation=1, name=f"convs2_{i}")(xt)
             x = xt + x
+            if x_mask is not None:
+                x = x * x_mask
         return x
 
 
@@ -43,11 +53,13 @@ class ResBlock2(nn.Module):
     dilations: Sequence[int] = (1, 3)
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, x_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         for i, d in enumerate(self.dilations):
             xt = leaky_relu(x)
             xt = Conv1d(self.channels, self.kernel_size, dilation=d, name=f"convs_{i}")(xt)
             x = xt + x
+            if x_mask is not None:
+                x = x * x_mask
         return x
 
 
@@ -69,7 +81,17 @@ class HifiganGenerator(nn.Module):
     cond_in_each_up_layer: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, g: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        g: Optional[jnp.ndarray] = None,
+        x_mask: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        """``x_mask`` (optional ``[B, T, 1]`` at input-frame resolution) is
+        upsampled alongside the signal and re-applied after every conv, so
+        masked gaps behave exactly like zero-padding — the contract the
+        sequence-packed VITS decode relies on.  ``None`` (the default) is the
+        reference behavior, bit-identical to before the parameter existed."""
         num_kernels = len(self.resblock_kernel_sizes)
         resblock_cls = ResBlock1 if str(self.resblock_type) == "1" else ResBlock2
 
@@ -78,6 +100,8 @@ class HifiganGenerator(nn.Module):
             if g.ndim == 2:
                 g = g[:, None, :]
             o = o + nn.Dense(self.upsample_initial_channel, name="cond_layer")(g)
+        if x_mask is not None:
+            o = o * x_mask
         for i, (u, k) in enumerate(zip(self.upsample_factors, self.upsample_kernel_sizes)):
             o = leaky_relu(o)
             ch = self.upsample_initial_channel // (2 ** (i + 1))
@@ -87,19 +111,31 @@ class HifiganGenerator(nn.Module):
             if self.cond_in_each_up_layer and g is not None:
                 # XTTS HifiDecoder conditions every upsample stage
                 # (reference hifigan_decoder.py cond_in_each_up_layer)
-                o = o + nn.Dense(ch, name=f"cond_up_{i}")(g)
+                g_i = g
+                if g.shape[1] not in (1, o.shape[1]):
+                    # per-frame conditioning tracks the upsampled resolution
+                    g_i = jnp.repeat(g, o.shape[1] // g.shape[1], axis=1)
+                o = o + nn.Dense(ch, name=f"cond_up_{i}")(g_i)
+            if x_mask is not None:
+                x_mask = jnp.repeat(x_mask, u, axis=1)
+                o = o * x_mask
             z_sum = None
             for j, (rk, rd) in enumerate(
                 zip(self.resblock_kernel_sizes, self.resblock_dilation_sizes)
             ):
-                z = resblock_cls(ch, rk, tuple(rd), name=f"resblocks_{i * num_kernels + j}")(o)
+                z = resblock_cls(ch, rk, tuple(rd), name=f"resblocks_{i * num_kernels + j}")(
+                    o, x_mask
+                )
                 z_sum = z if z_sum is None else z_sum + z
             o = z_sum / num_kernels
         # the reference's final activation is F.leaky_relu's default 0.01
         # slope, unlike the 0.1 used elsewhere (hifigan_generator.py:228)
         o = leaky_relu(o, 0.01)
         o = Conv1d(self.out_channels, 7, use_bias=self.conv_post_bias, name="conv_post")(o)
-        return jnp.tanh(o)
+        o = jnp.tanh(o)
+        if x_mask is not None:
+            o = o * x_mask
+        return o
 
     def inference(self, c: jnp.ndarray) -> jnp.ndarray:
         c = jnp.pad(
