@@ -118,6 +118,7 @@ def main():
     # the grouped-bucket stage gets to run
     eff_512 = float(np.asarray(out["y_lengths"], np.float64).sum()) * hop / sr
     rtf_effective = round(eff_512 / dt, 1)
+    packed_utilization = None
 
     # MFU: compiled-graph flops per step / chip peak (v5e: 197 TFLOP/s bf16)
     vits_mfu = None
@@ -152,7 +153,7 @@ def main():
 
     # sequence-packed decode (utils/packing.py): the cheap DP pass predicts
     # per-sample frame counts, the host packs all utterances back-to-back
-    # into a few dense rows separated by 16-frame masked gaps, and ONE
+    # into a few dense rows separated by short masked gaps, and ONE
     # dispatch decodes the grid at ~full utilization — replacing both the
     # pad-to-budget decode (~45% waste in round 3) and the grouped-bucket
     # decode (round 4: ~21% waste, and per-group dispatches pay the ~40 ms
@@ -166,10 +167,10 @@ def main():
 
             dur_fn = jax.jit(lambda p, x, xl, r: model.infer_durations(p, x, xl, rng=r))
             y_pred = np.asarray(dur_fn(gen_params, x, xl, rng))
-            plan = plan_pack_layout(np.minimum(y_pred, MAXF), gap=16, len_multiple=128)
+            plan = plan_pack_layout(np.minimum(y_pred, MAXF))
             packed_fn = jax.jit(
                 lambda p, x, xl, ss, sp, r: model.inference_packed(
-                    p, x, xl, ss, sp, noise_frames=MAXF, rng=r
+                    p, x, xl, ss, sp, noise_frames=MAXF, rng=r, noise_layout="packed"
                 )
             )
             ss, sp = jnp.asarray(plan.seg_sample), jnp.asarray(plan.seg_pos)
@@ -184,9 +185,16 @@ def main():
             dt_pk = (time.time() - t0) / n_iter
             eff_seconds = plan.total_frames * hop / sr
             rtf_effective = round(eff_seconds / dt_pk, 1)
+            packed_utilization = round(plan.utilization, 3)
+            # rtf_effective / rtf decomposes as (true/padded frames) x
+            # (dt_padded/dt_packed): padding waste is now the grid's ~3%
+            # (utilization above); the residual gap vs the padded headline
+            # is the text-encoder+duration-predictor compute, which is the
+            # same fixed cost in both graphs but amortizes over ~45% less
+            # decode work in the packed one
             print(
                 f"packed decode: {plan.n_rows}x{plan.row_len} grid, "
-                f"utilization {plan.utilization:.2f}, rtf_eff {rtf_effective}",
+                f"utilization {packed_utilization}, rtf_eff {rtf_effective}",
                 file=sys.stderr,
             )
         except Exception as e:  # pragma: no cover
@@ -201,8 +209,13 @@ def main():
         except Exception as e:  # pragma: no cover
             print(f"train-step measurement failed: {e}", file=sys.stderr)
 
-    # mixed-precision (bf16 compute, fp32 master weights) training step —
-    # the deployment policy for large-scale runs (trainer/precision.py)
+    # mixed-precision (bf16 compute, fp32 master weights) training step
+    # (trainer/precision.py).  Measured on one v5e this is ~30% SLOWER than
+    # the fp32 step at these dims: the GAN step is elementwise/bandwidth
+    # dominated (MFU ~0.09), XLA already runs f32 matmuls as multi-pass bf16
+    # on the MXU, and the per-step param/batch casts add traffic — recorded
+    # here so the recommendation (fp32 GAN training on v5e; bf16 for
+    # inference, where it is 1.4x) stays evidence-based
     train_bf16_ms = train_bf16_mfu = None
     if not os.environ.get("BENCH_SKIP_TRAIN") and _stage_ok("bf16 train step"):
         try:
@@ -251,6 +264,7 @@ def main():
                 "vits_mfu": vits_mfu,
                 "vits_rtf_bf16": rtf_bf16,
                 "vits_rtf_effective": rtf_effective,
+                "vits_packed_utilization": packed_utilization,
                 "xtts_ttfa_ms": xtts_ttfa_ms,
                 "xtts_ttfa_target_ms": 200.0,
                 "xtts_decode_tok_s": xtts_tok_s,

@@ -282,7 +282,8 @@ class _FakePackedModel(_FakeDurModel):
     its owner's true text length, so slicing mixups are visible."""
 
     def inference_packed(
-        self, params, x, x_lengths, seg_sample, seg_pos, aux_input=None, noise_frames=128
+        self, params, x, x_lengths, seg_sample, seg_pos, aux_input=None,
+        noise_frames=128, noise_layout="packed",
     ):
         s = jnp.maximum(seg_sample, 0)
         vals = jnp.where(seg_sample >= 0, x_lengths[s], 0).astype(jnp.float32)

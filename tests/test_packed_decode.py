@@ -231,3 +231,33 @@ def test_packed_decode_jits_with_static_shapes():
         atol=2e-5,
         rtol=1e-4,
     )
+
+
+def test_plan_pack_layout_respects_sublane_billing():
+    """TPU conv tiling pads batch to 8 sublanes: for a 16-utterance batch
+    the planner must NOT collapse to a huge single row (measured 8.7x
+    slower per frame on v5e) — it should land on ~8 rows."""
+    rng = np.random.RandomState(2)
+    lens = rng.randint(200, 340, 16)
+    plan = plan_pack_layout(lens, gap=16)
+    assert plan.n_rows >= 8, (plan.n_rows, plan.row_len)
+    # and still beat pad-to-max on billed area
+    pad_area = 16 * int(((lens.max() + 31) // 32) * 32)
+    assert plan.n_rows * plan.row_len < pad_area
+    # single-row plans remain available on request
+    forced = plan_pack_layout(lens, gap=16, row_len=8192)
+    assert forced.n_rows == 1
+
+
+def test_istft_variant_gated_off_packed_path():
+    """The iSTFT decoder has no per-conv masks: the model must refuse the
+    packed path (server then falls back to grouped buckets)."""
+    model, params = _model(
+        use_sdp=False, inference_noise_scale=0.0, decoder_type="istft"
+    )
+    assert not model.supports_packed_decode
+    x, xl = _texts()
+    y_lens = np.asarray(model.infer_durations(params, x, xl, rng=jax.random.PRNGKey(0)))
+    plan = plan_pack_layout(y_lens, len_multiple=32)
+    with pytest.raises(ValueError, match="istft"):
+        model.inference_packed(params, x, xl, plan.seg_sample, plan.seg_pos)

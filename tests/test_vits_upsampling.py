@@ -132,6 +132,9 @@ def test_voice_conversion_upsamples_latent():
     assert np.asarray(out).shape[1] == T * 16 * 2
 
 
+# slow tier: 24s compile-bound (full multispeaker+multilingual train graph);
+# the fast tier covers each variant's forward/infer separately
+@pytest.mark.slow
 def test_multispeaker_multilingual_train_step():
     """Init must create emb_g/emb_l and the g-projection layers so a
     multi-speaker multilingual VITS trains from scratch (reference

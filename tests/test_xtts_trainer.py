@@ -4,6 +4,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import optax
 
 from tts_tpu.models.xtts import XttsArgs, XttsConfig
@@ -74,6 +75,9 @@ def test_gpt_trainer_step():
     assert losses[-1] < losses[0]  # overfits one batch
 
 
+# slow tier: ~20s — compiles the GPT train step twice (remat and plain)
+# purely to assert value equivalence
+@pytest.mark.slow
 def test_gpt_remat_matches_plain():
     """gpt_use_remat only changes memory scheduling, not values: one train
     step produces the same loss with and without rematerialization."""

@@ -303,6 +303,7 @@ class VitsModule(nn.Module):
         seg_pos,
         aux_input: Optional[Dict] = None,
         noise_frames: int = 1000,
+        noise_layout: str = "batch",
     ) -> Dict[str, Any]:
         """Sequence-packed batch decode: many utterances in a few dense rows.
 
@@ -322,6 +323,12 @@ class VitsModule(nn.Module):
         matching :meth:`inference` ``max_frames`` to reproduce its exact
         noise stream.  The packing must be planned from :meth:`infer_durations`
         run with the SAME rng so host layout and in-graph durations agree.
+
+        ``noise_layout="batch"`` (default) draws z_p noise in the unpacked
+        ``[B, noise_frames, C]`` layout and gathers it into the grid, so the
+        audio matches :meth:`inference` frame for frame (the exactness tests
+        rely on this).  ``"packed"`` draws noise directly in grid layout —
+        an equally valid sample, slightly cheaper; serving uses it.
         """
         a = self.args
         g, lang = self._cond_vectors(aux_input)
@@ -352,13 +359,16 @@ class VitsModule(nn.Module):
         tok = jnp.clip(tok, 0, m_p.shape[1] - 1)
         m_pk = m_p[s, tok]
         logs_pk = logs_p[s, tok]
-        # per-sample noise in [B, noise_frames, C] layout gathered into the
-        # packed grid: the values (and therefore the audio) match a plain
-        # inference(max_frames=noise_frames) call frame for frame
-        noise = jax.random.normal(
-            self.make_rng("noise"), (x.shape[0], noise_frames, m_p.shape[-1])
-        )
-        nz = noise[s, jnp.minimum(seg_pos, noise_frames - 1)]
+        if noise_layout == "packed":
+            nz = jax.random.normal(self.make_rng("noise"), m_pk.shape)
+        else:
+            # per-sample noise in [B, noise_frames, C] layout gathered into
+            # the packed grid: the values (and therefore the audio) match a
+            # plain inference(max_frames=noise_frames) call frame for frame
+            noise = jax.random.normal(
+                self.make_rng("noise"), (x.shape[0], noise_frames, m_p.shape[-1])
+            )
+            nz = noise[s, jnp.minimum(seg_pos, noise_frames - 1)]
         mask = valid[..., None].astype(m_pk.dtype)
         z_p = (m_pk + nz * jnp.exp(logs_pk) * a.inference_noise_scale) * mask
 
@@ -373,11 +383,14 @@ class VitsModule(nn.Module):
         if f != 1 and self.args.interpolate_z:
             dec_mask = jnp.repeat(mask, f, axis=1)
         if getattr(a, "decoder_type", "hifigan") == "istft":
-            # iSTFT overlap-add crosses the (masked) gap by < n_fft samples;
-            # gaps are sized so segment interiors stay untouched
-            o = self.waveform_decoder(z, g=g_pk)
-        else:
-            o = self.waveform_decoder(z, g=g_pk, x_mask=dec_mask)
+            # the iSTFT decoder carries no per-conv masks, so a packed row
+            # would bleed across segments for its full receptive field —
+            # serve those models via the grouped-bucket path instead
+            raise ValueError(
+                "sequence-packed decode needs the masked HiFiGAN decoder; "
+                "the istft variant is served via duration-grouped buckets"
+            )
+        o = self.waveform_decoder(z, g=g_pk, x_mask=dec_mask)
         return {
             "model_outputs": o,
             "y_lengths": y_lengths,
@@ -675,6 +688,12 @@ class Vits:
             rngs={"noise": rng},
         )
 
+    @property
+    def supports_packed_decode(self) -> bool:
+        """Sequence-packed serving needs the per-conv-masked HiFiGAN decoder
+        (the istft variant would bleed across packed segments)."""
+        return getattr(self.args, "decoder_type", "hifigan") != "istft"
+
     def inference_packed(
         self,
         params,
@@ -685,6 +704,7 @@ class Vits:
         aux_input=None,
         noise_frames: int = 1000,
         rng=None,
+        noise_layout: str = "batch",
     ):
         """Sequence-packed decode (see :meth:`VitsModule.inference_packed`).
 
@@ -702,6 +722,7 @@ class Vits:
             jnp.asarray(seg_pos),
             aux_input=aux_input,
             noise_frames=noise_frames,
+            noise_layout=noise_layout,
             method=self.module.inference_packed,
             rngs={"noise": rng},
         )

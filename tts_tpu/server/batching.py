@@ -169,7 +169,11 @@ class DynamicBatcher:
                 y_pred = np.asarray(dur)[: len(batch)]
             except Exception:  # pragma: no cover - planner is best-effort
                 y_pred = None
-        if y_pred is not None and hasattr(model, "inference_packed"):
+        if (
+            y_pred is not None
+            and hasattr(model, "inference_packed")
+            and getattr(model, "supports_packed_decode", True)
+        ):
             try:
                 self._dispatch_packed(batch, x, xl, aux, y_pred, budget)
                 return
@@ -213,7 +217,7 @@ class DynamicBatcher:
         from tts_tpu.utils.synthesis import get_jitted_packed
 
         lens = np.minimum(y_pred, budget)  # budget caps like max_frames would
-        plan = plan_pack_layout(lens, gap=16, len_multiple=128)
+        plan = plan_pack_layout(lens)
         out = get_jitted_packed(self.model)(
             self.synthesizer.tts_params,
             x,
@@ -222,6 +226,7 @@ class DynamicBatcher:
             jnp.asarray(plan.seg_pos),
             aux_input=aux or None,
             noise_frames=budget,
+            noise_layout="packed",
         )
         wav = np.asarray(out["model_outputs"], np.float32)  # [R, L*hop, 1]
         upsample = wav.shape[1] // plan.row_len

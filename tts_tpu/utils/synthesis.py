@@ -109,7 +109,9 @@ def get_jitted_packed(model):
     if fn is None:
         import jax
 
-        fn = jax.jit(model.inference_packed, static_argnames=("noise_frames",))
+        fn = jax.jit(
+            model.inference_packed, static_argnames=("noise_frames", "noise_layout")
+        )
         model._jitted_packed = fn
     return fn
 
