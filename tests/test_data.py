@@ -136,6 +136,9 @@ def test_process_pool_prefetch(ljspeech_dataset):
         np.testing.assert_allclose(a["mel_input"], b["mel_input"], atol=1e-6)
 
 
+# slow tier: spawns worker interpreters (~8s on the 1-core box); the
+# process-prefetch contract itself is covered fast by the test above
+@pytest.mark.slow
 def test_benchmark_loader_tool(capsys):
     """The loader-overlap measurement tool emits one JSON line covering all
     three worker modes (serial / thread pool / forked processes)."""

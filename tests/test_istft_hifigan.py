@@ -57,6 +57,9 @@ def test_istft_generator_shapes(subbands):
     assert np.isfinite(np.asarray(wav)).all()
 
 
+# slow tier: compiles the full VITS+iSTFT inference graph (~11s 1-core);
+# the generator's own shape/overlap-add contracts above stay fast
+@pytest.mark.slow
 def test_vits_istft_decoder_forward_and_inference():
     """decoder_type="istft": same 256x total upsampling from [8, 8] trunk ×
     hop 4, through both the training segment path and inference."""

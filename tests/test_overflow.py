@@ -48,6 +48,9 @@ def test_forward_loss(model_cls, cfg_cls):
     np.testing.assert_allclose(sums, 1.0, atol=1e-3)
 
 
+# slow tier: training-behavior check (loss decreases over steps) —
+# forward/inference contracts above stay fast
+@pytest.mark.slow
 def test_nll_decreases_with_matching_emissions():
     """Flat-start model: loss should decrease when training on one batch."""
     import optax

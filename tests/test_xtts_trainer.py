@@ -54,6 +54,10 @@ def test_dvae_roundtrip_shapes_and_training():
     assert losses[-1] < losses[0]
 
 
+# slow tier: ~28s 1-core compile of the GPT train step; the fast tier keeps
+# test_gpt_train_forward (loss math) and DVAE training, and the slow tier
+# still runs this overfit check + the remat-equivalence step
+@pytest.mark.slow
 def test_gpt_trainer_step():
     cfg = _tiny_config()
     trainer = GPTTrainer(cfg)
