@@ -30,12 +30,18 @@ _DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", "420"))
 # a stage may START while elapsed < fraction * deadline; later stages keep
 # their slice even when an earlier stage overruns its own
 _STAGE_GATE = {
-    "xtts ttfa": 0.40,
-    "packed decode": 0.52,
-    "train step": 0.64,
-    "bf16 train step": 0.76,
-    "bf16 RTF": 0.86,
-    "served streams": 0.93,
+    # calibrated against a fully-warm run on the tunneled backend: the
+    # mandatory stage alone costs ~175 s (backend handshake + cached
+    # compiles + 21 pipelined dispatches), warm optional stages ~15-60 s
+    # each, total ~375 s — gates bound cold-compile pile-ups without
+    # starving warm stages (round 4 lost TTFA to an unguarded compile;
+    # the first round-5 calibration then lost it to a too-tight 0.40 gate)
+    "xtts ttfa": 0.55,
+    "packed decode": 0.62,
+    "train step": 0.70,
+    "bf16 train step": 0.78,
+    "bf16 RTF": 0.85,
+    "served streams": 0.90,
 }
 
 
@@ -48,6 +54,7 @@ def _stage_ok(label: str) -> bool:
             file=sys.stderr,
         )
         return False
+    print(f"stage {label}: starting at +{elapsed:.0f}s", file=sys.stderr)
     return True
 
 

@@ -386,7 +386,23 @@ class Xtts:
                 donate_argnums=(1,),
             )
             vocode = jax.jit(lambda p, lat, spk: self.hifigan_decoder.apply(p, lat, spk))
-            cache[key] = (prefill, chunk_fn, vocode)
+
+            # one fused [B, T_wav + chunk + 1] pull per chunk: audio, the
+            # sampled token ids (exact in f32: ids < 2^24) and the done
+            # flags ride ONE device→host transfer — separate np.asarray
+            # calls are separate synchronous RPCs on the tunneled backend,
+            # and the per-stream state["done"] reads were B more
+            pack = jax.jit(
+                lambda wav, toks, done: jnp.concatenate(
+                    [
+                        wav[:, :, 0].astype(jnp.float32),
+                        toks.astype(jnp.float32),
+                        done[:, None].astype(jnp.float32),
+                    ],
+                    axis=1,
+                )
+            )
+            cache[key] = (prefill, chunk_fn, vocode, pack)
         return cache[key]
 
     def inference_stream(
@@ -415,7 +431,7 @@ class Xtts:
         max_new = max_new_tokens or self.gpt.max_mel_tokens - 3
         # round up to a whole number of chunks (static shapes per chunk)
         n_chunks = -(-max_new // stream_chunk_size)
-        prefill, chunk_fn, vocode = self._stream_jits(
+        prefill, chunk_fn, vocode, pack = self._stream_jits(
             stream_chunk_size, n_chunks, temperature, top_k, top_p, repetition_penalty
         )
 
@@ -424,17 +440,19 @@ class Xtts:
             jnp.asarray([text_tokens.shape[1]], jnp.int32),
         )
         last_tail: Optional[np.ndarray] = None
-        for i in range(n_chunks):
-            rng, sub = jax.random.split(rng)
-            state, toks, latents = chunk_fn(self.gpt_params, state, sub)
-            wav = np.asarray(vocode(self.decoder_params, latents, speaker_embedding), np.float32)[
-                0, :, 0
-            ]
-            # trim to real tokens in this chunk
-            n_valid = int(np.sum(np.asarray(toks[0]) != self.gpt.stop_audio_token))
+        stop = False
+        pending = None  # device handle of the previous chunk's packed pull
+
+        def _consume(packed):
+            """One host-side chunk: crossfade + yield decision."""
+            nonlocal last_tail, stop
+            wav = packed[0, : -stream_chunk_size - 1]
+            toks_np = packed[0, -stream_chunk_size - 1 : -1]
+            done = packed[0, -1] > 0.5
+            n_valid = int(np.sum(toks_np != float(self.gpt.stop_audio_token)))
             if n_valid == 0:
-                break
-            samples_per_code = wav.shape[0] // latents.shape[1]
+                stop = True
+                return None
             chunk = wav[: n_valid * samples_per_code].copy()
             if last_tail is not None and len(chunk) >= overlap_wav_len:
                 fade = np.linspace(0, 1, overlap_wav_len, dtype=np.float32)
@@ -444,9 +462,45 @@ class Xtts:
             last_tail = (
                 chunk[-overlap_wav_len:].copy() if len(chunk) >= overlap_wav_len else None
             )
-            yield chunk
-            if bool(np.asarray(state["done"])[0]):
-                break
+            stop = stop or bool(done)
+            return chunk
+
+        # double-buffered from chunk 2 on: dispatch chunk k+1 (async) BEFORE
+        # pulling chunk k's packed output, so the device computes the next
+        # chunk while the host transfer for the previous one is in flight.
+        # Chunk 1 is pulled immediately — time-to-first-audio must not wait
+        # behind the next chunk's dispatch round-trips.
+        samples_per_code = None
+        for i in range(n_chunks):
+            rng, sub = jax.random.split(rng)
+            state, toks, latents = chunk_fn(self.gpt_params, state, sub)
+            n_lat = latents.shape[1]
+            packed_dev = pack(
+                vocode(self.decoder_params, latents, speaker_embedding),
+                toks,
+                state["done"],
+            )
+            if i == 0:
+                pending = packed_dev  # pulled right away below
+            if pending is not None:
+                packed = np.asarray(pending, np.float32)
+                pending = None
+                if samples_per_code is None:
+                    samples_per_code = (packed.shape[1] - stream_chunk_size - 1) // n_lat
+                chunk = _consume(packed)
+                if chunk is not None:
+                    yield chunk
+                if stop:
+                    break
+            if i > 0:
+                pending = packed_dev
+        if pending is not None and not stop:
+            packed = np.asarray(pending, np.float32)
+            if samples_per_code is None:
+                samples_per_code = (packed.shape[1] - stream_chunk_size - 1) // n_lat
+            chunk = _consume(packed)
+            if chunk is not None:
+                yield chunk
 
     def inference_stream_batched(
         self,
@@ -485,27 +539,26 @@ class Xtts:
         )
         max_new = max_new_tokens or self.gpt.max_mel_tokens - 3
         n_chunks = -(-max_new // stream_chunk_size)
-        prefill, chunk_fn, vocode = self._stream_jits(
+        prefill, chunk_fn, vocode, pack = self._stream_jits(
             stream_chunk_size, n_chunks, temperature, top_k, top_p, repetition_penalty
         )
 
         state = prefill(self.gpt_params, cond, text_tokens, text_lengths)
         tails: List[Optional[np.ndarray]] = [None] * B
         finished = [False] * B
-        for _ in range(n_chunks):
-            rng, sub = jax.random.split(rng)
-            state, toks, latents = chunk_fn(self.gpt_params, state, sub)
-            wavs = np.asarray(
-                vocode(self.decoder_params, latents, spk), np.float32
-            )[:, :, 0]
-            toks_np = np.asarray(toks)
-            samples_per_code = wavs.shape[1] // latents.shape[1]
+
+        def _consume(packed, n_lat):
+            """Split one fused pull into per-stream crossfaded chunks."""
+            wavs = packed[:, : -stream_chunk_size - 1]
+            toks_np = packed[:, -stream_chunk_size - 1 : -1]
+            done_np = packed[:, -1] > 0.5
+            samples_per_code = wavs.shape[1] // n_lat
             out: List[Optional[np.ndarray]] = []
             for i in range(B):
                 if finished[i]:
                     out.append(None)
                     continue
-                n_valid = int(np.sum(toks_np[i] != self.gpt.stop_audio_token))
+                n_valid = int(np.sum(toks_np[i] != float(self.gpt.stop_audio_token)))
                 if n_valid == 0:
                     finished[i] = True
                     out.append(None)
@@ -522,12 +575,39 @@ class Xtts:
                     else None
                 )
                 out.append(chunk)
-                if bool(np.asarray(state["done"])[i]):
+                if done_np[i]:
                     finished[i] = True
+            return out
+
+        # double-buffered: ONE fused device→host pull per chunk (audio +
+        # token ids + done flags for ALL streams — separate np.asarray
+        # calls were separate synchronous RPCs), dispatched one chunk ahead
+        # so the transfer overlaps the next chunk's decode (617 → measured
+        # higher aggregate tok/s through the StreamBatcher on one v5e)
+        pending = None
+        n_lat = stream_chunk_size
+        for i in range(n_chunks):
+            rng, sub = jax.random.split(rng)
+            state, toks, latents = chunk_fn(self.gpt_params, state, sub)
+            n_lat = latents.shape[1]
+            packed_dev = pack(
+                vocode(self.decoder_params, latents, spk), toks, state["done"]
+            )
+            if i == 0:
+                pending = packed_dev  # first chunk pulled right away (TTFA)
+            if pending is not None:
+                out = _consume(np.asarray(pending, np.float32), n_lat)
+                pending = None
+                if any(c is not None for c in out):
+                    yield out
+                if all(finished):
+                    break
+            if i > 0:
+                pending = packed_dev
+        if pending is not None and not all(finished):
+            out = _consume(np.asarray(pending, np.float32), n_lat)
             if any(c is not None for c in out):
                 yield out
-            if all(finished):
-                break
 
     def resolve_conditioning(self, config, speaker_id: Optional[str] = None, speaker_wav=None):
         """Conditioning for synthesis: a known ``speaker_id`` resolves through
