@@ -25,7 +25,7 @@ import numpy as np  # noqa: E402
 
 
 _T0 = time.time()
-_DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", "420"))
+_DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", "480"))
 
 # a stage may START while elapsed < fraction * deadline; later stages keep
 # their slice even when an earlier stage overruns its own
@@ -38,10 +38,10 @@ _STAGE_GATE = {
     # the first round-5 calibration then lost it to a too-tight 0.40 gate)
     "xtts ttfa": 0.55,
     "packed decode": 0.62,
-    "train step": 0.70,
-    "bf16 train step": 0.78,
-    "bf16 RTF": 0.85,
-    "served streams": 0.90,
+    "served streams": 0.70,
+    "train step": 0.80,
+    "bf16 RTF": 0.88,
+    "bf16 train step": 0.92,
 }
 
 
@@ -101,10 +101,15 @@ def main():
         _ = np.asarray(out["model_outputs"][0, 0])
         return (time.time() - t0) / n_iter, out
 
+    def _mark(what):
+        print(f"  {what}: +{time.time() - _T0:.0f}s", file=sys.stderr)
+
+    _mark("backend up")
     cfg = VitsConfig()
     cfg.model_args.num_chars = 100
     model = Vits(cfg)
     gen_params, _ = model.init_params(jax.random.PRNGKey(0))
+    _mark("vits init_params dispatched")
     if DTYPE == "bfloat16":
         gen_params = to_bf16(gen_params)
 
@@ -114,6 +119,7 @@ def main():
 
     infer = jax.jit(lambda p, x, xl, r: model.inference(p, x, xl, max_frames=MAXF, rng=r))
     dt, out = timed(infer, gen_params, x, xl, rng)
+    _mark("mandatory RTF timed")
 
     hop, sr = cfg.audio.hop_length, cfg.audio.sample_rate
     audio_seconds = B * MAXF * hop / sr
@@ -207,6 +213,21 @@ def main():
         except Exception as e:  # pragma: no cover
             print(f"packed decode measurement failed: {e}", file=sys.stderr)
 
+    # served batched streaming: aggregate decode tok/s for 4 concurrent
+    # /api/tts-stream clients through the real StreamBatcher at full XTTS
+    # dims (the user-reachable serving path, server.py --stream_batch)
+    served_tok_s = served_rtf = None
+    n_served = int(os.environ.get("BENCH_XTTS_SERVE", "4"))
+    if n_served > 1 and not os.environ.get("BENCH_SKIP_XTTS") and _stage_ok("served streams"):
+        try:
+            from bench_xtts import measure_serving
+
+            served_tok_s, served_rtf = measure_serving(n_served)
+            served_tok_s = round(served_tok_s, 1)
+            served_rtf = round(served_rtf, 2)
+        except Exception as e:  # pragma: no cover
+            print(f"served-streams measurement failed: {e}", file=sys.stderr)
+
     # VITS GAN training step at LJSpeech dims (BASELINE.json lists DP
     # training as a tracked config)
     train_ms = train_mfu = None
@@ -246,47 +267,95 @@ def main():
         except Exception as e:  # pragma: no cover
             print(f"bf16 RTF measurement failed: {e}", file=sys.stderr)
 
-    # served batched streaming: aggregate decode tok/s for 4 concurrent
-    # /api/tts-stream clients through the real StreamBatcher at full XTTS
-    # dims (the user-reachable serving path, server.py --stream_batch)
-    served_tok_s = served_rtf = None
-    n_served = int(os.environ.get("BENCH_XTTS_SERVE", "4"))
-    if n_served > 1 and not os.environ.get("BENCH_SKIP_XTTS") and _stage_ok("served streams"):
-        try:
-            from bench_xtts import measure_serving
+    result = {
+        "metric": "vits_ljspeech_inference_rtf",
+        "value": round(rtf, 1),
+        "unit": "x_realtime_per_chip",
+        "vs_baseline": round(rtf / 200.0, 3),
+        "vits_mfu": vits_mfu,
+        "vits_rtf_bf16": rtf_bf16,
+        "vits_rtf_effective": rtf_effective,
+        "vits_packed_utilization": packed_utilization,
+        "xtts_ttfa_ms": xtts_ttfa_ms,
+        "xtts_ttfa_target_ms": 200.0,
+        "xtts_decode_tok_s": xtts_tok_s,
+        "xtts_stream_rtf": xtts_stream_rtf,
+        "xtts_served_streams": n_served if served_tok_s is not None else None,
+        "xtts_served_tok_s": served_tok_s,
+        "xtts_served_rtf": served_rtf,
+        "vits_train_step_ms": train_ms,
+        "vits_train_mfu": train_mfu,
+        "vits_train_step_bf16_ms": train_bf16_ms,
+        "vits_train_bf16_mfu": train_bf16_mfu,
+        "platform": jax.default_backend(),
+    }
+    # The remote compile/dispatch service behind the tunnel has a 40x
+    # latency spread run-to-run (a fully-cached mandatory stage has been
+    # observed anywhere from 27 s to 347 s), so any single run may skip
+    # stages by budget.  Persist every successfully measured metric keyed
+    # to the EXACT git commit, and when a stage is skipped, surface the
+    # last same-commit measurement under an explicit "last_good" key —
+    # clearly labeled, never silently substituted into the live fields.
+    try:
+        result = _merge_last_good(result)
+    except Exception as e:  # pragma: no cover
+        print(f"last-good merge failed: {e}", file=sys.stderr)
+    print(json.dumps(result))
 
-            served_tok_s, served_rtf = measure_serving(n_served)
-            served_tok_s = round(served_tok_s, 1)
-            served_rtf = round(served_rtf, 2)
-        except Exception as e:  # pragma: no cover
-            print(f"served-streams measurement failed: {e}", file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                "metric": "vits_ljspeech_inference_rtf",
-                "value": round(rtf, 1),
-                "unit": "x_realtime_per_chip",
-                "vs_baseline": round(rtf / 200.0, 3),
-                "vits_mfu": vits_mfu,
-                "vits_rtf_bf16": rtf_bf16,
-                "vits_rtf_effective": rtf_effective,
-                "vits_packed_utilization": packed_utilization,
-                "xtts_ttfa_ms": xtts_ttfa_ms,
-                "xtts_ttfa_target_ms": 200.0,
-                "xtts_decode_tok_s": xtts_tok_s,
-                "xtts_stream_rtf": xtts_stream_rtf,
-                "xtts_served_streams": n_served if served_tok_s is not None else None,
-                "xtts_served_tok_s": served_tok_s,
-                "xtts_served_rtf": served_rtf,
-                "vits_train_step_ms": train_ms,
-                "vits_train_mfu": train_mfu,
-                "vits_train_step_bf16_ms": train_bf16_ms,
-                "vits_train_bf16_mfu": train_bf16_mfu,
-                "platform": jax.default_backend(),
-            }
+def _git_rev():
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            ["git", "-C", os.path.dirname(os.path.abspath(__file__)), "rev-parse", "HEAD"],
+            capture_output=True, text=True, timeout=10,
         )
-    )
+        rev = out.stdout.strip()
+        dirty = subprocess.run(
+            ["git", "-C", os.path.dirname(os.path.abspath(__file__)), "status", "--porcelain"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+        return rev or "unknown", bool(dirty)
+    except Exception:
+        return "unknown", True
+
+
+def _merge_last_good(result):
+    if result.get("platform") != "tpu":
+        # never persist CPU-fallback numbers, and never let a CPU run
+        # borrow chip measurements
+        return result
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LAST_GOOD.json")
+    rev, dirty = _git_rev()
+    prior = {}
+    if os.path.exists(path):
+        try:
+            with open(path) as f:
+                prior = json.load(f)
+        except Exception:
+            prior = {}
+    metrics = prior.get("metrics", {}) if prior.get("rev") == rev else {}
+    measured = {
+        k: v for k, v in result.items()
+        if v is not None and isinstance(v, (int, float)) and k != "vs_baseline"
+    }
+    if not dirty and rev != "unknown":
+        metrics = {**metrics, **measured}
+        with open(path, "w") as f:
+            json.dump(
+                {"rev": rev, "at": time.strftime("%Y-%m-%dT%H:%M:%S"), "metrics": metrics},
+                f, indent=1,
+            )
+    stale = {k: metrics[k] for k in result if result[k] is None and k in metrics}
+    if stale:
+        result["last_good"] = {
+            **stale,
+            "rev": rev[:9],
+            "note": "measured by an earlier run of this same commit; the "
+                    "current run skipped those stages (bench time budget)",
+        }
+    return result
 
 
 def measure_train_step(model, cfg, bf16_peak=False):
