@@ -64,12 +64,21 @@ def measure_ttfa(with_throughput: bool = False):
     cond_mel = jnp.asarray(np.random.RandomState(1).randn(1, 64, 80), jnp.float32)
     spk_mel = jnp.abs(jnp.asarray(np.random.RandomState(2).randn(1, 90, 64), jnp.float32)) + 0.1
 
-    gpt_params = gpt.init(
-        {"params": rng}, text[:1], tlen[:1], jnp.zeros((1, 8), jnp.int32),
-        jnp.full((1,), 8, jnp.int32), cond_mels=cond_mel,
-    )
-    dec_params = dec.init(rng, jnp.zeros((1, CHUNK, 1024)), jnp.zeros((1, 1, 512)),
-                          jnp.zeros((1, 30, 64)), method=HifiDecoder.init_all)
+    # jit the inits: un-jitted flax init dispatches thousands of tiny ops
+    # individually — measured 4.5 MINUTES through the tunnel vs seconds as
+    # one compiled graph
+    gpt_params = jax.jit(
+        lambda r: gpt.init(
+            {"params": r}, text[:1], tlen[:1], jnp.zeros((1, 8), jnp.int32),
+            jnp.full((1,), 8, jnp.int32), cond_mels=cond_mel.astype(jnp.float32),
+        )
+    )(rng)
+    dec_params = jax.jit(
+        lambda r: dec.init(
+            r, jnp.zeros((1, CHUNK, 1024)), jnp.zeros((1, 1, 512)),
+            jnp.zeros((1, 30, 64)), method=HifiDecoder.init_all,
+        )
+    )(rng)
     if DTYPE in ("bfloat16", "bf16"):
         cast = lambda t: jax.tree.map(
             lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, t

@@ -177,21 +177,28 @@ class Xtts:
     # ------------------------------------------------------------------
     def init_params(self, rng, t_text: int = 16, t_codes: int = 24, t_cond: int = 64):
         r1, r2 = jax.random.split(rng)
-        self.gpt_params = self.gpt.init(
-            r1,
-            jnp.zeros((1, t_text), jnp.int32),
-            jnp.asarray([t_text]),
-            jnp.zeros((1, t_codes), jnp.int32),
-            jnp.asarray([t_codes]),
-            cond_mels=jnp.zeros((1, t_cond, 80)),
-        )
-        self.decoder_params = self.hifigan_decoder.init(
-            r2,
-            jnp.zeros((1, t_codes, self.args.decoder_input_dim)),
-            jnp.zeros((1, 512)),
-            jnp.zeros((1, 32, 64)),
-            method=self.hifigan_decoder.init_all,
-        )
+        # jit the inits: flax init executes eagerly op by op — at full XTTS
+        # dims that is thousands of individual dispatches (measured 4.5 min
+        # through a remote-TPU tunnel vs seconds as one compiled graph)
+        self.gpt_params = jax.jit(
+            lambda r: self.gpt.init(
+                r,
+                jnp.zeros((1, t_text), jnp.int32),
+                jnp.asarray([t_text]),
+                jnp.zeros((1, t_codes), jnp.int32),
+                jnp.asarray([t_codes]),
+                cond_mels=jnp.zeros((1, t_cond, 80)),
+            )
+        )(r1)
+        self.decoder_params = jax.jit(
+            lambda r: self.hifigan_decoder.init(
+                r,
+                jnp.zeros((1, t_codes, self.args.decoder_input_dim)),
+                jnp.zeros((1, 512)),
+                jnp.zeros((1, 32, 64)),
+                method=self.hifigan_decoder.init_all,
+            )
+        )(r2)
         return self.gpt_params, self.decoder_params
 
     # ------------------------------------------------------------------
