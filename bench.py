@@ -385,7 +385,10 @@ def measure_train_step(model, cfg, bf16_peak=False):
     key = jax.random.PRNGKey(4)
     state, metrics = step(state, batch, key)  # compile
     _ = float(metrics["loss"])  # forced sync (axon: transfers sync, not block_until_ready)
-    n_iter = 10
+    # enough pipelined steps that the single closing sync's 0.2-6 s tunnel
+    # RPC variance stays small relative to the measured window (10 steps ≈
+    # 3 s of compute produced 294-838 ms/step swings across runs)
+    n_iter = int(os.environ.get("BENCH_TRAIN_ITERS", "30"))
     t0 = time.time()
     for _ in range(n_iter):
         state, metrics = step(state, batch, key)
