@@ -312,8 +312,12 @@ def _git_rev():
             capture_output=True, text=True, timeout=10,
         )
         rev = out.stdout.strip()
+        # -uno: untracked files (including BENCH_LAST_GOOD.json itself,
+        # which is gitignored precisely so writing it never advances or
+        # dirties the recorded revision) don't count as dirty
         dirty = subprocess.run(
-            ["git", "-C", os.path.dirname(os.path.abspath(__file__)), "status", "--porcelain"],
+            ["git", "-C", os.path.dirname(os.path.abspath(__file__)), "status",
+             "--porcelain", "-uno"],
             capture_output=True, text=True, timeout=10,
         ).stdout.strip()
         return rev or "unknown", bool(dirty)
