@@ -264,3 +264,81 @@ def test_istft_variant_gated_off_packed_path():
     plan = plan_pack_layout(y_lens, len_multiple=32)
     with pytest.raises(ValueError, match="istft"):
         model.inference_packed(params, x, xl, plan.seg_sample, plan.seg_pos)
+
+
+# ---------------------------------------------------------------------------
+# packed multi-sentence decode (round 5): one grid per request
+# ---------------------------------------------------------------------------
+
+
+def test_multi_sentence_packed_matches_serial(tmp_path):
+    """A two-sentence request decodes as ONE packed grid; with deterministic
+    settings the audio matches the serial per-sentence loop except within
+    the decoder's receptive field of each sentence tail (where the serial
+    path's padded decode reads bucket-padding garbage)."""
+    import json
+
+    from tts_tpu.models.vits import Vits, VitsArgs, VitsConfig
+    from tts_tpu.utils.io import save_checkpoint
+    from tts_tpu.utils.synthesizer import Synthesizer
+    from helpers import fast_params
+
+    args = VitsArgs(
+        num_chars=200,
+        out_channels=65,
+        spec_segment_size=8,
+        hidden_channels=32,
+        hidden_channels_ffn_text_encoder=64,
+        num_layers_text_encoder=2,
+        num_layers_posterior_encoder=2,
+        num_layers_flow=2,
+        upsample_rates_decoder=[4, 4],
+        upsample_kernel_sizes_decoder=[8, 8],
+        upsample_initial_channel_decoder=64,
+        resblock_kernel_sizes_decoder=[3],
+        resblock_dilation_sizes_decoder=[[1, 3]],
+        periods_multi_period_discriminator=[2, 3],
+        use_sdp=False,
+        inference_noise_scale=0.0,
+    )
+    cfg = VitsConfig(model_args=args)
+    cfg.audio.fft_size = 128
+    cfg.audio.win_length = 128
+    cfg.audio.hop_length = 16
+    cfg.audio.num_mels = 20
+    cfg.audio.do_trim_silence = False
+
+    model = Vits(cfg)
+    gen_params, _ = fast_params(model.init_params, jax.random.PRNGKey(0))
+    ckpt = tmp_path / "model.msgpack"
+    save_checkpoint(str(ckpt), {"model": gen_params}, config=cfg)
+
+    synth = Synthesizer(tts_checkpoint=str(ckpt))
+    assert synth.tts_model.supports_packed_decode
+
+    text = "One short sentence here. And then a somewhat longer second one follows!"
+    packed_calls = []
+    orig_packed = synth.tts_model.inference_packed
+
+    def spy(*a, **kw):
+        packed_calls.append(1)
+        return orig_packed(*a, **kw)
+
+    synth.tts_model.inference_packed = spy
+    wav_packed = np.asarray(synth.tts(text), np.float32)
+    assert packed_calls, "packed path was not taken"
+
+    # force the serial loop for the reference output
+    synth.tts_model.inference_packed = None
+    del synth.tts_model.inference_packed  # instance attr gone -> class attr
+    synth.tts_model.__class__ = type(
+        "VitsNoPacked", (type(synth.tts_model),), {"supports_packed_decode": False}
+    )
+    wav_serial = np.asarray(synth.tts(text), np.float32)
+
+    assert wav_packed.shape == wav_serial.shape
+    assert np.isfinite(wav_packed).all()
+    # identical except each sentence's last ~8 frames (128 samples at hop
+    # 16); comparing the first 60% of the signal avoids both tails
+    n = int(len(wav_packed) * 0.6)
+    np.testing.assert_allclose(wav_packed[:n], wav_serial[:n], atol=2e-4)

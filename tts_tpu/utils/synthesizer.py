@@ -359,6 +359,23 @@ class Synthesizer:
         speaker_id, d_vector = self._resolve_speaker(speaker_name, speaker_wav)
         language_id = self._resolve_language(language_name)
 
+        # multi-sentence requests on end-to-end waveform models decode as
+        # ONE sequence-packed grid instead of a per-sentence loop (the
+        # reference loops, synthesizer.py:407; under XLA each per-sentence
+        # decode would also pay its own frame-bucket padding)
+        if (
+            len(sens) > 1
+            and style_wav is None
+            and style_text is None
+            and self.vocoder_model is None
+            and not use_gl
+            and hasattr(self.tts_model, "inference_packed")
+            and getattr(self.tts_model, "supports_packed_decode", False)
+        ):
+            packed = self._tts_sentences_packed(sens, speaker_id, d_vector, language_id)
+            if packed is not None:
+                return packed
+
         for sen in sens:
             out = synthesis(
                 self.tts_model,
@@ -378,6 +395,75 @@ class Synthesizer:
                 wav = self._vocode(out["model_outputs"])
             else:
                 raise RuntimeError("No vocoder or Griffin-Lim available.")
+            if self.ap is not None and getattr(self.tts_config.audio, "do_trim_silence", False):
+                wav = trim_silence(np.asarray(wav), self.ap)
+            wavs += list(wav)
+            wavs += [0] * 10000  # inter-sentence silence (reference :441)
+        return wavs
+
+    def _tts_sentences_packed(self, sens, speaker_id, d_vector, language_id):
+        """All sentences of one request in ONE sequence-packed decode
+        (``utils/packing.py``): tokenize each sentence, predict frame
+        counts with the cheap DP pass, pack the latent frames into a few
+        dense rows, decode once, slice per-sentence waveforms back out.
+        Returns ``None`` when anything prevents the packed path — the
+        caller then falls back to the serial per-sentence loop."""
+        import jax.numpy as jnp
+
+        from tts_tpu.utils.packing import plan_pack_layout, unpack_outputs
+        from tts_tpu.utils.synthesis import (
+            _frame_budget,
+            get_jitted_durations,
+            get_jitted_packed,
+        )
+
+        model = self.tts_model
+        try:
+            rows = [model.tokenizer.text_to_ids(s) for s in sens]
+            bucket = int(getattr(self.tts_config, "pad_to_multiple_text", 16) or 16)
+            T = max(max(len(r) for r in rows), 1)
+            T = ((T + bucket - 1) // bucket) * bucket
+            B = len(rows)
+            x = np.zeros((B, T), np.int32)
+            xl = np.ones((B,), np.int32)
+            for i, r in enumerate(rows):
+                x[i, : len(r)] = r
+                xl[i] = max(1, len(r))
+
+            aux = {}
+            if d_vector is not None:
+                dv = np.asarray(d_vector, np.float32).reshape(1, -1)
+                aux["d_vectors"] = jnp.asarray(np.broadcast_to(dv, (B, dv.shape[1])))
+            elif speaker_id is not None:
+                aux["speaker_ids"] = jnp.full((B,), int(speaker_id), jnp.int32)
+            if language_id is not None:
+                aux["language_ids"] = jnp.full((B,), int(language_id), jnp.int32)
+
+            xj, xlj = jnp.asarray(x), jnp.asarray(xl)
+            budget = _frame_budget(T)
+            dur = get_jitted_durations(model)(self.tts_params, xj, xlj, aux_input=aux or None)
+            lens = np.minimum(np.asarray(dur)[:B], budget)
+            plan = plan_pack_layout(lens)
+            out = get_jitted_packed(model)(
+                self.tts_params,
+                xj,
+                xlj,
+                jnp.asarray(plan.seg_sample),
+                jnp.asarray(plan.seg_pos),
+                aux_input=aux or None,
+                noise_frames=int(budget),
+                noise_layout="packed",
+            )
+            grid = np.asarray(out["model_outputs"], np.float32)  # [R, L*hop, 1]
+            upsample = grid.shape[1] // plan.row_len
+            pieces = unpack_outputs(grid, plan, upsample=upsample)
+        except Exception as e:  # pragma: no cover - serial loop still works
+            print(f" [!] packed sentence decode unavailable ({e}); decoding serially")
+            return None
+
+        wavs: List[float] = []
+        for piece in pieces:
+            wav = piece[:, 0]
             if self.ap is not None and getattr(self.tts_config.audio, "do_trim_silence", False):
                 wav = trim_silence(np.asarray(wav), self.ap)
             wavs += list(wav)
